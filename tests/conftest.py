@@ -1,0 +1,37 @@
+import os
+
+# Device-mesh tests run on a virtual 8-device CPU topology; the real-TPU bench
+# path sets JAX_PLATFORMS itself.  Must be set before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+)
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REF_DIR = Path("/tmp/j40ref")
+
+
+@pytest.fixture(scope="session")
+def dj40():
+    """Build (once) and return the path of the reference dj40 oracle binary."""
+    exe = REF_DIR / "dj40"
+    if not exe.exists():
+        REF_DIR.mkdir(exist_ok=True)
+        (REF_DIR / "extra").mkdir(exist_ok=True)
+        for src, dst in [
+            ("j40.h", "j40.h"),
+            ("dj40.c", "dj40.c"),
+            ("extra/stb_image_write.h", "extra/stb_image_write.h"),
+        ]:
+            (REF_DIR / dst).write_bytes(Path("/root/reference", src).read_bytes())
+        subprocess.run(
+            ["cc", "-O2", "-o", str(exe), str(REF_DIR / "dj40.c"), "-lm"],
+            check=True,
+            cwd=REF_DIR,
+        )
+    return exe
