@@ -1,0 +1,60 @@
+"""Encoder-side image/frame header emission for the supported subset.
+
+Emits headers that the reference decoder (dj40) accepts; used both by the
+user-facing encoder and to synthesize differential-test bitstreams.
+"""
+
+from __future__ import annotations
+
+from .bitwriter import BitWriter
+
+U32_SIZE = ((1, 9), (1, 13), (1, 18), (1, 30))
+
+
+def write_signature(w: BitWriter) -> None:
+    w.u(8, 0xFF)
+    w.u(8, 0x0A)
+
+
+def write_size_header(w: BitWriter, width: int, height: int) -> None:
+    if width % 8 == 0 and height % 8 == 0 and width <= 256 and height <= 256:
+        w.u(1, 1)  # div8
+        w.u(5, height // 8 - 1)
+        w.u(3, 0)  # ratio: explicit
+        w.u(5, width // 8 - 1)
+    else:
+        w.u(1, 0)
+        w.u32(U32_SIZE, height)
+        w.u(3, 0)
+        w.u32(U32_SIZE, width)
+
+
+def write_image_metadata(
+    w: BitWriter,
+    width: int,
+    height: int,
+    *,
+    bpp: int = 8,
+    xyb_encoded: bool = False,
+    modular_16bit: bool = True,
+    num_alpha: int = 0,
+    intensity_target: float | None = None,
+) -> None:
+    write_size_header(w, width, height)
+    if bpp == 8 and xyb_encoded and num_alpha == 0 and intensity_target is None:
+        w.u(1, 1)  # all_default
+        w.u(1, 1)  # default_m
+        return
+    w.u(1, 0)  # not all_default
+    w.u(1, 0)  # no extra_fields
+    # BitDepth: integer samples
+    w.u(1, 0)
+    w.u32(((8, 0), (10, 0), (12, 0), (1, 6)), bpp)
+    w.u(1, 1 if modular_16bit else 0)
+    w.u32(((0, 0), (1, 0), (2, 4), (1, 12)), num_alpha)
+    for _ in range(num_alpha):
+        w.u(1, 1)  # d_alpha: default alpha channel
+    w.u(1, 1 if xyb_encoded else 0)
+    w.u(1, 1)  # ColourEncoding all_default (sRGB)
+    w.u64(0)  # extensions: none
+    w.u(1, 1)  # default_m

@@ -1,0 +1,122 @@
+"""ISOBMFF container handling (reference: j40.h:1390-1650, ISO/IEC 18181-2).
+
+Design difference from the reference: instead of maintaining an incremental
+codestream-offset→file-offset map over a pull source, the host assembles the
+full contiguous codestream up front (sections are then sliced out of it by the
+TOC).  This is the right shape for the TPU pipeline, whose decode plan wants
+all section byte ranges before dispatch.  Box ordering/cardinality rules match
+the reference: `jxll`/`jxli` at most once, `jxlc` precludes `jxlp`, `jxlp`
+final-index bit terminates the codestream sequence, `brob`-wrapped jxl boxes
+rejected.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from ..errors import J40Error, ShortInput, check
+
+JXL_BOX = bytes.fromhex("0000000c4a584c200d0a870a")
+FTYP_BOX = bytes.fromhex("00000014667479706a786c20000000006a786c20")
+
+
+@dataclass
+class Container:
+    """Parsed container: contiguous codestream plus auxiliary box payloads."""
+
+    codestream: bytes
+    is_bare: bool = False
+    level: int | None = None  # from jxll
+    frame_index_box: bytes | None = None  # from jxli (unparsed)
+    other_boxes: list[tuple[bytes, bytes]] = field(default_factory=list)
+
+
+def _read_box_header(data: bytes, pos: int) -> tuple[bytes, int, int] | None:
+    """Returns (type, payload_start, payload_end) or None at EOF.
+
+    payload_end == -1 means the box extends to end of file (size 0).
+    """
+    if pos == len(data):
+        return None
+    if pos + 8 > len(data):
+        raise ShortInput("truncated box header")
+    (size32,) = struct.unpack_from(">I", data, pos)
+    type_ = data[pos + 4 : pos + 8]
+    if size32 == 0:
+        return type_, pos + 8, -1
+    if size32 == 1:
+        if pos + 16 > len(data):
+            raise ShortInput("truncated extended box header")
+        (size64,) = struct.unpack_from(">Q", data, pos + 8)
+        check(size64 >= 16, "boxx")
+        return type_, pos + 16, pos + size64
+    check(size32 >= 8, "boxx")
+    return type_, pos + 8, pos + size32
+
+
+def parse_container(data: bytes) -> Container:
+    """Detect bare codestream vs box container and extract the codestream."""
+    if len(data) >= 2 and data[0] == 0xFF and data[1] == 0x0A:
+        return Container(codestream=data, is_bare=True)
+    check(data[:2] == JXL_BOX[:2], "!jxl")
+    check(data[: len(JXL_BOX)] == JXL_BOX, "!jxl")
+    off = len(JXL_BOX)
+    check(data[off : off + len(FTYP_BOX)] == FTYP_BOX, "ftyp")
+    pos = off + len(FTYP_BOX)
+
+    seen_jxll = seen_jxli = seen_jxlc = seen_jxlp = False
+    no_more_codestream = False
+    parts: list[bytes] = []
+    cont = Container(codestream=b"")
+
+    while True:
+        hdr = _read_box_header(data, pos)
+        if hdr is None:
+            break
+        type_, start, end = hdr
+        payload = data[start:] if end == -1 else data[start:end]
+        if end != -1 and end > len(data):
+            raise ShortInput("truncated box payload")
+
+        if type_ == b"jxll":
+            check(not seen_jxll, "box?")
+            seen_jxll = True
+            if payload:
+                cont.level = payload[0]
+        elif type_ == b"jxli":
+            check(not seen_jxli, "box?")
+            seen_jxli = True
+            cont.frame_index_box = payload
+        elif type_ == b"jxlc":
+            check(not no_more_codestream, "box?")
+            check(not (seen_jxlp or seen_jxlc), "box?")
+            seen_jxlc = True
+            no_more_codestream = True
+            parts.append(payload)
+        elif type_ == b"jxlp":
+            check(not no_more_codestream, "box?")
+            check(not seen_jxlc, "box?")
+            seen_jxlp = True
+            check(len(payload) >= 4, "jxlp")
+            # the reference treats a CLEAR top bit of the 4-byte index as the
+            # final partial codestream (j40.h:1557)
+            if not (payload[0] >> 7):
+                no_more_codestream = True
+            parts.append(payload[4:])
+        elif type_ == b"brob":
+            check(len(payload) > 4, "brot")
+            inner = payload[:4]
+            check(inner != b"brob" and inner[:3] != b"jxl", "brot")
+            cont.other_boxes.append((b"brob", payload))
+        else:
+            cont.other_boxes.append((type_, payload))
+
+        if end == -1:
+            break
+        pos = end
+
+    check(seen_jxlc or seen_jxlp, "shrt" if not parts else "box?")
+    cont.codestream = b"".join(parts)
+    check(cont.codestream[:2] == b"\xff\x0a", "!jxl")
+    return cont
