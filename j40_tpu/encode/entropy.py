@@ -1,0 +1,437 @@
+"""Encoder-side entropy coding: the dual of j40_tpu.entropy.
+
+Builds length-limited Huffman codes / ANS distributions from histograms and
+emits spec-compliant code-spec headers plus token streams that the decoder
+(and the reference dj40) accept.  Token collection is two-phase: callers
+record (ctx, value) pairs in decode order, then `write` emits the whole
+stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..entropy.ans import ANS_INIT_STATE, AnsEncoder, DIST_BITS, DIST_SUM, init_alias_map
+from ..entropy.hybrid import HybridIntConfig, encode_hybrid_int
+from ..entropy.prefix import L0_LENGTHS, L1_ZIGZAG, PrefixCode, reverse_bits
+from .bitwriter import BitWriter
+
+
+def huffman_lengths(freqs: list[int], limit: int) -> list[int]:
+    """Length-limited Huffman code lengths via package-merge."""
+    idx = [i for i, f in enumerate(freqs) if f > 0]
+    lengths = [0] * len(freqs)
+    if not idx:
+        return lengths
+    if len(idx) == 1:
+        lengths[idx[0]] = 1
+        return lengths
+    if len(idx) > (1 << limit):
+        raise ValueError("alphabet too large for length limit")
+    # package-merge: items are (freq, {sym: count}) coins
+    coins = sorted((freqs[i], (i,)) for i in idx)
+    packages: list[tuple[int, tuple]] = coins
+    for _ in range(limit - 1):
+        merged = [
+            (packages[k][0] + packages[k + 1][0], packages[k][1] + packages[k + 1][1])
+            for k in range(0, len(packages) - 1, 2)
+        ]
+        packages = sorted(coins + merged)
+    # take the first 2*(n-1) items of the final row
+    need = 2 * (len(idx) - 1)
+    for _, syms in packages[:need]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _write_prefix_symbol(w: BitWriter, code: PrefixCode, sym: int, codes: dict) -> None:
+    if code.single_symbol is not None:
+        return
+    length, pattern = codes[sym]
+    w.u(length, pattern)
+
+
+def prefix_codewords(code: PrefixCode) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, LSB-first pattern)."""
+    out = {}
+    for l in range(1, code.max_len + 1):
+        for pattern, sym in code.by_len[l].items():
+            out[sym] = (l, pattern)
+    return out
+
+
+def write_prefix_code_header(w: BitWriter, lengths: list[int], alphabet_size: int) -> None:
+    """Emit an RFC7932-style prefix code header for the given code lengths."""
+    assert len(lengths) == alphabet_size
+    if alphabet_size == 1:
+        return  # zero-bit code, no header at all
+    nonzero = [(s, l) for s, l in enumerate(lengths) if l > 0]
+    nsym = len(nonzero)
+    if nsym == 1:
+        # simple code with one symbol
+        w.u(2, 1)  # hskip=1 → simple
+        w.u(2, 0)  # nsym-1
+        w.at_most(alphabet_size - 1, nonzero[0][0])
+        return
+    if nsym <= 4:
+        simple = {
+            2: (1, 1),
+            3: (1, 2, 2),
+            4: (2, 2, 2, 2),
+        }
+        tree_sel = (1, 2, 3, 3)
+        lens = sorted(l for _, l in nonzero)
+        if nsym == 4 and lens == sorted(tree_sel):
+            w.u(2, 1)
+            w.u(2, 3)
+            # list symbols so that template positions line up: template lengths
+            # (1,2,3,3) applied to listed syms, equal lengths sorted by value
+            order = sorted(nonzero, key=lambda p: (p[1], p[0]))
+            for s, _ in order:
+                w.at_most(alphabet_size - 1, s)
+            w.u(1, 1)  # tree-select
+            return
+        if tuple(lens) == simple.get(nsym, ()):
+            w.u(2, 1)
+            w.u(2, nsym - 1)
+            order = sorted(nonzero, key=lambda p: (p[1], p[0]))
+            for s, _ in order:
+                w.at_most(alphabet_size - 1, s)
+            if nsym == 4:
+                w.u(1, 0)  # no tree-select
+            return
+        # fall through to the complex encoding for irregular small codes
+
+    # complex code: emit layer-2 lengths with 16/17 RLE, then Huffman-code the
+    # emitted symbol stream with a layer-1 code (limit 5), header via L0 code.
+    l2_syms: list[tuple[int, int]] = []  # (code, extra_bits_value_or_-1)
+    i = 0
+    n = alphabet_size
+    # trim trailing zeros: the reader stops once total reaches the Kraft sum
+    while n > 0 and lengths[n - 1] == 0:
+        n -= 1
+    while i < n:
+        l = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == l:
+            run += 1
+        if l == 0:
+            # runs of zeros via code 17 (3+u(3) zeros); separate consecutive
+            # 17s with a literal zero so the reader never chains (its chaining
+            # formula compounds repeat counts, j40.h:2168-2172)
+            rem = run
+            while rem:
+                if rem >= 3:
+                    take = min(rem, 10)
+                    l2_syms.append((17, take - 3))
+                    rem -= take
+                    if rem:
+                        l2_syms.append((0, -1))
+                        rem -= 1
+                else:
+                    l2_syms.append((0, -1))
+                    rem -= 1
+            i += run
+        else:
+            # literal, then runs of the same length via code 16 (3+u(2)),
+            # likewise chain-broken with literals
+            l2_syms.append((l, -1))
+            rem = run - 1
+            while rem:
+                if rem >= 3:
+                    take = min(rem, 6)
+                    l2_syms.append((16, take - 3))
+                    rem -= take
+                    if rem:
+                        l2_syms.append((l, -1))
+                        rem -= 1
+                else:
+                    l2_syms.append((l, -1))
+                    rem -= 1
+            i += run
+
+    # layer-1 histogram & code
+    hist = [0] * 18
+    for c, _ in l2_syms:
+        hist[c] += 1
+    l1_lengths = huffman_lengths(hist, 5)
+    if sum(1 for x in l1_lengths if x) == 1:
+        # a single layer-1 symbol cannot form a complete 5-bit code; add a
+        # second dummy: give the symbol length 1 is invalid too (sum 16 != 32).
+        # Use lengths {sym:1, other:1} by promoting an unused close symbol.
+        only = next(s for s, x in enumerate(l1_lengths) if x)
+        other = 17 if only != 17 else 16
+        l1_lengths[only] = 1
+        l1_lengths[other] = 1
+        # ensure `other` decodes harmlessly: it never appears in l2_syms
+    l1_code = PrefixCode.from_lengths(l1_lengths)
+    l1_codewords = prefix_codewords(l1_code)
+
+    w.u(2, 0)  # hskip=0 → complex
+    # layer-1 lengths via fixed L0 code, zigzag order, stop at Kraft completion
+    l0 = PrefixCode.from_lengths(list(L0_LENGTHS))
+    l0_codewords = prefix_codewords(l0)
+    total = 0
+    for zz in L1_ZIGZAG:
+        l = l1_lengths[zz]
+        ln, pat = l0_codewords[l]
+        w.u(ln, pat)
+        if l:
+            total += (1 << 5) >> l
+        if total >= (1 << 5):
+            break
+    assert total == (1 << 5), "layer-1 code not complete"
+
+    # layer-2 stream
+    for c, extra in l2_syms:
+        ln, pat = l1_codewords[c]
+        w.u(ln, pat)
+        if c == 16:
+            w.u(2, extra)
+        elif c == 17:
+            w.u(3, extra)
+
+
+def write_hybrid_config(w: BitWriter, cfg: HybridIntConfig, log_alpha_size: int) -> None:
+    w.at_most(log_alpha_size, cfg.split_exp)
+    if cfg.split_exp != log_alpha_size:
+        w.at_most(cfg.split_exp, cfg.msb_in_token)
+        w.at_most(cfg.split_exp - cfg.msb_in_token, cfg.lsb_in_token)
+
+
+def normalize_distribution(freqs: list[int]) -> list[int]:
+    """Scale a histogram to sum exactly DIST_SUM, keeping nonzeros nonzero."""
+    total = sum(freqs)
+    assert total > 0
+    D = [0] * len(freqs)
+    nonzero = [i for i, f in enumerate(freqs) if f > 0]
+    if len(nonzero) == 1:
+        D[nonzero[0]] = DIST_SUM
+        return D
+    remaining = DIST_SUM - len(nonzero)
+    scaled = []
+    for i in nonzero:
+        share = freqs[i] * remaining // total
+        D[i] = 1 + share
+        scaled.append((freqs[i] * remaining % total, i))
+    deficit = DIST_SUM - sum(D)
+    for _, i in sorted(scaled, reverse=True)[:deficit]:
+        D[i] += 1
+    assert sum(D) == DIST_SUM
+    return D
+
+
+def write_ans_distribution(w: BitWriter, D: list[int]) -> None:
+    """Emit an ANS distribution header (matches read_ans_table)."""
+    nonzero = [i for i, v in enumerate(D) if v]
+    table_size = len(D)
+
+    def write_u8(v: int) -> None:
+        if v == 0:
+            w.u(1, 0)
+        else:
+            n = v.bit_length() - 1
+            w.u(1, 1)
+            w.u(3, n)
+            w.u(n, v - (1 << n))
+
+    if len(nonzero) == 1:
+        w.u(2, 1)  # mode: singleton
+        write_u8(nonzero[0])
+        return
+    if len(nonzero) == 2:
+        v1, v2 = nonzero
+        w.u(2, 3)  # mode: two entries
+        write_u8(v1)
+        write_u8(v2)
+        w.u(DIST_BITS, D[v1])
+        return
+    # general: bit-counts mode with shift=13 (all values exactly representable)
+    w.u(1, 0)
+    w.u(1, 0)  # mode bits: false,false -> general; composed as two Bool()s
+    # len selector for shift: three chained bits
+    w.u(1, 1)
+    w.u(1, 1)
+    w.u(1, 1)
+    shift_ = 13
+    w.u(3, shift_ - 7)  # shift = u(3) + 2^3 - 1
+    alpha_size = len(nonzero) and (max(nonzero) + 1)
+    write_u8(alpha_size - 3)
+
+    # choose the omitted entry: first occurrence of the largest exponent
+    def exponent(v: int) -> int:
+        return 0 if v == 0 else v.bit_length()  # 1 -> 1, 2..3 -> 2, ...
+
+    # per the reader: code c means value 1<<(c-1) + extra; exponent code for
+    # value v>=2 is bit_length(v); v==1 -> code 1; v==0 -> code 0
+    exps = []
+    for i in range(alpha_size):
+        v = D[i]
+        exps.append(0 if v == 0 else (1 if v == 1 else v.bit_length()))
+    omit_log = max(exps)
+    omit_pos = exps.index(omit_log)
+
+    # logcount codewords (fixed code; see entropy.code.LOGCOUNT_CODE)
+    from ..entropy.code import LOGCOUNT_CODE
+
+    lc = prefix_codewords(LOGCOUNT_CODE)
+    # phase 1: all log-count codes; phase 2: all extra bits (the reader
+    # collects codes first and reads value bits in a second pass)
+    for c in exps:
+        ln, pat = lc[c]
+        w.u(ln, pat)
+    for i, c in enumerate(exps):
+        if i == omit_pos or c < 2:
+            continue
+        cc = c - 1
+        bitcount = min(max(0, shift_ - ((DIST_BITS - cc) >> 1)), cc)
+        v = D[i]
+        extra = (v - (1 << cc)) >> (cc - bitcount)
+        assert (1 << cc) + (extra << (cc - bitcount)) == v, "value not representable"
+        w.u(bitcount, extra)
+
+
+@dataclass
+class _ClusterPlan:
+    config: HybridIntConfig
+    tokens: list[tuple[int, int, int]]  # (token, midbits, mid) — filled later
+
+
+class EntropyEncoder:
+    """Two-phase entropy stream encoder.
+
+    Phase 1: `add(ctx, value)` in exact decode order.
+    Phase 2: `write(w)` emits the code-spec header followed by the tokens.
+
+    LZ77 is not emitted (valid streams need not use it).  A single hybrid-int
+    config is used for all clusters.
+    """
+
+    def __init__(self, num_dist: int, use_prefix: bool = True,
+                 cluster_map: list[int] | None = None,
+                 config: HybridIntConfig = HybridIntConfig(4, 1, 0)):
+        self.num_dist = num_dist
+        self.use_prefix = use_prefix
+        self.cluster_map = cluster_map or [0] * num_dist
+        self.num_clusters = max(self.cluster_map) + 1
+        self.config = config
+        self.events: list[tuple[int, int]] = []
+
+    def add(self, ctx: int, value: int) -> None:
+        assert 0 <= ctx < self.num_dist
+        self.events.append((ctx, value))
+
+    def write(self, w: BitWriter) -> None:
+        cfg = self.config
+        # tokenize
+        tokenized = []  # (cluster, token, midbits, mid)
+        hists = [dict() for _ in range(self.num_clusters)]
+        for ctx, value in self.events:
+            cl = self.cluster_map[ctx]
+            token, midbits, mid = encode_hybrid_int(value, cfg)
+            tokenized.append((cl, token, midbits, mid))
+            hists[cl][token] = hists[cl].get(token, 0) + 1
+
+        w.u(1, 0)  # lz77_enabled = false
+        # cluster map (nothing to write when num_dist == 1)
+        if self.num_dist > 1:
+            w.u(1, 1)  # is_simple
+            nbits = (self.num_clusters - 1).bit_length()
+            w.u(2, nbits)
+            for c in self.cluster_map:
+                w.u(nbits, c)
+
+        w.u(1, 1 if self.use_prefix else 0)
+        if self.use_prefix:
+            for _ in range(self.num_clusters):
+                write_hybrid_config(w, cfg, 15)
+            alpha_sizes = []
+            for cl in range(self.num_clusters):
+                count = max(hists[cl].keys(), default=0) + 1
+                alpha_sizes.append(count)
+                if count > 1:
+                    # count = 1 + 2^n + u(n) with count-1 in [2^n, 2^(n+1)-1]
+                    w.u(1, 1)
+                    n = (count - 1).bit_length() - 1
+                    w.u(4, n)
+                    w.u(n, count - 1 - (1 << n))
+                else:
+                    w.u(1, 0)
+            codes = []
+            for cl in range(self.num_clusters):
+                count = alpha_sizes[cl]
+                freqs = [hists[cl].get(t, 0) for t in range(count)]
+                lengths = huffman_lengths(freqs, 15)
+                write_prefix_code_header(w, lengths, count)
+                pc = PrefixCode.from_lengths(lengths) if sum(
+                    1 for x in lengths if x) > 1 else PrefixCode(
+                        max_len=0, by_len=[],
+                        single_symbol=next((s for s, x in enumerate(lengths) if x), 0))
+                codes.append(prefix_codewords(pc) if pc.single_symbol is None else None)
+            for cl, token, midbits, mid in tokenized:
+                cw = codes[cl]
+                if cw is not None:
+                    ln, pat = cw[token]
+                    w.u(ln, pat)
+                w.u(midbits, mid)
+        else:
+            log_alpha_size = 8
+            w.u(2, log_alpha_size - 5)
+            for _ in range(self.num_clusters):
+                write_hybrid_config(w, cfg, log_alpha_size)
+            table_size = 1 << log_alpha_size
+            Ds = []
+            encoders = []
+            for cl in range(self.num_clusters):
+                freqs = [hists[cl].get(t, 0) for t in range(table_size)]
+                if sum(freqs) == 0:
+                    freqs[0] = 1  # unused cluster still needs a distribution
+                D = normalize_distribution(freqs)
+                write_ans_distribution(w, D)
+                Ds.append(D)
+                encoders.append(AnsEncoder(D, log_alpha_size))
+            # ANS-encode the full symbol sequence in reverse using per-cluster
+            # tables but one shared state
+            words: list[int] = []
+            state = ANS_INIT_STATE
+            for cl, token, midbits, mid in reversed(tokenized):
+                enc = encoders[cl]
+                freq = Ds[cl][token]
+                if state >= (freq << 20):
+                    words.append(state & 0xFFFF)
+                    state >>= 16
+                state = ((state // freq) << 12) | enc.slots[token][state % freq]
+            words.append(state >> 16)
+            words.append(state & 0xFFFF)
+            words.reverse()
+            # forward pass: emit words exactly when the decoder would read them
+            wi = 0
+            sim_state = 0
+            for cl, token, midbits, mid in tokenized:
+                if sim_state == 0:
+                    w.u(16, words[wi]); wi += 1
+                    sim_state = words[wi - 1]
+                    w.u(16, words[wi]); wi += 1
+                    sim_state |= words[wi - 1] << 16
+                # decode-step simulation
+                D = Ds[cl]
+                aliases = encoders[cl].aliases
+                index = sim_state & 0xFFF
+                lbs = DIST_BITS - log_alpha_size
+                i_b = index >> lbs
+                pos = index & ((1 << lbs) - 1)
+                b = aliases[i_b]
+                offset = 0 if pos < b.cutoff else b.offset
+                sim_state = D[token] * (sim_state >> 12) + offset + pos
+                if sim_state < (1 << 16):
+                    w.u(16, words[wi]); wi += 1
+                    sim_state = (sim_state << 16) | words[wi - 1]
+                w.u(midbits, mid)
+            if not tokenized:
+                # state still read & checked at finish
+                w.u(16, ANS_INIT_STATE & 0xFFFF)
+                w.u(16, ANS_INIT_STATE >> 16)
+            else:
+                assert wi == len(words), (wi, len(words))
+                assert sim_state == ANS_INIT_STATE

@@ -68,6 +68,28 @@ class BitReader:
         self.nbits -= n
         return ret
 
+    def peek(self, n: int) -> int:
+        """Peek up to n bits without consuming, zero-padded past end of buffer.
+
+        Matches the reference's best-effort refill in prefix decoding
+        (j40.h:2256-2263): short codes at the very end of a section are
+        readable because the tail is implicitly zero-padded.
+        """
+        try:
+            self._refill(n)
+        except ShortInput:
+            pass
+        return self.bits & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        """Consume n previously peeked bits; 'shrt' if fewer are available."""
+        if n > self.nbits:
+            self.bits = 0
+            self.nbits = 0
+            raise ShortInput("code extends past end of input")
+        self.bits >>= n
+        self.nbits -= n
+
     def u32(self, o0, n0, o1, n1, o2, n2, o3, n3) -> int:
         """Four-way distribution: 2-bit selector, then offset + n bits."""
         offsets = (o0, o1, o2, o3)
