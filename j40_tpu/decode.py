@@ -1,0 +1,157 @@
+"""Top-level decode driver (reference call stack: j40.h:8146-8220).
+
+Host-side orchestration: container → headers → TOC → per-section decode.
+Each bitstream section is decoded from an independent byte slice
+(`j40.h:7752-7776` isolation semantics), which is what the sharded TPU
+pipeline exploits; the VarDCT sample reconstruction runs on device
+(j40_tpu.vardct / j40_tpu.ops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .errors import J40Error, Unsupported, check
+from .headers.frame import (
+    FRAME_REGULAR,
+    FrameHeader,
+    Section,
+    Toc,
+    read_frame_header,
+    read_toc,
+)
+from .headers.image import CSpace, ImageMetadata, read_image_metadata, read_signature
+from .headers.icc import read_icc
+from .io.bits import BitReader
+from .io.container import parse_container
+from .limits import MAIN_LV5, Limits
+from .modular.decode import (
+    Channel,
+    ModularImage,
+    decode_channel,
+    allocate,
+    parse_modular_header,
+)
+from .modular.transforms import inverse_transforms
+from .modular.tree import read_tree
+from .mathutil import ceil_div
+
+
+@dataclass
+class Frame:
+    header: FrameHeader
+    gmodular: ModularImage
+    # rendered outputs
+    rgba: np.ndarray | None = None  # (h, w, 4) uint8
+
+
+class Decoder:
+    """Decodes a JPEG XL codestream (Modular and VarDCT frames)."""
+
+    def __init__(self, data: bytes, limits: Limits = MAIN_LV5):
+        self.container = parse_container(data)
+        self.codestream = self.container.codestream
+        self.limits = limits
+        r = BitReader(self.codestream)
+        read_signature(r)
+        self.image = read_image_metadata(r, limits)
+        if self.image.want_icc:
+            self.image.icc = read_icc(r)
+        self.r = r
+        self.frame: Frame | None = None
+
+    # -- frame decoding ----------------------------------------------------
+
+    def decode_frame(self) -> Frame:
+        im = self.image
+        r = self.r
+        f = read_frame_header(r, im, self.limits)
+        if f.type != FRAME_REGULAR or not f.is_last:
+            raise Unsupported(message="only single regular frames supported")
+        toc = read_toc(r, f)
+
+        from .frame_state import FrameState
+
+        state = FrameState(im, f, self.limits)
+
+        if toc.single_size:
+            # everything decoded inline from the main reader
+            state.lf_global(r)
+            if not f.is_modular:
+                state.hf_global(r)
+            for pass_ in range(f.num_passes):
+                state.pass_group(r, pass_, 0)
+            r.zero_pad_to_byte()
+            codeoff = r.bits_consumed // 8
+            check(codeoff == toc.end_codeoff, "shrt" if codeoff < toc.end_codeoff else "excs")
+        else:
+            state.lf_global(self._section_reader(toc.lf_global_codeoff, toc.lf_global_size))
+            if f.is_modular:
+                check(toc.hf_global_size == 0, "excs")
+            else:
+                state.hf_global(
+                    self._section_reader(toc.hf_global_codeoff, toc.hf_global_size)
+                )
+            for s in toc.sections:
+                sr = self._section_reader(s.codeoff, s.size)
+                if s.pass_ < 0:
+                    state.lf_group(sr, s.idx)
+                else:
+                    state.pass_group(sr, s.pass_, s.idx)
+                sr.no_more_bytes()
+
+        state.finish()
+        self.frame = Frame(header=f, gmodular=state.gmodular)
+        return self.frame
+
+    def _section_reader(self, codeoff: int, size: int) -> BitReader:
+        check(codeoff + size <= len(self.codestream), "shrt")
+        return BitReader(self.codestream[codeoff : codeoff + size])
+
+    # -- rendering ---------------------------------------------------------
+
+    def render_rgba8(self) -> np.ndarray:
+        """Render the decoded frame to (h, w, 4) uint8 RGBA, matching the
+        reference's clamp+scale semantics (j40.h:7910-7962)."""
+        im = self.image
+        f = self.frame
+        assert f is not None
+        gm = f.gmodular
+        check(im.bpp >= 8, "TODO", "<8bpp render")
+        check(im.exp_bits == 0, "TODO", "float samples")
+        h, w = f.header.height, f.header.width
+        maxpixel = (1 << im.bpp) - 1
+        half = 1 << (im.bpp - 1)
+
+        planes = [gm.channels[i].data for i in range(3)]
+        alpha = None
+        for i in range(3, gm.num_channels):
+            ec = im.ec_info[i - 3]
+            if ec.type == 0:  # alpha
+                alpha = gm.channels[i].data
+                break
+
+        out = np.empty((h, w, 4), dtype=np.uint8)
+        for i in range(4):
+            src = planes[i] if i < 3 else alpha
+            if src is None:
+                out[:, :, i] = 255
+            else:
+                p = np.clip(src, 0, maxpixel).astype(np.int64)
+                out[:, :, i] = ((p * 255 + half) // maxpixel).astype(np.uint8)
+        return out
+
+
+def decode_file(path_or_bytes) -> tuple[Decoder, np.ndarray]:
+    data = (
+        path_or_bytes
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else open(path_or_bytes, "rb").read()
+    )
+    dec = Decoder(bytes(data))
+    dec.decode_frame()
+    rgba = dec.render_rgba8()
+    dec.frame.rgba = rgba
+    return dec, rgba

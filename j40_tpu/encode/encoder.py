@@ -1,0 +1,223 @@
+"""Modular-mode JPEG XL encoder.
+
+Produces spec-compliant lossless Modular bitstreams (a capability the
+reference decoder does not have; akin to fjxl's output shape): per-channel
+MA tree with a single leaf and a configurable predictor, prefix or ANS
+entropy coding, single- or multi-group layout with TOC.  Primary consumers:
+the differential test harness (our decoder and dj40 must agree bit-exactly on
+these files) and users wanting a pure-Python lossless encoder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..mathutil import ceil_div, pack_signed
+from ..modular.decode import _gradient, _predict, _trunc_half_sum
+from .bitwriter import BitWriter
+from .entropy import EntropyEncoder
+from .headers import write_image_metadata, write_signature
+
+TOC_U32 = ((0, 10), (1024, 14), (17408, 22), (4211712, 30))
+
+
+def _predict_scalar(pred: int, w, n, nw, ne, nn, nee, ww):
+    return _predict(pred, None, w, n, nw, ne, nn, nee, ww)
+
+
+def _channel_tokens(data: np.ndarray, predictor: int) -> list[int]:
+    """Residual tokens for one channel in scan order (no WP, no tree)."""
+    h, wd = data.shape
+    a = data.astype(np.int64)
+    if predictor == 0:
+        res = a
+        return [pack_signed(int(v)) for v in res.ravel()]
+    if predictor == 5:
+        # vectorized gradient predictor: neighbors with edge substitution
+        W = np.zeros_like(a)
+        W[:, 1:] = a[:, :-1]
+        W[1:, 0] = a[:-1, 0]  # x==0: use N
+        N = np.zeros_like(a)
+        N[1:, :] = a[:-1, :]
+        N[0, :] = W[0, :]
+        NW = np.zeros_like(a)
+        NW[1:, 1:] = a[:-1, :-1]
+        NW[0, :] = W[0, :]
+        NW[1:, 0] = W[1:, 0]
+        lo = np.minimum(W, N)
+        hi = np.maximum(W, N)
+        grad = np.minimum(np.maximum(lo, W + N - NW), hi)
+        res = a - grad
+        return [pack_signed(int(v)) for v in res.ravel()]
+    # generic scalar path
+    out = []
+    for y in range(h):
+        for x in range(wd):
+            w_ = int(a[y, x - 1]) if x > 0 else (int(a[y - 1, x]) if y > 0 else 0)
+            n_ = int(a[y - 1, x]) if y > 0 else w_
+            nw = int(a[y - 1, x - 1]) if (x > 0 and y > 0) else w_
+            ne = int(a[y - 1, x + 1]) if (x + 1 < wd and y > 0) else n_
+            nn = int(a[y - 2, x]) if y > 1 else n_
+            nee = int(a[y - 1, x + 2]) if (x + 2 < wd and y > 0) else ne
+            ww = int(a[y, x - 2]) if x > 1 else w_
+            p = _predict_scalar(predictor, w_, n_, nw, ne, nn, nee, ww)
+            out.append(pack_signed(int(a[y, x]) - p))
+    return out
+
+
+def _write_single_leaf_tree(w: BitWriter, predictor: int, use_prefix: bool) -> None:
+    """Tree with one leaf: predictor, offset 0, multiplier 1 (6 contexts)."""
+    enc = EntropyEncoder(6, use_prefix=use_prefix)
+    enc.add(1, 0)  # prop token 0 => leaf
+    enc.add(2, predictor)
+    enc.add(3, 0)  # offset
+    enc.add(4, 0)  # multiplier shift
+    enc.add(5, 0)  # multiplier-1
+    enc.write(w)
+
+
+def _write_modular_stream(
+    w: BitWriter, channels: list[np.ndarray], predictor: int, use_prefix: bool
+) -> None:
+    """Modular sub-bitstream: header (no transforms, local single-leaf tree)
+    followed by all channel tokens."""
+    w.u(1, 0)  # use_global_tree = false
+    w.u(1, 1)  # default WP params
+    w.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # nb_transforms = 0
+    _write_single_leaf_tree(w, predictor, use_prefix)
+    # leaf code spec + tokens for all channels (single context)
+    enc = EntropyEncoder(1, use_prefix=use_prefix)
+    for data in channels:
+        for t in _channel_tokens(data, predictor):
+            enc.add(0, t)
+    enc.write(w)
+
+
+@dataclass
+class EncodeOptions:
+    predictor: int = 5  # gradient
+    use_prefix: bool = True  # prefix vs ANS coding
+    group_size_shift: int = 8
+
+
+def encode_modular(image: np.ndarray, bpp: int = 8,
+                   options: EncodeOptions | None = None) -> bytes:
+    """Encode (h, w) grayscale—not yet—or (h, w, 3) RGB image losslessly.
+
+    Returns a bare JPEG XL codestream (FF 0A ...).
+    """
+    opt = options or EncodeOptions()
+    assert image.ndim == 3 and image.shape[2] in (1, 3), "need (h,w,1|3)"
+    h, wd, nc = image.shape
+    assert nc == 3, "grayscale TODO"
+
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False)
+
+    # FrameHeader (not all_default; j40.h:5163-5388 field order)
+    w.zero_pad_to_byte()
+    w.u(1, 0)  # not all_default
+    w.u(2, 0)  # type = regular
+    w.u(1, 1)  # is_modular
+    w.u64(0)  # flags
+    w.u(1, 0)  # do_ycbcr (xyb_encoded false)
+    w.u(2, 0)  # log_upsampling
+    # (no extra channels -> no ec upsampling)
+    w.u(2, opt.group_size_shift - 7)  # group_size_shift
+    w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes = 1
+    w.u(1, 0)  # have_crop = false
+    # blending (regular frame): mode=replace; full frame -> no src_ref_frame
+    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)
+    # no animation
+    w.u(1, 1)  # is_last
+    # save_before_ct not read (is_last && blend replace && full)
+    w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len = 0
+    w.u(1, 1)  # restoration all_default
+    # NOTE: the reference decoder reads gab_custom and epf bits even in the
+    # all-default case (j40.h:5338-5366); emit matching zero bits
+    w.u(1, 0)  # gab_custom = false
+    w.u(1, 0)  # epf_sharp_custom?? -- modular: skipped; epf_weight_custom
+    w.u(1, 0)  # epf_sigma_custom
+    w.f16(1.0)  # epf sigma_for_modular (modular frames)
+    # restoration extensions are NOT read when restoration_all_default is set
+    w.u64(0)  # extensions (frame header)
+
+    group_size = 1 << opt.group_size_shift
+    gcolumns = ceil_div(wd, group_size)
+    grows = ceil_div(h, group_size)
+    num_groups = gcolumns * grows
+    gg_size = group_size * 8
+    ggcolumns = ceil_div(wd, gg_size)
+    ggrows = ceil_div(h, gg_size)
+    num_lf_groups = ggcolumns * ggrows
+
+    channels = [image[:, :, c].astype(np.int32) for c in range(nc)]
+
+    if num_groups == 1:
+        # single-section layout
+        sw = BitWriter()
+        _lf_global_single(sw, channels, opt)
+        section = sw.finish()
+        w.u(1, 0)  # not permuted
+        w.zero_pad_to_byte()
+        w.u32(TOC_U32, len(section))
+        w.zero_pad_to_byte()
+        w.out.extend(section)
+        return w.finish()
+
+    # multi-group layout: LfGlobal + LF groups (empty) + HfGlobal(empty) + groups
+    sections: list[bytes] = []
+    sw = BitWriter()
+    _lf_global_multi(sw, channels, opt)
+    sections.append(sw.finish())
+    for _ in range(num_lf_groups):
+        sections.append(b"")  # no shift>=3 channels -> empty LF group sections
+    sections.append(b"")  # HfGlobal: must be empty for modular frames
+    for gidx in range(num_groups):
+        row, col = divmod(gidx, gcolumns)
+        x0 = col * group_size
+        y0 = row * group_size
+        gw_ = min(wd - x0, group_size)
+        gh_ = min(h - y0, group_size)
+        gsw = BitWriter()
+        _write_modular_stream(
+            gsw,
+            [c[y0 : y0 + gh_, x0 : x0 + gw_] for c in channels],
+            opt.predictor,
+            opt.use_prefix,
+        )
+        sections.append(gsw.finish())
+
+    w.u(1, 0)  # not permuted
+    w.zero_pad_to_byte()
+    for s in sections:
+        w.u32(TOC_U32, len(s))
+    w.zero_pad_to_byte()
+    for s in sections:
+        w.out.extend(s)
+    return w.finish()
+
+
+def _lf_global_single(w: BitWriter, channels, opt: EncodeOptions) -> None:
+    """LfGlobal for the single-group case: all channels decoded globally."""
+    w.u(1, 1)  # LfChannelDequantization all_default
+    w.u(1, 0)  # no global tree
+    _write_modular_stream(w, channels, opt.predictor, opt.use_prefix)
+
+
+def _lf_global_multi(w: BitWriter, channels, opt: EncodeOptions) -> None:
+    """LfGlobal for multi-group: gmodular header only (no global channels
+    since there are no meta channels)."""
+    w.u(1, 1)  # LfChannelDequantization all_default
+    w.u(1, 0)  # no global tree
+    # gmodular header: local tree; channels are decoded in the group sections
+    w.u(1, 0)  # use_global_tree = false
+    w.u(1, 1)  # default WP
+    w.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # nb_transforms = 0
+    _write_single_leaf_tree(w, opt.predictor, opt.use_prefix)
+    # the leaf code spec is always read at the end of the tree, even though no
+    # channel is decoded globally here (read_tree -> read_code_spec(ctx_id))
+    EntropyEncoder(1, use_prefix=opt.use_prefix).write(w)

@@ -1,0 +1,93 @@
+"""End-to-end differential tests: our encoder's files decoded by BOTH our
+decoder and the reference dj40 binary must agree bit-exactly
+(BASELINE config 1 gate; see SURVEY.md §4)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from j40_tpu.decode import decode_file
+from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+
+
+def _dj40_decode(dj40, jxl_bytes, tmp_path):
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(jxl_bytes)
+    r = subprocess.run(
+        [str(dj40), str(jxl), str(png)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, f"dj40 failed: {r.stderr} {r.stdout}"
+    return np.asarray(Image.open(png).convert("RGBA"))
+
+
+def _roundtrip(dj40, tmp_path, img, opt=None):
+    cs = encode_modular(img, options=opt)
+    ref = _dj40_decode(dj40, cs, tmp_path)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref, err_msg="mismatch vs dj40 oracle")
+    np.testing.assert_array_equal(rgba[:, :, :3], img, err_msg="not lossless")
+    assert (rgba[:, :, 3] == 255).all()
+
+
+@pytest.fixture(scope="module")
+def smooth_img():
+    rng = np.random.default_rng(42)
+    return (np.cumsum(rng.integers(-3, 4, size=(48, 56, 3)), axis=1) % 256).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_single_group(dj40, tmp_path, smooth_img, use_prefix):
+    _roundtrip(dj40, tmp_path, smooth_img, EncodeOptions(use_prefix=use_prefix))
+
+
+@pytest.mark.parametrize("predictor", [0, 1, 2, 3, 4, 5])
+def test_predictors(dj40, tmp_path, smooth_img, predictor):
+    _roundtrip(dj40, tmp_path, smooth_img, EncodeOptions(predictor=predictor))
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_multi_group(dj40, tmp_path, use_prefix):
+    rng = np.random.default_rng(7)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(300, 600, 3)), axis=0), axis=1)
+        % 256
+    ).astype(np.uint8)
+    _roundtrip(dj40, tmp_path, img, EncodeOptions(use_prefix=use_prefix))
+
+
+def test_odd_dimensions(dj40, tmp_path):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    _roundtrip(dj40, tmp_path, img)
+
+
+def test_noise_image(dj40, tmp_path):
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    _roundtrip(dj40, tmp_path, img, EncodeOptions(use_prefix=False))
+
+
+def test_flat_image(dj40, tmp_path):
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    _roundtrip(dj40, tmp_path, img)
+
+
+def test_gradient_image(dj40, tmp_path):
+    y = np.arange(128, dtype=np.int32)[:, None, None]
+    x = np.arange(96, dtype=np.int32)[None, :, None]
+    img = np.broadcast_to((y + 2 * x) % 256, (128, 96, 3)).astype(np.uint8).copy()
+    _roundtrip(dj40, tmp_path, img)
+
+
+def test_small_group_size(dj40, tmp_path):
+    rng = np.random.default_rng(9)
+    img = (np.cumsum(rng.integers(-2, 3, size=(200, 260, 3)), axis=1) % 256).astype(
+        np.uint8
+    )
+    # group_size_shift 7 -> 128px groups: 3x2 grid
+    _roundtrip(dj40, tmp_path, img, EncodeOptions(group_size_shift=7))
