@@ -1,0 +1,260 @@
+"""Full-featured modular encoder: custom MA trees, WP, RCT, Squeeze,
+multi-group with LF-group section routing.
+
+The channel bookkeeping intentionally reuses the decoder's own helpers
+(_squeeze_channel_effects, shift-based section routing) so encode and decode
+stay structurally in lockstep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..mathutil import ceil_div
+from ..modular.decode import (
+    Channel,
+    ModularImage,
+    TR_RCT,
+    TR_SQUEEZE,
+    Transform,
+    _squeeze_channel_effects,
+    default_squeeze_transforms,
+)
+from ..modular.tree import TreeNode
+from ..modular.wp import WPParams
+from .bitwriter import BitWriter
+from .encoder import TOC_U32
+from .entropy import EntropyEncoder
+from .headers import write_image_metadata, write_signature
+from .modular_enc import (
+    assign_leaf_contexts,
+    encode_channel_tokens,
+    forward_rct,
+    forward_squeeze_h,
+    forward_squeeze_v,
+    leaf,
+    write_tree,
+)
+
+U32_BEGIN_C = ((0, 3), (8, 6), (72, 10), (1096, 13))
+
+
+@dataclass
+class AdvancedOptions:
+    use_prefix: bool = True
+    group_size_shift: int = 8
+    tree: list[TreeNode] | None = None  # default: single leaf gradient
+    rct_type: int | None = None  # e.g. 6 for YCgCo
+    squeeze: bool = False  # implicit (default-parameter) squeeze
+    wp_params: WPParams = field(default_factory=WPParams)
+
+
+def _build_modular(image: np.ndarray, opt: AdvancedOptions) -> ModularImage:
+    """Forward-transform the image into the channel list the decoder will
+    reconstruct from."""
+    h, w, nc = image.shape
+    m = ModularImage(channels=[Channel(w, h) for _ in range(nc)])
+    datas = [image[:, :, c].astype(np.int32) for c in range(nc)]
+    for ch, d in zip(m.channels, datas):
+        ch.data = d
+
+    if opt.rct_type is not None:
+        assert nc == 3
+        out = forward_rct([c.data for c in m.channels], opt.rct_type)
+        for ch, d in zip(m.channels, out):
+            ch.data = d
+        m.transforms.append(Transform(TR_RCT, begin_c=0, rct_type=opt.rct_type))
+
+    if opt.squeeze:
+        sqs = default_squeeze_transforms(m)
+        # bookkeeping and data transform must interleave per step: each step's
+        # forward input is the previous step's down-channel output
+        for tr in sqs:
+            _squeeze_channel_effects(m, [tr])  # records tr.offset, shapes, shifts
+            _apply_forward_squeeze(m, [tr])
+        m.transforms.extend(sqs)
+        # written in the header as a single implicit (num_sq=0) squeeze entry
+    return m
+
+
+def _apply_forward_squeeze(m: ModularImage, sqs) -> None:
+    """Fill channel data for the post-squeeze layout.
+
+    _squeeze_channel_effects already reshaped the channel list; we re-run the
+    same walk, transforming data as we go.  Channel objects still hold the
+    ORIGINAL full-resolution data in the slots that were squeezed (shapes were
+    mutated but .data untouched), so process in forward order.
+    """
+    for tr in sqs:
+        for k in range(tr.num_c):
+            c = m.channels[tr.begin_c + k]
+            rc = m.channels[tr.offset + k]
+            full = c.data
+            assert full is not None
+            if tr.horizontal:
+                down, res = forward_squeeze_h(full)
+            else:
+                down, res = forward_squeeze_v(full)
+            assert down.shape == (c.height, c.width), (down.shape, c.height, c.width)
+            assert res.shape == (rc.height, rc.width)
+            c.data = down
+            rc.data = res
+
+
+def _write_header_and_streams(
+    image: np.ndarray, bpp: int, opt: AdvancedOptions
+) -> bytes:
+    h, wd, nc = image.shape
+    assert nc == 3
+    m = _build_modular(image, opt)
+
+    tree = opt.tree or [leaf(5)]
+    num_ctx = assign_leaf_contexts(tree)
+
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False)
+    w.zero_pad_to_byte()
+    _write_frame_header(w, opt)
+
+    group_size = 1 << opt.group_size_shift
+    gcolumns = ceil_div(wd, group_size)
+    grows = ceil_div(h, group_size)
+    num_groups = gcolumns * grows
+    gg_size = group_size * 8
+    ggcolumns = ceil_div(wd, gg_size)
+    ggrows = ceil_div(h, gg_size)
+    num_lf_groups = ggcolumns * ggrows
+    single = num_groups == 1
+
+    def write_gmodular_header(sw: BitWriter) -> None:
+        sw.u(1, 0)  # use_global_tree = false (tree is local to gmodular)
+        sw.u(1, 1)  # default WP — hmm, custom WP params not emitted yet
+        ntr = len(m.transforms) - (len([t for t in m.transforms if t.id == TR_SQUEEZE]) or 0)
+        sq_present = any(t.id == TR_SQUEEZE for t in m.transforms)
+        nb_transforms = ntr + (1 if sq_present else 0)
+        sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), nb_transforms)
+        for t in m.transforms:
+            if t.id == TR_RCT:
+                sw.u(2, TR_RCT)
+                sw.u32(U32_BEGIN_C, t.begin_c)
+                sw.u32(((6, 0), (0, 2), (2, 4), (10, 6)), t.rct_type)
+        if sq_present:
+            sw.u(2, TR_SQUEEZE)
+            sw.u32(((0, 0), (1, 4), (9, 6), (41, 8)), 0)  # num_sq=0: implicit
+        write_tree(sw, tree, opt.use_prefix)
+        # leaf code spec + globally decoded channel tokens
+        genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix)
+        n_global = m.num_channels if single else m.nb_meta_channels
+        for ci in range(n_global):
+            for ctx, tok in encode_channel_tokens(m, ci, tree, opt.wp_params, 0):
+                genc.add(ctx, tok)
+        genc.write(sw)
+
+    # LfGlobal section
+    lf_global = BitWriter()
+    lf_global.u(1, 1)  # LfChannelDequantization all_default
+    lf_global.u(1, 0)  # no global tree
+    write_gmodular_header(lf_global)
+
+    if single:
+        section = lf_global.finish()
+        w.u(1, 0)  # not permuted
+        w.zero_pad_to_byte()
+        w.u32(TOC_U32, len(section))
+        w.zero_pad_to_byte()
+        w.out.extend(section)
+        return w.finish()
+
+    # multi-group: route channels by shift
+    n_global = m.nb_meta_channels
+    sections: list[bytes] = [lf_global.finish()]
+    NUM_DCT_PARAMS = 17
+
+    def group_stream(region, minshift, maxshift, sidx) -> bytes:
+        gx, gy, gw_, gh_ = region
+        picks = []
+        for i in range(n_global, m.num_channels):
+            gc = m.channels[i]
+            mm = min(gc.hshift, gc.vshift)
+            if not (minshift <= mm < maxshift):
+                continue
+            x0 = gx >> gc.hshift
+            y0 = gy >> gc.vshift
+            cw = min(ceil_div(gw_, 1 << gc.hshift), gc.width - x0)
+            chh = min(ceil_div(gh_, 1 << gc.vshift), gc.height - y0)
+            if cw <= 0 or chh <= 0:
+                continue
+            picks.append((i, x0, y0, cw, chh))
+        if not picks:
+            return b""
+        sub = ModularImage(
+            channels=[
+                Channel(cw, chh, m.channels[i].hshift, m.channels[i].vshift)
+                for (i, _, _, cw, chh) in picks
+            ]
+        )
+        for (i, x0, y0, cw, chh), sc in zip(picks, sub.channels):
+            sc.data = m.channels[i].data[y0 : y0 + chh, x0 : x0 + cw]
+        sw = BitWriter()
+        sw.u(1, 0)  # use_global_tree = false
+        sw.u(1, 1)  # default WP
+        sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms in groups
+        write_tree(sw, tree, opt.use_prefix)
+        genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix)
+        for ci in range(sub.num_channels):
+            for ctx, tok in encode_channel_tokens(sub, ci, tree, opt.wp_params, sidx):
+                genc.add(ctx, tok)
+        genc.write(sw)
+        return sw.finish()
+
+    for ggidx in range(num_lf_groups):
+        row, col = divmod(ggidx, ggcolumns)
+        x0, y0 = col * gg_size, row * gg_size
+        region = (x0, y0, min(wd - x0, gg_size), min(h - y0, gg_size))
+        sections.append(group_stream(region, 3, 10000, 1 + num_lf_groups + ggidx))
+    sections.append(b"")  # HfGlobal empty for modular
+    for gidx in range(num_groups):
+        row, col = divmod(gidx, gcolumns)
+        x0, y0 = col * group_size, row * group_size
+        region = (x0, y0, min(wd - x0, group_size), min(h - y0, group_size))
+        sidx = 1 + 3 * num_lf_groups + NUM_DCT_PARAMS + gidx
+        sections.append(group_stream(region, 0, 3, sidx))
+
+    w.u(1, 0)  # not permuted
+    w.zero_pad_to_byte()
+    for s in sections:
+        w.u32(TOC_U32, len(s))
+    w.zero_pad_to_byte()
+    for s in sections:
+        w.out.extend(s)
+    return w.finish()
+
+
+def _write_frame_header(w: BitWriter, opt: AdvancedOptions) -> None:
+    w.u(1, 0)  # not all_default
+    w.u(2, 0)  # regular
+    w.u(1, 1)  # is_modular
+    w.u64(0)  # flags
+    w.u(1, 0)  # do_ycbcr
+    w.u(2, 0)  # log_upsampling
+    w.u(2, opt.group_size_shift - 7)
+    w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
+    w.u(1, 0)  # have_crop
+    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
+    w.u(1, 1)  # is_last
+    w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
+    w.u(1, 1)  # restoration all_default
+    w.u(1, 0)  # (reference quirk) gab_custom
+    w.u(1, 0)  # epf_weight_custom
+    w.u(1, 0)  # epf_sigma_custom
+    w.f16(1.0)  # epf sigma_for_modular
+    w.u64(0)  # frame extensions
+
+
+def encode_modular_advanced(
+    image: np.ndarray, bpp: int = 8, options: AdvancedOptions | None = None
+) -> bytes:
+    return _write_header_and_streams(image, bpp, options or AdvancedOptions())
