@@ -77,10 +77,11 @@ class Decoder:
         state = FrameState(im, f, self.limits)
 
         if toc.single_size:
-            # everything decoded inline from the main reader
+            # everything decoded inline from the main reader (j40.h:8194-8200)
             state.lf_global(r)
             if not f.is_modular:
                 state.hf_global(r)
+            state.lf_group(r, 0)
             for pass_ in range(f.num_passes):
                 state.pass_group(r, pass_, 0)
             r.zero_pad_to_byte()

@@ -323,8 +323,14 @@ class EntropyEncoder:
         self.events.append((ctx, value))
 
     def write(self, w: BitWriter) -> None:
+        """Emit spec header followed immediately by the token stream."""
+        self.write_spec(w)
+        self.write_tokens(w)
+
+    def _tokenize(self):
+        if hasattr(self, "_tokenized"):
+            return
         cfg = self.config
-        # tokenize
         tokenized = []  # (cluster, token, midbits, mid)
         hists = [dict() for _ in range(self.num_clusters)]
         for ctx, value in self.events:
@@ -332,6 +338,15 @@ class EntropyEncoder:
             token, midbits, mid = encode_hybrid_int(value, cfg)
             tokenized.append((cl, token, midbits, mid))
             hists[cl][token] = hists[cl].get(token, 0) + 1
+        self._tokenized = tokenized
+        self._hists = hists
+
+    def write_spec(self, w: BitWriter) -> None:
+        """Emit the code-spec header only (tokens may live in a different
+        section, e.g. the HF coefficient spec in HfGlobal)."""
+        cfg = self.config
+        self._tokenize()
+        tokenized, hists = self._tokenized, self._hists
 
         w.u(1, 0)  # lz77_enabled = false
         # cluster map (nothing to write when num_dist == 1)
@@ -369,12 +384,7 @@ class EntropyEncoder:
                         max_len=0, by_len=[],
                         single_symbol=next((s for s, x in enumerate(lengths) if x), 0))
                 codes.append(prefix_codewords(pc) if pc.single_symbol is None else None)
-            for cl, token, midbits, mid in tokenized:
-                cw = codes[cl]
-                if cw is not None:
-                    ln, pat = cw[token]
-                    w.u(ln, pat)
-                w.u(midbits, mid)
+            self._codes = codes
         else:
             log_alpha_size = 8
             w.u(2, log_alpha_size - 5)
@@ -391,6 +401,23 @@ class EntropyEncoder:
                 write_ans_distribution(w, D)
                 Ds.append(D)
                 encoders.append(AnsEncoder(D, log_alpha_size))
+            self._Ds = Ds
+            self._ans_encoders = encoders
+
+    def write_tokens(self, w: BitWriter) -> None:
+        tokenized = self._tokenized
+        if self.use_prefix:
+            codes = self._codes
+            for cl, token, midbits, mid in tokenized:
+                cw = codes[cl]
+                if cw is not None:
+                    ln, pat = cw[token]
+                    w.u(ln, pat)
+                w.u(midbits, mid)
+        else:
+            log_alpha_size = 8
+            Ds = self._Ds
+            encoders = self._ans_encoders
             # ANS-encode the full symbol sequence in reverse using per-cluster
             # tables but one shared state
             words: list[int] = []

@@ -1,0 +1,411 @@
+"""VarDCT-mode JPEG XL encoder (lossy, 8x8 DCT blocks).
+
+Forward path: sRGB → linear → XYB → per-block DCT → quantize with the library
+dequant matrices → HF coefficient streams with the spec's context modeling.
+Defaults mirror the decoder's (default block context map, natural orders,
+single pass, one HF preset).  LF smoothing is bypassed via the
+skip_adapt_lf_smooth frame flag so quantization is exactly invertible modulo
+rounding.  Primary consumers: the differential test harness (dj40 PSNR
+comparison) and the benchmark input generator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..headers.image import OPSIN_BIAS, OPSIN_INV_MAT, QUANT_BIAS, QUANT_BIAS_NUM
+from ..mathutil import ceil_div, pack_signed
+from ..vardct.dct import forward_matrix
+from ..vardct.dequant import load_dq_matrix
+from ..vardct.dequant import DqMatrix
+from ..vardct.order import natural_order
+from ..vardct.tables import (
+    DEFAULT_BLKCTX,
+    QM_SCALE,
+    TWICE_COEFF_FREQ_CTX,
+    TWICE_COEFF_NNZ_CTX,
+)
+from ..io.bits import ceil_lg
+from .bitwriter import BitWriter
+from .encoder import TOC_U32
+from .entropy import EntropyEncoder
+from .headers import write_image_metadata, write_signature
+
+YXB2XYB = (1, 0, 2)
+
+
+def srgb_to_xyb(rgb: np.ndarray, intensity_target: float = 255.0) -> np.ndarray:
+    """(h, w, 3) uint8 sRGB -> (3, h, w) float32 XYB, inverting the decoder's
+    XYB -> sRGB path (j40.h:7208-7241)."""
+    srgb = rgb.astype(np.float64) / 255.0
+    linear = np.where(
+        srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4
+    )
+    inv = np.array(OPSIN_INV_MAT, dtype=np.float64)
+    fwd = np.linalg.inv(inv)
+    mixed = np.einsum("ij,hwj->hwi", fwd, linear)  # "scaled-cubed" domain
+    itscale = 255.0 / intensity_target
+    bias = np.array([OPSIN_BIAS] * 3)
+    cbrt_bias = np.cbrt(bias)
+    p = np.cbrt(np.maximum(mixed / itscale - bias, 0.0)) + cbrt_bias
+    X = (p[:, :, 0] - p[:, :, 1]) / 2.0
+    Y = (p[:, :, 0] + p[:, :, 1]) / 2.0
+    B = p[:, :, 2]
+    return np.stack([X, Y, B]).astype(np.float32)
+
+
+@dataclass
+class VarDCTOptions:
+    global_scale: int = 32768
+    quant_lf: int = 64
+    hf_mul: int = 8
+    use_prefix: bool = True
+
+
+def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
+    """Encode (h, w, 3) uint8 sRGB image as a single-group VarDCT frame."""
+    opt = options or VarDCTOptions()
+    h, wd, _ = image.shape
+    assert h <= 256 and wd <= 256, "multi-group VarDCT encode TODO"
+    h8, w8 = ceil_div(h, 8), ceil_div(wd, 8)
+
+    # pad to multiple of 8 by edge replication
+    pad = np.pad(image, ((0, h8 * 8 - h), (0, w8 * 8 - wd), (0, 0)), mode="edge")
+    xyb = srgb_to_xyb(pad)  # (3, H, W)
+
+    # forward DCT per 8x8 block: C = F8 @ block @ F8^T / 64
+    F8 = forward_matrix(8).astype(np.float64)
+    blocks = xyb.reshape(3, h8, 8, w8, 8).transpose(0, 1, 3, 2, 4)  # (3,h8,w8,8,8)
+    C = np.einsum("ij,chwjk,lk->chwil", F8, blocks.astype(np.float64), F8) / 64.0
+    # canonical layout for square blocks is transposed: W[j,i] = C[i,j]
+    Wc = C.transpose(0, 1, 2, 4, 3).reshape(3, h8, w8, 64)
+
+    m_lf_scaled = (1.0 / 4096.0, 1.0 / 512.0, 1.0 / 256.0)
+    mult_lf = [
+        m_lf_scaled[c] / (opt.global_scale * opt.quant_lf) * 65536 for c in range(3)
+    ]
+    dq_w = load_dq_matrix(0, DqMatrix())  # library DCT8x8 weights (64, 3)
+    mult1 = 65536.0 / opt.global_scale / opt.hf_mul
+    mults = (mult1 * QM_SCALE[3], mult1, mult1 * QM_SCALE[2])  # x_qm_scale=3, b_qm=2
+
+    # --- LF (DC) quantization, with B-channel CfL (kb_lf = base_corr_b = 1)
+    dc = Wc[:, :, :, 0]  # (3, h8, w8)
+    lf_int = np.zeros((3, h8, w8), dtype=np.int64)
+    lf_deq = np.zeros((3, h8, w8))
+    lf_int[1] = np.round(dc[1] / mult_lf[1])
+    lf_deq[1] = lf_int[1] * mult_lf[1]
+    lf_int[0] = np.round(dc[0] / mult_lf[0])  # kx_lf = 0
+    lf_deq[0] = lf_int[0] * mult_lf[0]
+    lf_int[2] = np.round((dc[2] - lf_deq[1]) / mult_lf[2])  # kb_lf = 1
+    lf_deq[2] = lf_int[2] * mult_lf[2]
+
+    # --- HF quantization with decoder-exact Y dequant for B CfL
+    qbias = np.array(QUANT_BIAS)
+    hf_int = np.zeros((3, h8, w8, 64), dtype=np.int64)
+
+    def dequant(q, c):
+        qf = q.astype(np.float64)
+        small = np.abs(qf) <= 1.0
+        adj = np.where(small, qf * qbias[c], qf - QUANT_BIAS_NUM / np.where(qf == 0, 1, qf))
+        return adj * (mults[c] / dq_w[:, c])
+
+    hf_int[1] = np.round(Wc[1] * dq_w[:, 1] / mults[1])
+    y_deq = dequant(hf_int[1], 1)
+    hf_int[0] = np.round(Wc[0] * dq_w[:, 0] / mults[0])  # kx_hf = 0
+    hf_int[2] = np.round((Wc[2] - y_deq) * dq_w[:, 2] / mults[2])  # kb_hf = 1
+    # LLF position is not HF-coded
+    hf_int[:, :, :, 0] = 0
+
+    # --- assemble bitstream
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True)
+
+    # frame header (VarDCT)
+    w.zero_pad_to_byte()
+    w.u(1, 0)  # not all_default
+    w.u(2, 0)  # regular
+    w.u(1, 0)  # is_modular = false
+    w.u64(128)  # flags: skip_adapt_lf_smooth
+    # xyb_encoded -> no do_ycbcr bit
+    w.u(2, 0)  # log_upsampling
+    w.u(3, 3)  # x_qm_scale
+    w.u(3, 2)  # b_qm_scale
+    w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
+    w.u(1, 0)  # have_crop
+    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
+    w.u(1, 1)  # is_last
+    w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
+    w.u(1, 1)  # restoration all_default
+    w.u(1, 0)  # (quirk) gab_custom
+    w.u(1, 0)  # (quirk) epf_sharp_custom (non-modular)
+    w.u(1, 0)  # epf_weight_custom
+    w.u(1, 0)  # epf_sigma_custom
+    w.u64(0)  # frame extensions
+
+    # single-section body; the coefficient code SPEC is part of HfGlobal while
+    # its TOKENS are in the pass group, so collect tokens first
+    coeff_enc = _collect_pass_group_tokens(opt, hf_int, h8, w8)
+    sw = BitWriter()
+    _write_lf_global(sw, opt)
+    _write_hf_global(sw, opt, num_groups=1, coeff_enc=coeff_enc)
+    _write_lf_group(sw, opt, lf_int, h8, w8)
+    # pass group: preset selector is u(ceil_lg(1)) = 0 bits, then the tokens
+    coeff_enc.write_tokens(sw)
+    section = sw.finish()
+
+    w.u(1, 0)  # TOC not permuted
+    w.zero_pad_to_byte()
+    w.u32(TOC_U32, len(section))
+    w.zero_pad_to_byte()
+    w.out.extend(section)
+    return w.finish()
+
+
+def _write_lf_global(w: BitWriter, opt: VarDCTOptions) -> None:
+    w.u(1, 1)  # LfChannelDequantization all_default
+    w.u32(((1, 11), (2049, 11), (4097, 12), (8193, 16)), opt.global_scale)
+    w.u32(((16, 0), (1, 5), (1, 8), (1, 16)), opt.quant_lf)
+    w.u(1, 1)  # default HF block context
+    w.u(1, 1)  # LfChannelCorrelation all_default
+    # gmodular: no channels (no extra channels, vardct) -> global tree bit only
+    w.u(1, 0)  # no global tree
+
+
+def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
+                     coeff_enc: EntropyEncoder) -> None:
+    w.u(1, 1)  # default dq matrices
+    w.u(ceil_lg(num_groups), 0)  # num_hf_presets - 1 = 0
+    # HfPass for pass 0: used_orders = 0 (all natural)
+    w.u(2, 2)  # u32 selector 2 -> value 0, 0 bits
+    # coefficient code spec: 495*15*1 contexts, single cluster
+    coeff_enc.write_spec(w)
+
+
+def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
+                    dctsels=None) -> None:
+    """dctsels: per-varblock DctSelect values in raster-corner order
+    (defaults to all DCT8x8, one per 8x8 block)."""
+    from .encoder import _write_modular_stream
+
+    w.u(2, 0)  # extra_precision = 0
+    # LfQuant modular image, channels in YXB order
+    _write_modular_stream(
+        w,
+        [lf_int[YXB2XYB[i]].astype(np.int32) for i in range(3)],
+        predictor=5,
+        use_prefix=opt.use_prefix,
+    )
+    # HF metadata
+    if dctsels is None:
+        dctsels = [0] * (h8 * w8)
+    nb_varblocks = len(dctsels)
+    w.u(ceil_lg(h8 * w8), nb_varblocks - 1)
+    w64, h64 = ceil_div(w8 * 8, 64), ceil_div(h8 * 8, 64)
+    blockinfo = np.zeros((2, nb_varblocks), dtype=np.int32)
+    blockinfo[0, :] = np.asarray(dctsels, dtype=np.int32)
+    blockinfo[1, :] = opt.hf_mul - 1
+    _write_modular_stream(
+        w,
+        [
+            np.zeros((h64, w64), dtype=np.int32),  # XFromY
+            np.zeros((h64, w64), dtype=np.int32),  # BFromY
+            blockinfo,
+            np.zeros((h8, w8), dtype=np.int32),  # Sharpness
+        ],
+        predictor=0,
+        use_prefix=opt.use_prefix,
+    )
+
+
+def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8) -> EntropyEncoder:
+    """HF coefficient tokens for one group, mirroring the decoder's context
+    chain (j40.h:6888-7005)."""
+    order = natural_order(3, 3)
+    nb_block_ctx = 15
+    # ctxoff selector: u(ceil_lg(num_hf_presets=1)) = 0 bits
+    enc = EntropyEncoder(495 * nb_block_ctx, use_prefix=opt.use_prefix)
+    nonzeros = np.zeros((h8 * w8, 3), dtype=np.int32)
+    for y8 in range(h8):
+        for x8 in range(w8):
+            nzpos = y8 * w8 + x8
+            bctx0 = 0  # order_idx=0, qfidx=0, lfidx=0
+            bctxc = 13
+            for c_yxb in range(3):
+                c = YXB2XYB[c_yxb]
+                q = hf_int[c, y8, x8]
+                bctx = DEFAULT_BLKCTX[bctx0 + bctxc * c_yxb]
+                nz_true = int(np.count_nonzero(q[[order[i] for i in range(1, 64)]]))
+                if x8 > 0:
+                    if y8 > 0:
+                        pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - w8][c] + 1) >> 1
+                    else:
+                        pred = nonzeros[nzpos - 1][c]
+                else:
+                    pred = nonzeros[nzpos - w8][c] if y8 > 0 else 32
+                nzctx = bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
+                enc.add(nzctx, nz_true)
+                nonzeros[nzpos][c] = nz_true  # qnz == nz for 8x8
+                cctx = 458 * bctx + 37 * nb_block_ctx
+                prev = 1 if nz_true <= 4 else 0  # 1 << (log_size - 4) = 4
+                nz = nz_true
+                i = 1
+                while nz > 0 and i < 64:
+                    ctx = (
+                        cctx
+                        + TWICE_COEFF_NNZ_CTX[nz]
+                        + TWICE_COEFF_FREQ_CTX[i]
+                        + prev
+                    )
+                    v = int(q[order[i]])
+                    enc.add(ctx, pack_signed(v))
+                    prev = 1 if v != 0 else 0
+                    nz -= prev
+                    i += 1
+    return enc
+
+
+# -- raw-coefficient synthesis (differential test vectors) -------------------
+
+
+def synthesize_vardct(
+    width: int,
+    height: int,
+    dctsel_grid: np.ndarray,
+    lf_int: np.ndarray,
+    hf_tokens_per_vb: list[np.ndarray],
+    options: VarDCTOptions | None = None,
+) -> bytes:
+    """Build a VarDCT bitstream with explicitly given quantized data.
+
+    dctsel_grid: (h8, w8) int array; the value at each varblock's top-left
+    corner chooses its DctSelect (other covered cells ignored).  Varblocks are
+    discovered in raster order exactly like the decoder (j40.h:6636-6687).
+    lf_int: (3, h8, w8) quantized LF in XYB order.
+    hf_tokens_per_vb: per-varblock flat arrays of quantized coefficients in
+    canonical layout (LLF region values ignored).
+
+    The resulting file is valid regardless of the coefficient values, which
+    makes this ideal for decoder-vs-decoder differential testing across all 27
+    DctSelect types.
+    """
+    from ..vardct.tables import DCT_SELECT
+
+    opt = options or VarDCTOptions()
+    h8, w8 = ceil_div(height, 8), ceil_div(width, 8)
+    assert dctsel_grid.shape == (h8, w8)
+
+    # discover varblocks in raster order
+    covered = np.zeros((h8, w8), dtype=bool)
+    placements = []  # (y0, x0, dctsel)
+    for y0 in range(h8):
+        for x0 in range(w8):
+            if covered[y0, x0]:
+                continue
+            dctsel = int(dctsel_grid[y0, x0])
+            log_vh, log_vw, _, _ = DCT_SELECT[dctsel]
+            vh8, vw8 = 1 << (log_vh - 3), 1 << (log_vw - 3)
+            assert y0 + vh8 <= h8 and x0 + vw8 <= w8, "varblock out of bounds"
+            covered[y0 : y0 + vh8, x0 : x0 + vw8] = True
+            placements.append((y0, x0, dctsel))
+    assert len(placements) == len(hf_tokens_per_vb)
+
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(w, width, height, bpp=8, xyb_encoded=True)
+    w.zero_pad_to_byte()
+    _write_vardct_frame_header(w)
+
+    coeff_enc = _collect_tokens_generic(opt, placements, hf_tokens_per_vb, h8, w8)
+    sw = BitWriter()
+    _write_lf_global(sw, opt)
+    _write_hf_global(sw, opt, num_groups=1, coeff_enc=coeff_enc)
+    _write_lf_group(sw, opt, lf_int, h8, w8, dctsels=[p[2] for p in placements])
+    coeff_enc.write_tokens(sw)
+    section = sw.finish()
+
+    w.u(1, 0)
+    w.zero_pad_to_byte()
+    w.u32(TOC_U32, len(section))
+    w.zero_pad_to_byte()
+    w.out.extend(section)
+    return w.finish()
+
+
+def _write_vardct_frame_header(w: BitWriter) -> None:
+    w.u(1, 0)  # not all_default
+    w.u(2, 0)  # regular
+    w.u(1, 0)  # is_modular = false
+    w.u64(128)  # flags: skip_adapt_lf_smooth
+    w.u(2, 0)  # log_upsampling
+    w.u(3, 3)  # x_qm_scale
+    w.u(3, 2)  # b_qm_scale
+    w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
+    w.u(1, 0)  # have_crop
+    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
+    w.u(1, 1)  # is_last
+    w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
+    w.u(1, 1)  # restoration all_default
+    w.u(1, 0)  # (quirk) gab_custom
+    w.u(1, 0)  # (quirk) epf_sharp_custom
+    w.u(1, 0)  # epf_weight_custom
+    w.u(1, 0)  # epf_sigma_custom
+    w.u64(0)  # frame extensions
+
+
+def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8) -> EntropyEncoder:
+    """HF token collection for arbitrary varblock layouts (decoder mirror of
+    j40.h:6888-7005 with default contexts)."""
+    from ..vardct.tables import DCT_SELECT, LOG_ORDER_SIZE
+
+    nb_block_ctx = 15
+    enc = EntropyEncoder(495 * nb_block_ctx, use_prefix=opt.use_prefix)
+    nonzeros = np.zeros((h8 * w8, 3), dtype=np.int32)
+    # corner map in raster order equals placement order
+    for (y8, x8, dctsel), q_all in zip(placements, hf_tokens):
+        log_rows, log_columns, _, order_idx = DCT_SELECT[dctsel]
+        log_size = log_rows + log_columns
+        order = natural_order(*LOG_ORDER_SIZE[order_idx])
+        nzpos = y8 * w8 + x8
+        bctx0 = order_idx  # (order_idx*(nb_qf_thr+1)+qfidx)*lfidx_size+lfidx
+        bctxc = 13
+        for c_yxb in range(3):
+            c = YXB2XYB[c_yxb]
+            q = np.asarray(q_all[c], dtype=np.int64)
+            assert q.shape[0] == 1 << log_size
+            bctx = DEFAULT_BLKCTX[bctx0 + bctxc * c_yxb]
+            llf = 1 << (log_size - 6)
+            nz_true = int(np.count_nonzero(q[[order[i] for i in range(llf, 1 << log_size)]]))
+            assert nz_true <= 63 << (log_size - 6)
+            if x8 > 0:
+                if y8 > 0:
+                    pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - w8][c] + 1) >> 1
+                else:
+                    pred = nonzeros[nzpos - 1][c]
+            else:
+                pred = nonzeros[nzpos - w8][c] if y8 > 0 else 32
+            nzctx = bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
+            enc.add(nzctx, nz_true)
+            qnz = ceil_div(nz_true, llf)
+            for i in range(1 << (log_rows - 3)):
+                for j in range(1 << (log_columns - 3)):
+                    nonzeros[nzpos + i * w8 + j][c] = qnz
+            cctx = 458 * bctx + 37 * nb_block_ctx
+            prev = 1 if nz_true <= (1 << (log_size - 4)) else 0
+            nz = nz_true
+            i = llf
+            while nz > 0 and i < (1 << log_size):
+                ctx = (
+                    cctx
+                    + TWICE_COEFF_NNZ_CTX[ceil_div(nz, llf)]
+                    + TWICE_COEFF_FREQ_CTX[i >> (log_size - 6)]
+                    + prev
+                )
+                v = int(q[order[i]])
+                enc.add(ctx, pack_signed(v))
+                prev = 1 if v != 0 else 0
+                nz -= prev
+                i += 1
+    return enc

@@ -1,0 +1,123 @@
+"""VarDCT end-to-end differential tests vs the dj40 oracle
+(reference j40.h:4545-7247; BASELINE configs 3-4 gates)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from j40_tpu.decode import decode_file
+from j40_tpu.encode.vardct_enc import (
+    VarDCTOptions,
+    encode_vardct,
+    synthesize_vardct,
+)
+from j40_tpu.vardct.tables import DCT_SELECT, NUM_DCT_SELECT
+
+
+def _dj40(dj40, cs, tmp_path):
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run([str(dj40), str(jxl), str(png)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr + r.stdout
+    return np.asarray(Image.open(png).convert("RGBA"))
+
+
+@pytest.fixture(scope="module")
+def photo():
+    rng = np.random.default_rng(77)
+    return (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(64, 80, 3)), axis=0), axis=1)
+        % 200
+        + 20
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_vardct_encode_decode_psnr(dj40, tmp_path, photo, use_prefix):
+    cs = encode_vardct(photo, VarDCTOptions(use_prefix=use_prefix))
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    # our float path may differ from the scalar reference by 1 gray level
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+    err = rgba[:, :, :3].astype(float) - photo
+    psnr = 10 * np.log10(255**2 / np.mean(err**2))
+    derr = ref[:, :, :3].astype(float) - photo
+    dpsnr = 10 * np.log10(255**2 / np.mean(derr**2))
+    assert psnr >= dpsnr - 0.05, (psnr, dpsnr)  # PSNR >= j40 gate
+    assert psnr > 28
+
+
+def _synth(dctsel, rng, reps=2):
+    log_vh, log_vw, _, _ = DCT_SELECT[dctsel]
+    vh, vw = 1 << log_vh, 1 << log_vw
+    if max(vh, vw) > 128:
+        reps = 1
+    H, W = vh * reps, vw * reps
+    h8, w8 = H // 8, W // 8
+    grid = np.full((h8, w8), dctsel, dtype=np.int32)
+    lf_int = rng.integers(-40, 40, size=(3, h8, w8))
+    hf = []
+    for _ in range(reps * reps):
+        q = rng.integers(-3, 4, size=(3, vh * vw))
+        q[rng.random((3, vh * vw)) < 0.85] = 0
+        hf.append(q)
+    return synthesize_vardct(W, H, grid, lf_int, hf), (H, W)
+
+
+@pytest.mark.parametrize("dctsel", list(range(NUM_DCT_SELECT)))
+def test_all_dct_selects_vs_dj40(dj40, tmp_path, dctsel):
+    rng = np.random.default_rng(1000 + dctsel)
+    cs, _ = _synth(dctsel, rng)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_mixed_varblock_layout(dj40, tmp_path):
+    # 32x64 image: one DCT32x32, four DCT8x16, two DCT16x8 + filler 8x8s
+    rng = np.random.default_rng(42)
+    h8, w8 = 4, 8
+    grid = np.zeros((h8, w8), dtype=np.int32)
+    grid[0, 0] = 5  # DCT32x32 covers (0..3, 0..3)
+    grid[0, 4] = 7  # DCT8x16 at (0, 4..5)
+    grid[0, 6] = 6  # DCT16x8 at (0..1, 6)
+    grid[0, 7] = 0
+    grid[1, 4] = 2  # DCT2x2
+    grid[1, 5] = 14  # AFV0
+    grid[1, 7] = 1  # Hornuss
+    grid[2, 4] = 4  # DCT16x16 covers (2..3, 4..5)
+    grid[2, 6] = 3  # DCT4x4
+    grid[2, 7] = 12  # DCT4x8
+    grid[3, 6] = 13  # DCT8x4
+    grid[3, 7] = 17  # AFV3
+    # enumerate varblocks in raster order to size hf arrays
+    covered = np.zeros((h8, w8), dtype=bool)
+    hf = []
+    for y0 in range(h8):
+        for x0 in range(w8):
+            if covered[y0, x0]:
+                continue
+            ds = int(grid[y0, x0])
+            lvh, lvw, _, _ = DCT_SELECT[ds]
+            covered[y0 : y0 + (1 << (lvh - 3)), x0 : x0 + (1 << (lvw - 3))] = True
+            size = 1 << (lvh + lvw)
+            q = rng.integers(-3, 4, size=(3, size))
+            q[rng.random((3, size)) < 0.8] = 0
+            hf.append(q)
+    lf_int = rng.integers(-40, 40, size=(3, h8, w8))
+    cs = synthesize_vardct(w8 * 8, h8 * 8, grid, lf_int, hf)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_non_multiple_of_8_dims(dj40, tmp_path, photo):
+    img = photo[:61, :77]
+    cs = encode_vardct(img)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+    assert rgba.shape == (61, 77, 4)
