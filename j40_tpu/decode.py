@@ -50,7 +50,8 @@ class Frame:
 class Decoder:
     """Decodes a JPEG XL codestream (Modular and VarDCT frames)."""
 
-    def __init__(self, data: bytes, limits: Limits = MAIN_LV5):
+    def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy"):
+        self.backend = backend
         self.container = parse_container(data)
         self.codestream = self.container.codestream
         self.limits = limits
@@ -75,6 +76,7 @@ class Decoder:
         from .frame_state import FrameState
 
         state = FrameState(im, f, self.limits)
+        state.backend = self.backend
 
         if toc.single_size:
             # everything decoded inline from the main reader (j40.h:8194-8200)
@@ -145,13 +147,13 @@ class Decoder:
         return out
 
 
-def decode_file(path_or_bytes) -> tuple[Decoder, np.ndarray]:
+def decode_file(path_or_bytes, backend: str = "numpy") -> tuple[Decoder, np.ndarray]:
     data = (
         path_or_bytes
         if isinstance(path_or_bytes, (bytes, bytearray))
         else open(path_or_bytes, "rb").read()
     )
-    dec = Decoder(bytes(data))
+    dec = Decoder(bytes(data), backend=backend)
     dec.decode_frame()
     rgba = dec.render_rgba8()
     dec.frame.rgba = rgba

@@ -162,6 +162,15 @@ class BitReader:
         if rem:
             self.u(rem)
 
+    def seek_bits(self, bitpos: int) -> None:
+        """Reposition to an absolute bit offset (native-core handoff)."""
+        self.pos = bitpos >> 3
+        self.bits = 0
+        self.nbits = 0
+        rem = bitpos & 7
+        if rem:
+            self.u(rem)
+
     def no_more_bytes(self) -> None:
         """Assert properly padded end of buffer (j40.h:2011-2016)."""
         self.zero_pad_to_byte()

@@ -66,6 +66,7 @@ class ModularImage:
     nb_meta_channels: int = 0
     dist_mult: int = 0
     use_global_tree: bool = False
+    native: object = None  # NativeStream once the native core takes over
 
     @property
     def num_channels(self) -> int:
@@ -257,12 +258,55 @@ def _tree_uses_wp(tree: list[TreeNode]) -> bool:
     return False
 
 
+NATIVE_ENV = "J40T_NATIVE"
+
+
+def _native_enabled() -> bool:
+    import os
+
+    if os.environ.get(NATIVE_ENV, "1") == "0":
+        return False
+    from ..native.bindings import get_lib
+
+    return get_lib() is not None
+
+
+def _decode_channel_native(r: BitReader, m: ModularImage, cidx: int, sidx: int) -> bool:
+    """Native fast path; returns False if unavailable."""
+    if not _native_enabled():
+        return False
+    from ..native.bindings import NativeStream, tree_to_array, wp_to_array
+
+    c = m.channels[cidx]
+    if m.native is None:
+        data = bytes(r.data)
+        m.native = NativeStream(data, r.bits_consumed, m.codespec)
+        m._tree_arr = tree_to_array(m.tree)
+        m._wp_arr = wp_to_array(m.wp_params)
+    refs = [
+        m.channels[i].data
+        for i in range(cidx - 1, -1, -1)
+        if (m.channels[i].width, m.channels[i].height,
+            m.channels[i].hshift, m.channels[i].vshift)
+        == (c.width, c.height, c.hshift, c.vshift)
+    ]
+    c.data = m.native.decode_modular_channel(
+        m._tree_arr, m._wp_arr, m.dist_mult, cidx, sidx, c.width, c.height, refs
+    )
+    # hand the bit position and ANS state back to the Python layer
+    r.seek_bits(m.native.bitpos)
+    m.code.ans.state = m.native.ans_state
+    return True
+
+
 def decode_channel(
     r: BitReader, m: ModularImage, cidx: int, sidx: int = 0
 ) -> None:
     """Decode one channel's pixels (j40.h:4127-4240)."""
     c = m.channels[cidx]
     if c.empty:
+        return
+    if _decode_channel_native(r, m, cidx, sidx):
         return
     width, height = c.width, c.height
     tree = m.tree

@@ -1,0 +1,210 @@
+"""ctypes bindings for the native host core (libj40t.so).
+
+The native core carries the hot serial loops (clustered entropy decode,
+modular prediction, HF coefficients); Python remains the orchestrator and
+correctness oracle.  If the library is missing it is built on first use; if
+that fails, callers fall back to the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from ..entropy.code import CodeSpec
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libj40t.so"
+_lib = None
+_tried = False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_DIR)], capture_output=True, check=True
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+
+    lib.j40t_stream_new.restype = ctypes.c_void_p
+    lib.j40t_stream_new.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.j40t_stream_free.argtypes = [ctypes.c_void_p]
+    lib.j40t_stream_bitpos.restype = ctypes.c_int64
+    lib.j40t_stream_bitpos.argtypes = [ctypes.c_void_p]
+    lib.j40t_stream_error.restype = ctypes.c_int32
+    lib.j40t_stream_error.argtypes = [ctypes.c_void_p]
+    lib.j40t_stream_ans_state.restype = ctypes.c_uint32
+    lib.j40t_stream_ans_state.argtypes = [ctypes.c_void_p]
+    lib.j40t_decode_symbols.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.j40t_decode_modular_channel.restype = ctypes.c_int32
+    lib.j40t_decode_modular_channel.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,   # tree
+        ctypes.POINTER(ctypes.c_int32),                   # wp params
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,   # dist_mult, cidx, sidx
+        ctypes.c_int32, ctypes.c_int32,                   # width, height
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32,  # refs
+        ctypes.POINTER(ctypes.c_int32),                   # out
+    ]
+    lib.j40t_decode_hf_group.restype = ctypes.c_int32
+    lib.j40t_decode_hf_group.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    _lib = lib
+    return _lib
+
+
+def serialize_spec(spec: CodeSpec) -> np.ndarray | None:
+    """Flatten a CodeSpec into the int32 blob parse_spec() expects.
+
+    Returns None if the spec isn't representable (shouldn't happen)."""
+    out = [
+        1 if spec.use_prefix_code else 0,
+        1 if spec.lz77_enabled else 0,
+        spec.min_symbol,
+        spec.min_length,
+    ]
+    if spec.lz_len_config is not None:
+        c = spec.lz_len_config
+        out += [c.split_exp, c.msb_in_token, c.lsb_in_token]
+    else:
+        out += [0, 0, 0]
+    out += [spec.num_dist, spec.num_clusters, spec.log_alpha_size]
+    out += list(spec.cluster_map)
+    for cl in spec.clusters:
+        out += [cl.config.split_exp, cl.config.msb_in_token, cl.config.lsb_in_token]
+        if spec.use_prefix_code:
+            pc = cl.prefix
+            if pc.single_symbol is not None:
+                alpha = pc.single_symbol + 1
+                lengths = [0] * alpha
+                lengths[pc.single_symbol] = 1
+                if alpha == 1:
+                    lengths = [1]
+            else:
+                lengths_map = {}
+                for l in range(1, pc.max_len + 1):
+                    for _, sym in pc.by_len[l].items():
+                        lengths_map[sym] = l
+                alpha = max(lengths_map) + 1
+                lengths = [lengths_map.get(s, 0) for s in range(alpha)]
+            out.append(alpha)
+            out += lengths
+        else:
+            out += list(cl.D)
+    return np.asarray(out, dtype=np.int32)
+
+
+class NativeStream:
+    """One entropy-coded stream decoded natively; wraps J40TStream."""
+
+    def __init__(self, data: bytes, bitpos: int, spec: CodeSpec):
+        lib = get_lib()
+        assert lib is not None
+        blob = serialize_spec(spec)
+        self._data = data  # keep alive
+        self._blob = blob
+        self.lib = lib
+        self.handle = lib.j40t_stream_new(
+            data,
+            len(data),
+            bitpos,
+            blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(blob),
+        )
+        if not self.handle:
+            raise RuntimeError("native stream init failed")
+
+    def __del__(self):
+        if getattr(self, "handle", None):
+            self.lib.j40t_stream_free(self.handle)
+            self.handle = None
+
+    @property
+    def bitpos(self) -> int:
+        return self.lib.j40t_stream_bitpos(self.handle)
+
+    @property
+    def error(self) -> bool:
+        return bool(self.lib.j40t_stream_error(self.handle))
+
+    @property
+    def ans_state(self) -> int:
+        return self.lib.j40t_stream_ans_state(self.handle)
+
+    def decode_modular_channel(self, tree_arr: np.ndarray, wp_arr: np.ndarray,
+                               dist_mult: int, cidx: int, sidx: int,
+                               width: int, height: int,
+                               refs: list[np.ndarray]) -> np.ndarray:
+        out = np.empty((height, width), dtype=np.int32)
+        ref_ptrs = (ctypes.c_void_p * max(1, len(refs)))()
+        for i, rarr in enumerate(refs):
+            ref_ptrs[i] = rarr.ctypes.data
+        rc = self.lib.j40t_decode_modular_channel(
+            self.handle,
+            tree_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(tree_arr) // 8,
+            wp_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dist_mult, cidx, sidx, width, height,
+            ref_ptrs, len(refs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 1:
+            from ..errors import J40Error
+
+            raise J40Error("povf")
+        if rc == 2:
+            from ..errors import J40Error
+
+            raise J40Error("trec")
+        if rc == 3:
+            from ..errors import ShortInput
+
+            raise ShortInput("native decode overrun")
+        return out
+
+
+def tree_to_array(tree) -> np.ndarray:
+    """Flatten TreeNode list to the 8-int32 wire format."""
+    arr = np.zeros((len(tree), 8), dtype=np.int32)
+    for i, n in enumerate(tree):
+        arr[i] = (n.prop, n.value, n.left, n.right, n.ctx, n.predictor,
+                  n.offset, n.multiplier)
+    return arr.ravel()
+
+
+def wp_to_array(wp) -> np.ndarray:
+    return np.asarray(
+        [wp.p1, wp.p2, *wp.p3, *wp.w], dtype=np.int32
+    )

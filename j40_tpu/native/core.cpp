@@ -1,0 +1,775 @@
+// j40_tpu native host core: hot serial decode loops (entropy, modular
+// prediction, VarDCT HF coefficients).
+//
+// The TPU handles all pixel math; this library handles the inherently
+// sequential bitstream work that dominates host time.  Semantics mirror the
+// Python oracle modules (j40_tpu.entropy / j40_tpu.modular) which are kept as
+// correctness references; both are validated against the reference dj40
+// binary (reference: j40.h bitstream/entropy/modular layers).
+//
+// C ABI, consumed via ctypes.  No global state: every call operates on
+// caller-provided buffers.  Build: make -C j40_tpu/native
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#define J40T_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+// ---------------------------------------------------------------- bit reader
+
+struct Bits {
+  const uint8_t* data;
+  int64_t size;     // bytes
+  int64_t pos;      // next byte
+  uint64_t bits;    // accumulator, LSB-first
+  int32_t nbits;
+  bool overrun;     // set when reads run past the end ("shrt")
+
+  inline void refill() {
+    while (nbits <= 56 && pos < size) {
+      bits |= (uint64_t)data[pos++] << nbits;
+      nbits += 8;
+    }
+  }
+  inline uint32_t u(int32_t n) {
+    if (n == 0) return 0;
+    if (nbits < n) {
+      refill();
+      if (nbits < n) { overrun = true; }
+    }
+    uint32_t ret = (uint32_t)(bits & (((uint64_t)1 << n) - 1));
+    bits >>= n;
+    nbits -= n;
+    if (nbits < 0) { bits = 0; nbits = 0; }
+    return ret;
+  }
+  // peek up to n bits zero-padded (for prefix codes near EOF)
+  inline uint64_t peek(int32_t n) {
+    if (nbits < n) refill();
+    return bits & (((uint64_t)1 << n) - 1);
+  }
+  inline void consume(int32_t n) {
+    if (n > nbits) { overrun = true; bits = 0; nbits = 0; return; }
+    bits >>= n;
+    nbits -= n;
+  }
+  inline int64_t bit_position() const { return pos * 8 - nbits; }
+  void seek_bits(int64_t bitpos) {
+    pos = bitpos >> 3;
+    bits = 0;
+    nbits = 0;
+    overrun = false;
+    int32_t rem = (int32_t)(bitpos & 7);
+    if (rem) u(rem);
+  }
+};
+
+// ------------------------------------------------------------- prefix codes
+
+// two-level LUT like the reference (j40.h:2030-2043), rebuilt from lengths
+struct PrefixTable {
+  int32_t fast_len = 0, max_len = 0;
+  std::vector<int32_t> table;  // entry: sym<<16 | (code>>fast_len)<<4 | len
+  int32_t single_symbol = -1;  // zero-bit code
+
+  // decode: mirrors j40__prefix_code (j40.h:2256-2273)
+  inline int32_t decode(Bits& br) const {
+    if (single_symbol >= 0) return single_symbol;
+    if (br.nbits < max_len) br.refill();
+    int32_t entry = table[br.bits & (((uint64_t)1 << fast_len) - 1)];
+    if (entry < 0 && fast_len < max_len) {
+      // overflow entries
+      uint64_t rest = (br.bits >> fast_len);
+      const int32_t* p = table.data() + (-entry);
+      for (;;) {
+        int32_t e = *p++;
+        int32_t code = (e >> 4) & 0xfff;
+        int32_t code_len = e & 15;
+        if (code == (int32_t)(rest & (((uint64_t)1 << code_len) - 1))) {
+          entry = e;
+          break;
+        }
+      }
+      int32_t code_len = (entry & 15) + fast_len;
+      br.consume(code_len);
+      return entry >> 16;
+    }
+    br.consume(entry & 15);
+    return entry >> 16;
+  }
+};
+
+static uint32_t rev_bits(uint32_t code, int32_t len) {
+  uint32_t out = 0;
+  for (int32_t i = 0; i < len; ++i) { out = (out << 1) | (code & 1); code >>= 1; }
+  return out;
+}
+
+// build from per-symbol lengths; returns false on invalid code
+static bool build_prefix(const int32_t* lengths, int32_t n, PrefixTable* out) {
+  int32_t max_len = 0, nonzero = 0, only = -1;
+  for (int32_t i = 0; i < n; ++i) {
+    if (lengths[i] > 0) { ++nonzero; only = i; if (lengths[i] > max_len) max_len = lengths[i]; }
+  }
+  if (nonzero == 0) return false;
+  if (nonzero == 1) { out->single_symbol = only; out->fast_len = out->max_len = 0; return true; }
+  if (max_len > 15) return false;
+
+  int32_t counts[16] = {0};
+  for (int32_t i = 0; i < n; ++i) if (lengths[i]) ++counts[lengths[i]];
+
+  // choose fast_len like the reference (j40.h:2186-2212)
+  int32_t fast_len = max_len <= 7 ? max_len : 7;
+  int32_t size_used = 1 << fast_len;
+  if (max_len > 7) {
+    int32_t size = 1 << fast_len;
+    for (int32_t i = fast_len + 1; i <= max_len; ++i) size += counts[i];
+    size_used = size;
+    int32_t size_limit = size * 2;
+    for (int32_t i = fast_len + 1; i <= max_len; ++i) {
+      size = size + (1 << i) - counts[i];
+      if (size <= size_limit) { size_used = size; fast_len = i; }
+    }
+  }
+  out->fast_len = fast_len;
+  out->max_len = max_len;
+  out->table.assign((size_t)size_used + 1, 0);
+
+  int32_t starts[17], overflows[17];
+  starts[1] = 0;
+  for (int32_t i = 2; i <= max_len; ++i)
+    starts[i] = starts[i - 1] + (counts[i - 1] << (max_len - (i - 1)));
+  // kraft check
+  {
+    int64_t total = 0;
+    for (int32_t i = 1; i <= max_len; ++i) total += (int64_t)counts[i] << (max_len - i);
+    if (total != (int64_t)1 << max_len) return false;
+  }
+  if (fast_len < max_len) {
+    overflows[fast_len + 1] = 1 << fast_len;
+    for (int32_t i = fast_len + 2; i <= max_len; ++i)
+      overflows[i] = overflows[i - 1] + counts[i - 1];
+  }
+
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t len = lengths[i];
+    if (!len) continue;
+    int32_t start = starts[len];
+    starts[len] += (1 << max_len) >> len;
+    uint32_t code = rev_bits((uint32_t)start >> (max_len - len), len);
+    if (len <= fast_len) {
+      for (int32_t c = (int32_t)code; c < (1 << fast_len); c += 1 << len)
+        out->table[c] = (i << 16) | len;
+    } else {
+      // exactly one code per overflow group is a LUT-covered prefix plus
+      // zeroes; point the LUT slot at its first overflow entry (j40.h:2227)
+      if ((code >> fast_len) == 0)
+        out->table[code] = -overflows[len];
+      out->table[overflows[len]++] =
+          (i << 16) | ((int32_t)(code >> fast_len) << 4) | (len - fast_len);
+    }
+  }
+  return true;
+}
+
+// ------------------------------------------------------------------- rANS
+
+struct AliasBucket { int16_t cutoff, offset, symbol; };
+
+static bool build_alias(const int16_t* D, int32_t log_alpha, std::vector<AliasBucket>* out) {
+  const int32_t DIST_BITS = 12;
+  int32_t log_bucket = DIST_BITS - log_alpha;
+  int32_t bucket_size = 1 << log_bucket;
+  int32_t table_size = 1 << log_alpha;
+  out->assign((size_t)table_size, AliasBucket{0, 0, 0});
+  auto& b = *out;
+
+  int32_t nonzero = 0, only = -1;
+  for (int32_t i = 0; i < table_size; ++i) if (D[i]) { ++nonzero; if (only < 0) only = i; }
+  if (nonzero == 1) {
+    for (int32_t j = 0; j < table_size; ++j) {
+      b[j].symbol = (int16_t)only;
+      b[j].offset = (int16_t)(j << log_bucket);
+      b[j].cutoff = 0;
+    }
+    return true;
+  }
+
+  std::vector<int16_t> next(table_size);
+  int32_t u = -1, o = -1;
+  for (int32_t i = 0; i < table_size; ++i) {
+    int16_t cutoff = D[i];
+    b[i].cutoff = cutoff;
+    if (cutoff > bucket_size) { next[i] = (int16_t)o; o = i; }
+    else if (cutoff < bucket_size) { next[i] = (int16_t)u; u = i; }
+    else { b[i].symbol = (int16_t)i; b[i].offset = 0; }
+  }
+  while (o >= 0) {
+    if (u < 0) return false;
+    int32_t by = bucket_size - b[u].cutoff;
+    int32_t nu = next[u];
+    b[o].cutoff = (int16_t)(b[o].cutoff - by);
+    b[u].symbol = (int16_t)o;
+    b[u].offset = (int16_t)(b[o].cutoff - b[u].cutoff);
+    u = nu;
+    if (b[o].cutoff < bucket_size) {
+      int32_t no = next[o];
+      next[o] = (int16_t)u;
+      u = o;
+      o = no;
+    } else if (b[o].cutoff == bucket_size) {
+      int32_t no = next[o];
+      b[o].offset = 0;
+      b[o].symbol = (int16_t)o;
+      o = no;
+    }
+  }
+  return u < 0;
+}
+
+// --------------------------------------------------------- clustered code
+
+struct HybridConfig { int32_t split_exp, msb, lsb; };
+
+struct Cluster {
+  HybridConfig cfg;
+  PrefixTable prefix;             // if use_prefix
+  std::vector<int16_t> D;         // if ANS
+  std::vector<AliasBucket> alias;
+};
+
+struct CodeSpec {
+  bool use_prefix = false, lz77 = false;
+  int32_t min_symbol = 0x7fffffff, min_length = 0x7fffffff;
+  HybridConfig lz_cfg{0, 0, 0};
+  int32_t num_dist = 0, log_alpha = 0;
+  std::vector<uint8_t> cluster_map;
+  std::vector<Cluster> clusters;
+};
+
+struct CodeState {
+  const CodeSpec* spec;
+  uint32_t ans_state = 0;
+  int32_t num_to_copy = 0, num_decoded = 0, copy_pos = 0;
+  std::vector<int32_t> window;  // lazily sized 1<<20
+  bool error = false;
+};
+
+static const uint8_t SPECIAL_DISTANCES[120] = {
+  0x71,0x80,0x81,0x61,0x72,0x90,0x82,0x62,0x91,0x51,0x92,0x52,
+  0x73,0xa0,0x83,0x63,0xa1,0x41,0x93,0x53,0xa2,0x42,0x74,0xb0,
+  0x84,0x64,0xb1,0x31,0xa3,0x43,0x94,0x54,0xb2,0x32,0x75,0xa4,
+  0x44,0xb3,0x33,0xc0,0x85,0x65,0xc1,0x21,0x95,0x55,0xc2,0x22,
+  0xb4,0x34,0xa5,0x45,0xc3,0x23,0x76,0xd0,0x86,0x66,0xd1,0x11,
+  0x96,0x56,0xd2,0x12,0xb5,0x35,0xc4,0x24,0xa6,0x46,0xd3,0x13,
+  0x77,0xe0,0x87,0x67,0xc5,0x25,0xe1,0x01,0xb6,0x36,0xd4,0x14,
+  0x97,0x57,0xe2,0x02,0xa7,0x47,0xe3,0x03,0xc6,0x26,0xd5,0x15,
+  0xf0,0xb7,0x37,0xe4,0x04,0xf1,0xf2,0xd6,0x16,0xf3,0xc7,0x27,
+  0xe5,0x05,0xf4,0xd7,0x17,0xe6,0x06,0xf5,0xe7,0x07,0xf6,0xf7,
+};
+
+static inline int32_t ans_code(Bits& br, CodeState& cs, const Cluster& cl, int32_t log_alpha) {
+  uint32_t state = cs.ans_state;
+  if (state == 0) {
+    state = br.u(16);
+    state |= (uint32_t)br.u(16) << 16;
+  }
+  int32_t log_bucket = 12 - log_alpha;
+  int32_t index = (int32_t)(state & 0xfff);
+  int32_t i = index >> log_bucket;
+  int32_t pos = index & ((1 << log_bucket) - 1);
+  const AliasBucket& b = cl.alias[i];
+  int32_t symbol, offset;
+  if (pos < b.cutoff) { symbol = i; offset = 0; }
+  else { symbol = b.symbol; offset = b.offset; }
+  state = (uint32_t)cl.D[symbol] * (state >> 12) + (uint32_t)offset + (uint32_t)pos;
+  if (state < (1u << 16)) state = (state << 16) | br.u(16);
+  cs.ans_state = state;
+  return symbol;
+}
+
+static inline int32_t cluster_symbol(Bits& br, CodeState& cs, const Cluster& cl) {
+  const CodeSpec& s = *cs.spec;
+  return s.use_prefix ? cl.prefix.decode(br) : ans_code(br, cs, cl, s.log_alpha);
+}
+
+static inline int64_t hybrid_int(Bits& br, int32_t token, const HybridConfig& c) {
+  int32_t split = 1 << c.split_exp;
+  if (token < split) return token;
+  int32_t bit = c.msb + c.lsb;
+  int32_t midbits = c.split_exp - bit + ((token - split) >> bit);
+  if (midbits > 32) return -1;  // overflow guard; flagged by caller
+  int64_t mid = br.u(midbits);
+  int32_t top = 1 << c.msb;
+  int32_t lo = token & ((1 << c.lsb) - 1);
+  int32_t hi = (token >> c.lsb) & (top - 1);
+  return (((int64_t)(top | hi)) << (midbits + c.lsb)) | (mid << c.lsb) | lo;
+}
+
+// the central symbol decoder (j40.h:2804-2876)
+static int32_t code_one(Bits& br, CodeState& cs, int32_t ctx, int32_t dist_mult) {
+  const CodeSpec& s = *cs.spec;
+  const int32_t MASK = 0xfffff;
+  if (cs.num_to_copy > 0) {
+    --cs.num_to_copy;
+    int32_t v = cs.window[cs.copy_pos++ & MASK];
+    cs.window[cs.num_decoded++ & MASK] = v;
+    return v;
+  }
+  const Cluster& cl = s.clusters[s.cluster_map[ctx]];
+  int32_t token = cluster_symbol(br, cs, cl);
+  if (token >= s.min_symbol) {
+    const Cluster& lz = s.clusters[s.cluster_map[s.num_dist - 1]];
+    int32_t num_to_copy = (int32_t)hybrid_int(br, token - s.min_symbol, s.lz_cfg) + s.min_length;
+    token = cluster_symbol(br, cs, lz);
+    int64_t dist64 = hybrid_int(br, token, lz.cfg);
+    if (dist64 < 0) { cs.error = true; return 0; }
+    int32_t distance = (int32_t)dist64;
+    if (!dist_mult) ++distance;
+    else if (distance >= 120) distance -= 119;
+    else {
+      int32_t special = SPECIAL_DISTANCES[distance];
+      int32_t d = ((special >> 4) - 7) + dist_mult * (special & 7);
+      distance = d < 1 ? 1 : d;
+    }
+    if (distance > cs.num_decoded) distance = cs.num_decoded;
+    if (distance > (1 << 20)) distance = 1 << 20;
+    cs.copy_pos = cs.num_decoded - distance;
+    if (cs.window.empty()) cs.window.assign((size_t)1 << 20, 0);
+    cs.num_to_copy = num_to_copy - 1;
+    int32_t v = cs.window[cs.copy_pos++ & MASK];
+    cs.window[cs.num_decoded++ & MASK] = v;
+    return v;
+  }
+  int64_t value = hybrid_int(br, token, cl.cfg);
+  if (value < 0) { cs.error = true; return 0; }
+  if (s.lz77) {
+    if (cs.window.empty()) cs.window.assign((size_t)1 << 20, 0);
+    cs.window[cs.num_decoded++ & MASK] = (int32_t)value;
+  }
+  return (int32_t)value;
+}
+
+// -------------------------------------------------- spec blob deserializer
+//
+// int32 layout (produced by j40_tpu/native/bindings.py serialize_spec):
+// [0] use_prefix [1] lz77 [2] min_symbol [3] min_length
+// [4..6] lz_cfg  [7] num_dist [8] num_clusters [9] log_alpha
+// [10..10+num_dist) cluster_map
+// per cluster: [3] cfg; if prefix: [1] alphabet_size, [alphabet] lengths
+//              else: [1<<log_alpha] D
+static bool parse_spec(const int32_t* blob, int64_t blob_len, CodeSpec* out) {
+  int64_t i = 0;
+  auto need = [&](int64_t n) { return i + n <= blob_len; };
+  if (!need(10)) return false;
+  out->use_prefix = blob[0] != 0;
+  out->lz77 = blob[1] != 0;
+  out->min_symbol = blob[2];
+  out->min_length = blob[3];
+  out->lz_cfg = HybridConfig{blob[4], blob[5], blob[6]};
+  out->num_dist = blob[7];
+  int32_t num_clusters = blob[8];
+  out->log_alpha = blob[9];
+  i = 10;
+  if (!need(out->num_dist)) return false;
+  out->cluster_map.resize((size_t)out->num_dist);
+  for (int32_t k = 0; k < out->num_dist; ++k) out->cluster_map[k] = (uint8_t)blob[i++];
+  out->clusters.resize((size_t)num_clusters);
+  for (int32_t c = 0; c < num_clusters; ++c) {
+    Cluster& cl = out->clusters[c];
+    if (!need(3)) return false;
+    cl.cfg = HybridConfig{blob[i], blob[i + 1], blob[i + 2]};
+    i += 3;
+    if (out->use_prefix) {
+      if (!need(1)) return false;
+      int32_t alpha = blob[i++];
+      if (!need(alpha)) return false;
+      if (alpha == 1) {
+        cl.prefix.single_symbol = 0;
+      } else if (!build_prefix(blob + i, alpha, &cl.prefix)) return false;
+      i += alpha;
+    } else {
+      int32_t ts = 1 << out->log_alpha;
+      if (!need(ts)) return false;
+      cl.D.resize((size_t)ts);
+      for (int32_t k = 0; k < ts; ++k) cl.D[k] = (int16_t)blob[i + k];
+      i += ts;
+      if (!build_alias(cl.D.data(), out->log_alpha, &cl.alias)) return false;
+    }
+  }
+  return true;
+}
+
+// ----------------------------------------------------- modular channel
+
+struct WpState {
+  int32_t width;
+  int32_t p1, p2, p3[5], w[4];
+  std::vector<int64_t> errors;  // width*2 rows of 5
+  int64_t pred[5];
+  int64_t trueerrw, trueerrn, trueerrnw, trueerrne;
+
+  void init(int32_t wdt, const int32_t* params) {
+    width = wdt;
+    p1 = params[0]; p2 = params[1];
+    for (int i = 0; i < 5; ++i) p3[i] = params[2 + i];
+    for (int i = 0; i < 4; ++i) w[i] = params[7 + i];
+    errors.assign((size_t)wdt * 2 * 5, 0);
+    for (int i = 0; i < 5; ++i) pred[i] = 0;
+    trueerrw = trueerrn = trueerrnw = trueerrne = 0;
+  }
+};
+
+static const int64_t DIV24[64] = {
+  0x1000000,0x800000,0x555555,0x400000,0x333333,0x2aaaaa,0x249249,0x200000,
+  0x1c71c7,0x199999,0x1745d1,0x155555,0x13b13b,0x124924,0x111111,0x100000,
+  0xf0f0f,0xe38e3,0xd7943,0xccccc,0xc30c3,0xba2e8,0xb2164,0xaaaaa,
+  0xa3d70,0x9d89d,0x97b42,0x92492,0x8d3dc,0x88888,0x84210,0x80000,
+  0x7c1f0,0x78787,0x75075,0x71c71,0x6eb3e,0x6bca1,0x69069,0x66666,
+  0x63e70,0x61861,0x5f417,0x5d174,0x5b05b,0x590b2,0x57262,0x55555,
+  0x53978,0x51eb8,0x50505,0x4ec4e,0x4d487,0x4bda1,0x4a790,0x49249,
+  0x47dc1,0x469ee,0x456c7,0x44444,0x4325c,0x42108,0x41041,0x40000,
+};
+
+static inline int32_t floor_lg64(uint64_t x) {
+  return x ? 63 - __builtin_clzll(x) : -1;
+}
+
+static void wp_before(WpState& wp, int32_t x, int32_t y,
+                      int64_t pw, int64_t pn, int64_t pnw, int64_t pne, int64_t pnn) {
+  static const int64_t ZERO[5] = {0, 0, 0, 0, 0};
+  int64_t* err = wp.errors.data() + ((y & 1) ? (size_t)wp.width * 5 : 0);
+  int64_t* nerr = wp.errors.data() + ((y & 1) ? 0 : (size_t)wp.width * 5);
+  const int64_t* errw = x > 0 ? err + (size_t)(x - 1) * 5 : ZERO;
+  const int64_t* errn = y > 0 ? nerr + (size_t)x * 5 : ZERO;
+  const int64_t* errnw = (x > 0 && y > 0) ? nerr + (size_t)(x - 1) * 5 : errn;
+  const int64_t* errne = (x + 1 < wp.width && y > 0) ? nerr + (size_t)(x + 1) * 5 : errn;
+  const int64_t* errww = x > 1 ? err + (size_t)(x - 2) * 5 : ZERO;
+  const int64_t* errw2 = x + 1 < wp.width ? ZERO : errw;
+
+  wp.trueerrw = x > 0 ? err[(size_t)(x - 1) * 5 + 4] : 0;
+  wp.trueerrn = y > 0 ? nerr[(size_t)x * 5 + 4] : 0;
+  wp.trueerrnw = (x > 0 && y > 0) ? nerr[(size_t)(x - 1) * 5 + 4] : wp.trueerrn;
+  wp.trueerrne = (x + 1 < wp.width && y > 0) ? nerr[(size_t)(x + 1) * 5 + 4] : wp.trueerrn;
+
+  wp.pred[0] = (pw + pne - pn) * 8;
+  wp.pred[1] = pn * 8 - (((wp.trueerrw + wp.trueerrn + wp.trueerrne) * wp.p1) >> 5);
+  wp.pred[2] = pw * 8 - (((wp.trueerrw + wp.trueerrn + wp.trueerrnw) * wp.p2) >> 5);
+  wp.pred[3] = pn * 8 - ((wp.trueerrnw * wp.p3[0] + wp.trueerrn * wp.p3[1] +
+                          wp.trueerrne * wp.p3[2] + (pnn - pn) * 8 * wp.p3[3] +
+                          (pnw - pw) * 8 * wp.p3[4]) >> 5);
+  int64_t w[4], wsum = 0, sum = 0;
+  for (int i = 0; i < 4; ++i) {
+    int64_t errsum = errn[i] + errw[i] + errnw[i] + errww[i] + errne[i] + errw2[i];
+    int32_t shift = floor_lg64((uint64_t)errsum + 1) - 5;
+    if (shift < 0) shift = 0;
+    w[i] = 4 + ((wp.w[i] * DIV24[errsum >> shift]) >> shift);
+  }
+  int32_t logw = floor_lg64((uint64_t)(w[0] + w[1] + w[2] + w[3])) - 4;
+  for (int i = 0; i < 4; ++i) {
+    w[i] >>= logw;
+    wsum += w[i];
+    sum += wp.pred[i] * w[i];
+  }
+  wp.pred[4] = ((sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24;
+  if (((wp.trueerrn ^ wp.trueerrw) | (wp.trueerrn ^ wp.trueerrnw)) <= 0) {
+    int64_t lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
+    int64_t hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;
+    if (wp.pred[4] < lo) wp.pred[4] = lo;
+    if (wp.pred[4] > hi) wp.pred[4] = hi;
+  }
+}
+
+static void wp_after(WpState& wp, int32_t x, int32_t y, int64_t val) {
+  int64_t* err = wp.errors.data() + (((y & 1) ? (size_t)wp.width : 0) + (size_t)x) * 5;
+  int64_t v8 = val * 8;
+  for (int i = 0; i < 4; ++i) {
+    int64_t d = wp.pred[i] - v8;
+    err[i] = ((d < 0 ? -d : d) + 3) >> 3;
+  }
+  err[4] = wp.pred[4] - v8;
+}
+
+static inline int64_t gradient64(int64_t w, int64_t n, int64_t nw) {
+  int64_t lo = w < n ? w : n;
+  int64_t hi = w > n ? w : n;
+  int64_t g = w + n - nw;
+  return g < lo ? lo : (g > hi ? hi : g);
+}
+
+static inline int64_t trunc_div2(int64_t v) { return v / 2; }  // C trunc
+
+static inline int64_t predict(int32_t p, const WpState* wp, int64_t w, int64_t n,
+                              int64_t nw, int64_t ne, int64_t nn, int64_t nee,
+                              int64_t ww) {
+  switch (p) {
+    case 0: return 0;
+    case 1: return w;
+    case 2: return n;
+    case 3: return (w + n) / 2;
+    case 4: { int64_t a = n - nw, b = w - nw; if (a < 0) a = -a; if (b < 0) b = -b;
+              return a < b ? w : n; }
+    case 5: return gradient64(w, n, nw);
+    case 6: return wp ? ((wp->pred[4] + 3) >> 3) : 0;
+    case 7: return ne;
+    case 8: return nw;
+    case 9: return ww;
+    case 10: return (w + nw) / 2;
+    case 11: return (n + nw) / 2;
+    case 12: return (n + ne) / 2;
+    case 13: return (6 * n - 2 * nn + 7 * w + ww + nee + 3 * ne + 8) / 16;
+    default: return 0;
+  }
+}
+
+// tree node: 8 ints [prop, value, left, right, ctx, predictor, offset, multiplier]
+struct TreeNode {
+  int32_t prop, value, left, right, ctx, predictor, offset, multiplier;
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------ C ABI
+
+// persistent decode context for one entropy-coded stream
+struct J40TStream {
+  Bits bits;
+  CodeSpec spec;
+  CodeState state;
+};
+
+J40T_API J40TStream* j40t_stream_new(const uint8_t* data, int64_t size,
+                                     int64_t bitpos, const int32_t* spec_blob,
+                                     int64_t blob_len) {
+  J40TStream* s = new (std::nothrow) J40TStream();
+  if (!s) return nullptr;
+  s->bits.data = data;
+  s->bits.size = size;
+  s->bits.seek_bits(bitpos);
+  if (!parse_spec(spec_blob, blob_len, &s->spec)) { delete s; return nullptr; }
+  s->state.spec = &s->spec;
+  return s;
+}
+
+J40T_API void j40t_stream_free(J40TStream* s) { delete s; }
+
+J40T_API int64_t j40t_stream_bitpos(const J40TStream* s) {
+  return s->bits.bit_position();
+}
+
+J40T_API int32_t j40t_stream_error(const J40TStream* s) {
+  return (s->bits.overrun || s->state.error) ? 1 : 0;
+}
+
+J40T_API uint32_t j40t_stream_ans_state(const J40TStream* s) {
+  return s->state.ans_state;
+}
+
+// decode a run of symbols with explicit contexts (diagnostics / simple uses)
+J40T_API void j40t_decode_symbols(J40TStream* s, const int32_t* ctxs, int64_t n,
+                                  int32_t dist_mult, int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = code_one(s->bits, s->state, ctxs[i], dist_mult);
+}
+
+// decode one modular channel; returns 0 on success, 1 on range error ("povf"),
+// 2 on tree/ref error, 3 on bitstream overrun
+J40T_API int32_t j40t_decode_modular_channel(
+    J40TStream* s,
+    const int32_t* tree, int32_t ntree,
+    const int32_t* wp_params,       // p1,p2,p3[5],w[4] (11 ints)
+    int32_t dist_mult,
+    int32_t cidx, int64_t sidx,
+    int32_t width, int32_t height,
+    const int32_t* const* refs, int32_t nrefs,  // previous same-shape channels
+    int32_t* out) {
+  const TreeNode* nodes = (const TreeNode*)tree;
+
+  // does the tree need the weighted predictor?
+  bool use_wp = false;
+  for (int32_t i = 0; i < ntree; ++i) {
+    if (nodes[i].prop == 15 || (nodes[i].prop < 0 && nodes[i].predictor == 6)) {
+      use_wp = true;
+      break;
+    }
+  }
+  WpState wp;
+  if (use_wp) wp.init(width, wp_params);
+
+  const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
+
+  for (int32_t y = 0; y < height; ++y) {
+    int32_t* row = out + (size_t)y * width;
+    const int32_t* prow = y > 0 ? row - width : nullptr;
+    const int32_t* pprow = y > 1 ? row - 2 * (size_t)width : nullptr;
+    for (int32_t x = 0; x < width; ++x) {
+      int64_t w_ = x > 0 ? row[x - 1] : (y > 0 ? prow[x] : 0);
+      int64_t n_ = y > 0 ? prow[x] : w_;
+      int64_t nw = (x > 0 && y > 0) ? prow[x - 1] : w_;
+      int64_t ne = (x + 1 < width && y > 0) ? prow[x + 1] : n_;
+      int64_t nn = y > 1 ? pprow[x] : n_;
+      int64_t nee = (x + 2 < width && y > 0) ? prow[x + 2] : ne;
+      int64_t ww = x > 1 ? row[x - 2] : w_;
+      int64_t nww = (x > 1 && y > 0) ? prow[x - 2] : ww;
+
+      if (use_wp) wp_before(wp, x, y, w_, n_, nw, ne, nn);
+
+      const TreeNode* node = nodes;
+      if (!single_leaf) {
+        while (node->prop >= 0) {
+          int64_t val;
+          switch (node->prop) {
+            case 0: val = cidx; break;
+            case 1: val = sidx; break;
+            case 2: val = y; break;
+            case 3: val = x; break;
+            case 4: val = n_ < 0 ? -n_ : n_; break;
+            case 5: val = w_ < 0 ? -w_ : w_; break;
+            case 6: val = n_; break;
+            case 7: val = w_; break;
+            case 8: val = x > 0 ? w_ - (ww + nw - nww) : w_; break;
+            case 9: val = w_ + n_ - nw; break;
+            case 10: val = w_ - nw; break;
+            case 11: val = nw - n_; break;
+            case 12: val = n_ - ne; break;
+            case 13: val = n_ - nn; break;
+            case 14: val = w_ - ww; break;
+            case 15: {
+              if (use_wp) {
+                int64_t v = wp.trueerrw;
+                auto absl = [](int64_t t) { return t < 0 ? -t : t; };
+                if (absl(v) < absl(wp.trueerrn)) v = wp.trueerrn;
+                if (absl(v) < absl(wp.trueerrnw)) v = wp.trueerrnw;
+                if (absl(v) < absl(wp.trueerrne)) v = wp.trueerrne;
+                val = v;
+              } else val = 0;
+              break;
+            }
+            default: {
+              int32_t refcidx = (node->prop - 16) / 4;
+              if (refcidx >= nrefs) return 2;
+              const int32_t* rc = refs[refcidx];
+              int64_t v = rc[(size_t)y * width + x];
+              if (node->prop & 2) {
+                int64_t rw = x > 0 ? rc[(size_t)y * width + x - 1] : 0;
+                int64_t rn = y > 0 ? rc[(size_t)(y - 1) * width + x] : rw;
+                int64_t rnw = (x > 0 && y > 0) ? rc[(size_t)(y - 1) * width + x - 1] : rw;
+                v -= gradient64(rw, rn, rnw);
+              }
+              if (node->prop & 1) v = v < 0 ? -v : v;
+              val = v;
+              break;
+            }
+          }
+          node = nodes + (val > node->value ? node->left : node->right);
+        }
+      }
+
+      int32_t token = code_one(s->bits, s->state, node->ctx, dist_mult);
+      int64_t uv = (token & 1) ? -((int64_t)(token / 2) + 1) : token / 2;
+      int64_t val = uv * node->multiplier + node->offset;
+      val += predict(node->predictor, use_wp ? &wp : nullptr, w_, n_, nw, ne, nn,
+                     nee, ww);
+      if (val < -32768 || val > 32767) return 1;
+      row[x] = (int32_t)val;
+      if (use_wp) wp_after(wp, x, y, val);
+    }
+  }
+  if (s->bits.overrun || s->state.error) return 3;
+  return 0;
+}
+
+// VarDCT HF coefficient decode for one (pass, group) (j40.h:6888-7005).
+// blocks: (gh8p, gw8p) slice of the LF group block map starting at the group's
+// top-left 8x8 position; arrays indexed per varblock by voff.
+J40T_API int32_t j40t_decode_hf_group(
+    J40TStream* s,
+    int32_t ctxoff,
+    const int32_t* blocks, int32_t blocks_stride,  // full LF-group width8
+    int32_t gw8, int32_t gh8,
+    const int64_t* vb_coeffoff,
+    const int32_t* vb_qfidx,
+    const uint8_t* lfindices, int32_t lf_stride,
+    int32_t gx8_in_gg, int32_t gy8_in_gg,
+    const uint8_t* block_ctx_map,
+    int32_t nb_block_ctx, int32_t nb_qf_thr, int32_t lfidx_size,
+    const int32_t* dct_select,       // 27*4: log_rows, log_cols, param, order
+    const int32_t* const* orders,    // [13*3] per-(order_idx, channel) tables
+    float* const* coeffs)            // [3] coefficient planes
+{
+  static const int8_t TWICE_FREQ[64] = {
+    -1, 0, 2, 4, 6, 8,10,12,14,16,18,20,22,24,26,28,
+    30,30,32,32,34,34,36,36,38,38,40,40,42,42,44,44,
+    46,46,46,46,48,48,48,48,50,50,50,50,52,52,52,52,
+    54,54,54,54,56,56,56,56,58,58,58,58,60,60,60,60,
+  };
+  static const int16_t TWICE_NNZ[64] = {
+      0,  0, 62,124,124,186,186,186,186,246,246,246,246,304,304,304,
+    304,304,304,304,304,360,360,360,360,360,360,360,360,360,360,360,
+    360,412,412,412,412,412,412,412,412,412,412,412,412,412,412,412,
+    412,412,412,412,412,412,412,412,412,412,412,412,412,412,412,412,
+  };
+  static const int32_t YXB2XYB[3] = {1, 0, 2};
+
+  std::vector<int8_t> nonzeros((size_t)gw8 * gh8 * 3, 0);
+
+  for (int32_t y8 = 0; y8 < gh8; ++y8) {
+    for (int32_t x8 = 0; x8 < gw8; ++x8) {
+      int32_t ggx8 = x8 + gx8_in_gg, ggy8 = y8 + gy8_in_gg;
+      int32_t nzpos = y8 * gw8 + x8;
+      int32_t voff = blocks[(size_t)ggy8 * blocks_stride + ggx8];
+      int32_t dctsel = voff >> 20;
+      if (dctsel < 2) continue;
+      dctsel -= 2;
+      voff &= 0xfffff;
+      int32_t log_rows = dct_select[dctsel * 4];
+      int32_t log_columns = dct_select[dctsel * 4 + 1];
+      int32_t order_idx = dct_select[dctsel * 4 + 3];
+      int32_t log_size = log_rows + log_columns;
+      int64_t coeffoff = vb_coeffoff[voff];
+      int32_t qfidx = vb_qfidx[voff];
+      int32_t lfidx = lfindices[(size_t)ggy8 * lf_stride + ggx8];
+      int32_t bctx0 = (order_idx * (nb_qf_thr + 1) + qfidx) * lfidx_size + lfidx;
+      int32_t bctxc = 13 * (nb_qf_thr + 1) * lfidx_size;
+
+      for (int32_t c_yxb = 0; c_yxb < 3; ++c_yxb) {
+        int32_t c = YXB2XYB[c_yxb];
+        float* cf = coeffs[c] + coeffoff;
+        const int32_t* order = orders[order_idx * 3 + c];
+        int32_t bctx = block_ctx_map[bctx0 + bctxc * c_yxb];
+        int32_t nz;
+        if (x8 > 0) {
+          nz = y8 > 0 ? (nonzeros[(size_t)(nzpos - 1) * 3 + c] +
+                         nonzeros[(size_t)(nzpos - gw8) * 3 + c] + 1) >> 1
+                      : nonzeros[(size_t)(nzpos - 1) * 3 + c];
+        } else {
+          nz = y8 > 0 ? nonzeros[(size_t)(nzpos - gw8) * 3 + c] : 32;
+        }
+        int32_t nzctx = ctxoff + bctx + (nz < 8 ? nz : 4 + nz / 2) * nb_block_ctx;
+        nz = code_one(s->bits, s->state, nzctx, 0);
+        if (nz > (63 << (log_size - 6))) return 1;
+        int32_t llf = 1 << (log_size - 6);
+        int32_t qnz = (nz + llf - 1) >> (log_size - 6);
+        for (int32_t i = 0; i < (1 << (log_rows - 3)); ++i)
+          for (int32_t j = 0; j < (1 << (log_columns - 3)); ++j)
+            nonzeros[(size_t)(nzpos + i * gw8 + j) * 3 + c] = (int8_t)qnz;
+        int32_t cctx = ctxoff + 458 * bctx + 37 * nb_block_ctx;
+        int32_t prev = nz <= (1 << (log_size - 4)) ? 1 : 0;
+        for (int32_t i = llf; nz > 0 && i < (1 << log_size); ++i) {
+          int32_t ctx = cctx + TWICE_NNZ[(nz + llf - 1) >> (log_size - 6)] +
+                        TWICE_FREQ[i >> (log_size - 6)] + prev;
+          int32_t ucoeff = code_one(s->bits, s->state, ctx, 0);
+          int32_t sv = (ucoeff & 1) ? -((ucoeff >> 1) + 1) : (ucoeff >> 1);
+          cf[order[i]] += (float)sv;
+          prev = ucoeff != 0 ? 1 : 0;
+          nz -= prev;
+        }
+        if (nz != 0) return 1;
+      }
+    }
+  }
+  return (s->bits.overrun || s->state.error) ? 3 : 0;
+}

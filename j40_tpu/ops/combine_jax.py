@@ -1,0 +1,195 @@
+"""Device-side LF-group reconstruction: per-DctSelect-class batching.
+
+Every inverse transform in JPEG XL is linear, so the 8x8 special transforms
+(Hornuss, DCT2x2, DCT4x4, DCT4x8, DCT8x4, AFV0-3) are precomputed as dense
+64x64 matrices and the large DCTs as two-sided basis matmuls — the entire
+coefficient→sample stage is MXU work batched per class.  Elementwise stages
+(dequant, CfL, XYB→sRGB) fuse around the matmuls under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..vardct import special
+from ..vardct.tables import DCT_SELECT, QM_SCALE
+from .reconstruct import idct2d_batch, xyb_to_srgb_u8
+
+# dctsel values handled by dense 64x64 matrices
+_SPECIAL_FNS = {
+    1: lambda b: special.inverse_hornuss(b),
+    2: lambda b: special.inverse_dct11(b),
+    3: lambda b: special.inverse_dct22(b),
+    12: lambda b: special.inverse_dct23(b),
+    13: lambda b: special.inverse_dct32(b),
+    14: lambda b: special.inverse_afv(b, 0, 0),
+    15: lambda b: special.inverse_afv(b, 1, 0),
+    16: lambda b: special.inverse_afv(b, 0, 1),
+    17: lambda b: special.inverse_afv(b, 1, 1),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def special_matrix(dctsel: int) -> np.ndarray:
+    """(64, 64) matrix M with samples.ravel() == M @ coeffs (float32)."""
+    fn = _SPECIAL_FNS[dctsel]
+    cols = []
+    for i in range(64):
+        e = np.zeros(64, dtype=np.float32)
+        e[i] = 1.0
+        cols.append(fn(e).ravel())
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("dctsel",))
+def _class_pipeline(
+    coeffs,      # (3, N, size)
+    llf,         # (3, N, llfsize)
+    llf_idx,     # (llfsize,) int32 canonical positions of LLF coeffs
+    hfmul_inv,   # (N,)
+    kx, kb,      # (N,)
+    weights,     # (size, 3)
+    global_scale_inv, qm_scales, quant_bias, quant_bias_num,
+    dctsel,
+):
+    """Dequant + CfL + LLF substitution + inverse transform for one class.
+
+    Returns (3, N, rows, cols) float32 samples."""
+    log_rows, log_columns, _, _ = DCT_SELECT[dctsel]
+    small = jnp.abs(coeffs) <= 1.0
+    safe = jnp.where(coeffs == 0, 1.0, coeffs)
+    adj = jnp.where(small, coeffs * quant_bias[:, None, None],
+                    coeffs - quant_bias_num / safe)
+    mult = (global_scale_inv * qm_scales)[:, None, None] * hfmul_inv[None, :, None]
+    deq = adj * mult / weights.T[:, None, :]
+    # CfL
+    x = deq[0] + deq[1] * kx[:, None]
+    b = deq[2] + deq[1] * kb[:, None]
+    cf = jnp.stack([x, deq[1], b])
+    # LLF substitution
+    cf = cf.at[:, :, llf_idx].set(llf)
+    n = cf.shape[1]
+    flat = cf.reshape(3 * n, -1)
+    if dctsel in _SPECIAL_FNS:
+        M = jnp.asarray(special_matrix(dctsel))
+        out = jnp.einsum("ij,nj->ni", M, flat, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+        return out.reshape(3, n, 8, 8)
+    out = idct2d_batch(flat, log_rows, log_columns)
+    return out.reshape(3, n, 1 << log_rows, 1 << log_columns)
+
+
+def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
+    """JAX reconstruction of one LF group: returns (3, ggh, ggw) int32 planes.
+
+    Matches VarDCTState.dequant_hf + _combine_lf_group (numpy oracle) within
+    float tolerance."""
+    f = vs.fs.f
+    ggw, ggh = gg.width, gg.height
+    ggw8, ggh8 = gg.width8, gg.height8
+
+    kx_lf = np.float32(vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor)
+    kb_lf = np.float32(vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor)
+
+    # group varblocks by dctsel (host)
+    classes: dict[int, list[int]] = {}
+    corners = {}
+    for y8 in range(ggh8):
+        for x8 in range(ggw8):
+            v = int(gg.blocks[y8, x8])
+            ds = (v >> 20) - 2
+            if ds < 0:
+                continue
+            voff = v & 0xFFFFF
+            classes.setdefault(ds, []).append(voff)
+            corners[voff] = (y8, x8)
+
+    plane = jnp.zeros((3, ggh8 * 8, ggw8 * 8), dtype=jnp.float32)
+    consts = dict(
+        global_scale_inv=np.float32(65536.0 / vs.global_scale),
+        qm_scales=np.array(
+            [QM_SCALE[f.x_qm_scale], 1.0, QM_SCALE[f.b_qm_scale]], np.float32
+        ),
+        quant_bias=np.asarray(im.quant_bias, np.float32),
+        quant_bias_num=np.float32(im.quant_bias_num),
+    )
+
+    for ds, voffs in sorted(classes.items()):
+        log_rows, log_columns, param_idx, _ = DCT_SELECT[ds]
+        rows, cols = 1 << log_rows, 1 << log_columns
+        size = rows * cols
+        vh8 = 1 << (min(log_rows, log_columns) - 3)
+        vw8 = 1 << (max(log_rows, log_columns) - 3)
+        llfsize = vh8 * vw8
+        n = len(voffs)
+        coeffs = np.empty((3, n, size), dtype=np.float32)
+        llf = np.empty((3, n, llfsize), dtype=np.float32)
+        hfmul_inv = np.empty(n, dtype=np.float32)
+        kx = np.empty(n, dtype=np.float32)
+        kb = np.empty(n, dtype=np.float32)
+        for k, voff in enumerate(voffs):
+            off = int(gg.vb_coeffoff[voff])
+            y8, x8 = corners[voff]
+            for c in range(3):
+                coeffs[c, k] = gg.coeffs[c][off : off + size]
+            ly = gg.llfcoeffs[1][(off >> 6) : (off >> 6) + llfsize]
+            lx = gg.llfcoeffs[0][(off >> 6) : (off >> 6) + llfsize]
+            lb = gg.llfcoeffs[2][(off >> 6) : (off >> 6) + llfsize]
+            llf[0, k] = lx + ly * kx_lf
+            llf[1, k] = ly
+            llf[2, k] = lb + ly * kb_lf
+            hfmul_inv[k] = gg.vb_hfmul_inv[voff]
+            kx[k] = vs.base_corr_x + vs.inv_colour_factor * float(
+                gg.xfromy[y8 // 8, x8 // 8]
+            )
+            kb[k] = vs.base_corr_b + vs.inv_colour_factor * float(
+                gg.bfromy[y8 // 8, x8 // 8]
+            )
+        # canonical positions of LLF coefficients: y*(2^max)+x
+        llf_idx = np.array(
+            [y * (vw8 * 8) + x for y in range(vh8) for x in range(vw8)], np.int32
+        )
+        weights = vs.dq_weights[param_idx]
+        samples = _class_pipeline(
+            jnp.asarray(coeffs), jnp.asarray(llf), jnp.asarray(llf_idx),
+            jnp.asarray(hfmul_inv), jnp.asarray(kx), jnp.asarray(kb),
+            jnp.asarray(weights),
+            jnp.float32(consts["global_scale_inv"]),
+            jnp.asarray(consts["qm_scales"]),
+            jnp.asarray(consts["quant_bias"]),
+            jnp.float32(consts["quant_bias_num"]),
+            ds,
+        )
+        # scatter blocks into the plane
+        if ds == 0 and n == ggh8 * ggw8:
+            # fast path: full uniform DCT8x8 partition, pure reshape
+            plane = (
+                samples.reshape(3, ggh8, ggw8, 8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(3, ggh8 * 8, ggw8 * 8)
+            )
+        else:
+            idx = np.empty((n, rows, cols), dtype=np.int32)
+            W = ggw8 * 8
+            for k, voff in enumerate(voffs):
+                y8, x8 = corners[voff]
+                ys = (y8 * 8 + np.arange(rows))[:, None]
+                xs = (x8 * 8 + np.arange(cols))[None, :]
+                idx[k] = ys * W + xs
+            flat = plane.reshape(3, -1)
+            flat = flat.at[:, jnp.asarray(idx.ravel())].set(
+                samples.reshape(3, -1)
+            )
+            plane = flat.reshape(3, ggh8 * 8, ggw8 * 8)
+
+    out = xyb_to_srgb_u8(
+        plane,
+        jnp.asarray(im.opsin_inv_mat, dtype=jnp.float32),
+        jnp.asarray(im.opsin_bias, dtype=jnp.float32),
+        jnp.float32(255.0 / im.intensity_target),
+        jnp.float32((1 << im.bpp) - 1),
+    )
+    return np.asarray(out)[:, :ggh, :ggw]

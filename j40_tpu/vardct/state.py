@@ -422,8 +422,78 @@ class VarDCTState:
         ctxoff = 495 * self.nb_block_ctx * r.u(ceil_lg(self.num_hf_presets))
         self._hf_coeffs(r, ctxoff, pass_, gx_in_gg, gy_in_gg, gw, gh, gg)
 
+    def _hf_coeffs_native(self, r, ctxoff, pass_, gx_in_gg, gy_in_gg, gw, gh,
+                          gg: LfGroup) -> bool:
+        from ..modular.decode import _native_enabled
+
+        if not _native_enabled():
+            return False
+        import ctypes
+
+        from ..native.bindings import NativeStream, get_lib
+
+        lib = get_lib()
+        gw8, gh8 = ceil_div(gw, 8), ceil_div(gh, 8)
+        data = bytes(r.data)
+        ns = NativeStream(data, r.bits_consumed, self.coeff_codespec[pass_])
+        blocks = np.ascontiguousarray(gg.blocks, dtype=np.int32)
+        coeffoff = np.ascontiguousarray(gg.vb_coeffoff, dtype=np.int64)
+        qfidx = np.ascontiguousarray(gg.vb_qfidx, dtype=np.int32)
+        lfind = np.ascontiguousarray(gg.lfindices, dtype=np.uint8)
+        bcm = np.ascontiguousarray(self.block_ctx_map, dtype=np.uint8)
+        dct_sel = np.ascontiguousarray(
+            [v for row in DCT_SELECT for v in row], dtype=np.int32
+        )
+        order_arrs = []
+        order_ptrs = (ctypes.c_void_p * (13 * 3))()
+        for oi in range(13):
+            for c in range(3):
+                o = self.orders[pass_][oi][c]
+                if o is None:
+                    order_ptrs[oi * 3 + c] = None
+                else:
+                    arr = np.ascontiguousarray(o, dtype=np.int32)
+                    order_arrs.append(arr)
+                    order_ptrs[oi * 3 + c] = arr.ctypes.data
+        coeff_ptrs = (ctypes.c_void_p * 3)()
+        for c in range(3):
+            assert gg.coeffs[c].dtype == np.float32 and gg.coeffs[c].flags.c_contiguous
+            coeff_ptrs[c] = gg.coeffs[c].ctypes.data
+        lfidx_size = (
+            (self.nb_lf_thr[0] + 1) * (self.nb_lf_thr[1] + 1) * (self.nb_lf_thr[2] + 1)
+        )
+        rc = lib.j40t_decode_hf_group(
+            ns.handle,
+            ctxoff,
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            gg.width8,
+            gw8,
+            gh8,
+            coeffoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qfidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lfind.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            gg.width8,
+            gx_in_gg // 8,
+            gy_in_gg // 8,
+            bcm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.nb_block_ctx,
+            self.nb_qf_thr,
+            lfidx_size,
+            dct_sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            order_ptrs,
+            coeff_ptrs,
+        )
+        check(rc == 0, "coef" if rc == 1 else "shrt", f"native hf rc={rc}")
+        r.seek_bits(ns.bitpos)
+        code = CodeState(self.coeff_codespec[pass_])
+        code.ans.state = ns.ans_state
+        code.finish(r)
+        return True
+
     def _hf_coeffs(self, r, ctxoff, pass_, gx_in_gg, gy_in_gg, gw, gh, gg: LfGroup):
         f = self.fs.f
+        if self._hf_coeffs_native(r, ctxoff, pass_, gx_in_gg, gy_in_gg, gw, gh, gg):
+            return
         gw8, gh8 = ceil_div(gw, 8), ceil_div(gh, 8)
         code = CodeState(self.coeff_codespec[pass_])
         lfidx_size = (
@@ -530,10 +600,22 @@ class VarDCTState:
         for c in gmodular.channels:
             c.data = np.zeros((f.height, f.width), dtype=np.int32)
 
+        use_jax = getattr(self.fs, "backend", "numpy") == "jax"
         for ggidx in sorted(self.lf_groups.keys()):
             gg = self.lf_groups[ggidx]
-            self.dequant_hf(gg)
-            self._combine_lf_group(gg, gmodular)
+            if use_jax:
+                from ..ops.combine_jax import combine_lf_group_jax
+
+                planes = combine_lf_group_jax(self, gg, im)
+                for c in range(3):
+                    gmodular.channels[c].data[
+                        gg.top : gg.top + gg.height, gg.left : gg.left + gg.width
+                    ] = np.clip(
+                        planes[c], np.iinfo(np.int16).min, np.iinfo(np.int16).max
+                    )
+            else:
+                self.dequant_hf(gg)
+                self._combine_lf_group(gg, gmodular)
 
     def _combine_lf_group(self, gg: LfGroup, gmodular) -> None:
         f, im = self.fs.f, self.fs.im

@@ -1,12 +1,17 @@
 import os
 
-# Device-mesh tests run on a virtual 8-device CPU topology; the real-TPU bench
-# path sets JAX_PLATFORMS itself.  Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# Device-mesh tests run on a virtual 8-device CPU topology.  The axon
+# sitecustomize overrides JAX_PLATFORMS, so force the platform through
+# jax.config (must happen before the backend initializes).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
 
 import subprocess
 from pathlib import Path

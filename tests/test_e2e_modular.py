@@ -91,3 +91,18 @@ def test_small_group_size(dj40, tmp_path):
     )
     # group_size_shift 7 -> 128px groups: 3x2 grid
     _roundtrip(dj40, tmp_path, img, EncodeOptions(group_size_shift=7))
+
+
+def test_native_core_matches_python(dj40, tmp_path, smooth_img):
+    # the C++ host core and the pure-Python oracle must agree bit-exactly
+    import os
+
+    cs = encode_modular(smooth_img, options=EncodeOptions(use_prefix=False))
+    os.environ["J40T_NATIVE"] = "1"
+    _, a = decode_file(cs)
+    os.environ["J40T_NATIVE"] = "0"
+    try:
+        _, b = decode_file(cs)
+    finally:
+        os.environ["J40T_NATIVE"] = "1"
+    np.testing.assert_array_equal(a, b)

@@ -121,3 +121,19 @@ def test_non_multiple_of_8_dims(dj40, tmp_path, photo):
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
     assert rgba.shape == (61, 77, 4)
+
+
+def test_jax_backend_parity(photo):
+    # device path (dequant+CfL+IDCT+XYB on JAX) vs numpy oracle
+    cs = encode_vardct(photo)
+    _, a = decode_file(cs, backend="numpy")
+    _, b = decode_file(cs, backend="jax")
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_jax_backend_parity_mixed_classes(dj40, tmp_path):
+    rng = np.random.default_rng(9)
+    cs, _ = _synth(4, rng)  # DCT16x16 (scatter path)
+    _, a = decode_file(cs, backend="numpy")
+    _, b = decode_file(cs, backend="jax")
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
