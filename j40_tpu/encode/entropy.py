@@ -316,11 +316,14 @@ class EntropyEncoder:
         self.cluster_map = cluster_map or [0] * num_dist
         self.num_clusters = max(self.cluster_map) + 1
         self.config = config
-        self.events: list[tuple[int, int]] = []
+        # multiple independent token streams may share one spec (e.g. the HF
+        # coefficient tables in HfGlobal feed every pass-group section)
+        self.streams: dict[int, list[tuple[int, int]]] = {0: []}
+        self.events = self.streams[0]
 
-    def add(self, ctx: int, value: int) -> None:
+    def add(self, ctx: int, value: int, stream: int = 0) -> None:
         assert 0 <= ctx < self.num_dist
-        self.events.append((ctx, value))
+        self.streams.setdefault(stream, []).append((ctx, value))
 
     def write(self, w: BitWriter) -> None:
         """Emit spec header followed immediately by the token stream."""
@@ -328,17 +331,21 @@ class EntropyEncoder:
         self.write_tokens(w)
 
     def _tokenize(self):
-        if hasattr(self, "_tokenized"):
+        if hasattr(self, "_tokenized_streams"):
             return
         cfg = self.config
-        tokenized = []  # (cluster, token, midbits, mid)
         hists = [dict() for _ in range(self.num_clusters)]
-        for ctx, value in self.events:
-            cl = self.cluster_map[ctx]
-            token, midbits, mid = encode_hybrid_int(value, cfg)
-            tokenized.append((cl, token, midbits, mid))
-            hists[cl][token] = hists[cl].get(token, 0) + 1
-        self._tokenized = tokenized
+        tokenized_streams = {}
+        for sid, events in self.streams.items():
+            tokenized = []  # (cluster, token, midbits, mid)
+            for ctx, value in events:
+                cl = self.cluster_map[ctx]
+                token, midbits, mid = encode_hybrid_int(value, cfg)
+                tokenized.append((cl, token, midbits, mid))
+                hists[cl][token] = hists[cl].get(token, 0) + 1
+            tokenized_streams[sid] = tokenized
+        self._tokenized_streams = tokenized_streams
+        self._tokenized = tokenized_streams.get(0, [])
         self._hists = hists
 
     def write_spec(self, w: BitWriter) -> None:
@@ -404,8 +411,8 @@ class EntropyEncoder:
             self._Ds = Ds
             self._ans_encoders = encoders
 
-    def write_tokens(self, w: BitWriter) -> None:
-        tokenized = self._tokenized
+    def write_tokens(self, w: BitWriter, stream: int = 0) -> None:
+        tokenized = self._tokenized_streams[stream]
         if self.use_prefix:
             codes = self._codes
             for cl, token, midbits, mid in tokenized:

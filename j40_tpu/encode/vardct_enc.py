@@ -65,10 +65,13 @@ class VarDCTOptions:
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
-    """Encode (h, w, 3) uint8 sRGB image as a single-group VarDCT frame."""
+    """Encode (h, w, 3) uint8 sRGB image as a VarDCT frame (8x8 blocks).
+
+    Images up to 2048x2048 (one LF group) are supported; larger images need
+    the multi-LF-group layout (TODO)."""
     opt = options or VarDCTOptions()
     h, wd, _ = image.shape
-    assert h <= 256 and wd <= 256, "multi-group VarDCT encode TODO"
+    assert h <= 2048 and wd <= 2048, "multi-LF-group VarDCT encode TODO"
     h8, w8 = ceil_div(h, 8), ceil_div(wd, 8)
 
     # pad to multiple of 8 by edge replication
@@ -145,22 +148,55 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w.u(1, 0)  # epf_sigma_custom
     w.u64(0)  # frame extensions
 
-    # single-section body; the coefficient code SPEC is part of HfGlobal while
-    # its TOKENS are in the pass group, so collect tokens first
-    coeff_enc = _collect_pass_group_tokens(opt, hf_int, h8, w8)
+    gcols, grows = ceil_div(wd, 256), ceil_div(h, 256)
+    num_groups = gcols * grows
+
+    # the coefficient code SPEC lives in HfGlobal while its TOKENS live in the
+    # per-group pass sections (one independent stream each), so collect all
+    # group token streams first
+    coeff_enc = _collect_pass_group_tokens(
+        opt, hf_int, h8, w8, gcols=gcols, grows=grows
+    )
+
+    if num_groups == 1:
+        sw = BitWriter()
+        _write_lf_global(sw, opt)
+        _write_hf_global(sw, opt, num_groups=1, coeff_enc=coeff_enc)
+        _write_lf_group(sw, opt, lf_int, h8, w8)
+        # pass group: preset selector is u(ceil_lg(1)) = 0 bits, then tokens
+        coeff_enc.write_tokens(sw, 0)
+        section = sw.finish()
+        w.u(1, 0)  # TOC not permuted
+        w.zero_pad_to_byte()
+        w.u32(TOC_U32, len(section))
+        w.zero_pad_to_byte()
+        w.out.extend(section)
+        return w.finish()
+
+    # multi-group, single LF group: LfGlobal + LFg + HfGlobal + per-group
+    sections: list[bytes] = []
     sw = BitWriter()
     _write_lf_global(sw, opt)
-    _write_hf_global(sw, opt, num_groups=1, coeff_enc=coeff_enc)
+    sections.append(sw.finish())
+    sw = BitWriter()
     _write_lf_group(sw, opt, lf_int, h8, w8)
-    # pass group: preset selector is u(ceil_lg(1)) = 0 bits, then the tokens
-    coeff_enc.write_tokens(sw)
-    section = sw.finish()
+    sections.append(sw.finish())
+    sw = BitWriter()
+    _write_hf_global(sw, opt, num_groups=num_groups, coeff_enc=coeff_enc)
+    sections.append(sw.finish())
+    for g in range(num_groups):
+        sw = BitWriter()
+        sw.u(ceil_lg(1), 0)  # preset selector (0 bits for 1 preset)
+        coeff_enc.write_tokens(sw, g)
+        sections.append(sw.finish())
 
     w.u(1, 0)  # TOC not permuted
     w.zero_pad_to_byte()
-    w.u32(TOC_U32, len(section))
+    for sct in sections:
+        w.u32(TOC_U32, len(sct))
     w.zero_pad_to_byte()
-    w.out.extend(section)
+    for sct in sections:
+        w.out.extend(sct)
     return w.finish()
 
 
@@ -220,17 +256,30 @@ def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
     )
 
 
-def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8) -> EntropyEncoder:
-    """HF coefficient tokens for one group, mirroring the decoder's context
-    chain (j40.h:6888-7005)."""
+def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8,
+                               gcols: int = 1, grows: int = 1) -> EntropyEncoder:
+    """HF coefficient tokens mirroring the decoder's context chain
+    (j40.h:6888-7005); one independent stream per 256px group."""
     order = natural_order(3, 3)
     nb_block_ctx = 15
-    # ctxoff selector: u(ceil_lg(num_hf_presets=1)) = 0 bits
     enc = EntropyEncoder(495 * nb_block_ctx, use_prefix=opt.use_prefix)
-    nonzeros = np.zeros((h8 * w8, 3), dtype=np.int32)
-    for y8 in range(h8):
-        for x8 in range(w8):
-            nzpos = y8 * w8 + x8
+    for grow in range(grows):
+        for gcol in range(gcols):
+            _collect_group(opt, enc, grow * gcols + gcol, hf_int, h8, w8,
+                           gcol * 32, grow * 32)
+    return enc
+
+
+def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8):
+    order = natural_order(3, 3)
+    nb_block_ctx = 15
+    gw8 = min(w8 - gx8, 32)
+    gh8 = min(h8 - gy8, 32)
+    nonzeros = np.zeros((gh8 * gw8, 3), dtype=np.int32)
+    for ly8 in range(gh8):
+        for lx8 in range(gw8):
+            y8, x8 = gy8 + ly8, gx8 + lx8
+            nzpos = ly8 * gw8 + lx8
             bctx0 = 0  # order_idx=0, qfidx=0, lfidx=0
             bctxc = 13
             for c_yxb in range(3):
@@ -238,15 +287,15 @@ def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8) -> EntropyEnc
                 q = hf_int[c, y8, x8]
                 bctx = DEFAULT_BLKCTX[bctx0 + bctxc * c_yxb]
                 nz_true = int(np.count_nonzero(q[[order[i] for i in range(1, 64)]]))
-                if x8 > 0:
-                    if y8 > 0:
-                        pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - w8][c] + 1) >> 1
+                if lx8 > 0:
+                    if ly8 > 0:
+                        pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - gw8][c] + 1) >> 1
                     else:
                         pred = nonzeros[nzpos - 1][c]
                 else:
-                    pred = nonzeros[nzpos - w8][c] if y8 > 0 else 32
+                    pred = nonzeros[nzpos - gw8][c] if ly8 > 0 else 32
                 nzctx = bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
-                enc.add(nzctx, nz_true)
+                enc.add(nzctx, nz_true, stream)
                 nonzeros[nzpos][c] = nz_true  # qnz == nz for 8x8
                 cctx = 458 * bctx + 37 * nb_block_ctx
                 prev = 1 if nz_true <= 4 else 0  # 1 << (log_size - 4) = 4
@@ -260,11 +309,10 @@ def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8) -> EntropyEnc
                         + prev
                     )
                     v = int(q[order[i]])
-                    enc.add(ctx, pack_signed(v))
+                    enc.add(ctx, pack_signed(v), stream)
                     prev = 1 if v != 0 else 0
                     nz -= prev
                     i += 1
-    return enc
 
 
 # -- raw-coefficient synthesis (differential test vectors) -------------------

@@ -137,3 +137,16 @@ def test_jax_backend_parity_mixed_classes(dj40, tmp_path):
     _, a = decode_file(cs, backend="numpy")
     _, b = decode_file(cs, backend="jax")
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_multi_group_vardct(dj40, tmp_path):
+    rng = np.random.default_rng(21)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(300, 520, 3)), axis=0), axis=1)
+        % 200
+        + 20
+    ).astype(np.uint8)
+    cs = encode_vardct(img)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
