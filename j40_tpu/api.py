@@ -1,0 +1,185 @@
+"""Public API mirroring the reference's surface (j40.h:163-274, 8240-8477).
+
+The reference exposes handle-based C calls (`j40_from_file`, `j40_next_frame`,
+`j40_frame_pixels_u8x4`, ...); this is the Python-idiomatic equivalent with
+the same semantics:
+
+- open is lazy: no parsing happens until `next_frame()` (j40.h:8342-8360);
+- only the RGBA/U8X4 output format is supported (j40.h:8369-8372);
+- errors are sticky 4-char codes, first-error-wins; only "shrt" (premature
+  end of input) is retryable: push more bytes and call `next_frame()` again
+  (j40.h:530-534, 8146-8169);
+- API misuse yields the 21x7 "error pixels" placeholder instead of raising
+  (j40.h:8429-8441).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .errors import J40Error, ShortInput
+
+# output formats (j40.h:175-199)
+RGBA = 4
+U8X4 = 0x0F
+
+# "error pixels": 21x7 dark-red placeholder returned on API misuse
+# (j40.h:8429-8441)
+_ERROR_W, _ERROR_H = 21, 7
+
+
+def _error_pixels() -> np.ndarray:
+    out = np.zeros((_ERROR_H, _ERROR_W, 4), dtype=np.uint8)
+    out[:, :, 0] = 0x80
+    out[:, :, 3] = 0xFF
+    return out
+
+
+class Frame:
+    """Decoded frame handle (j40_frame analog)."""
+
+    def __init__(self, rgba: np.ndarray):
+        self._rgba = rgba
+
+    @property
+    def width(self) -> int:
+        return self._rgba.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self._rgba.shape[0]
+
+    def pixels_u8x4(self) -> np.ndarray:
+        """(h, w, 4) uint8 RGBA (j40_frame_pixels_u8x4)."""
+        return self._rgba
+
+    def row_u8x4(self, y: int) -> np.ndarray:
+        """One row of RGBA pixels (j40_row_u8x4)."""
+        return self._rgba[y]
+
+
+class Image:
+    """Decoder handle (j40_image analog).
+
+    Usage::
+
+        im = Image.from_file("x.jxl")      # or Image.from_memory(data)
+        im.output_format(RGBA, U8X4)
+        if im.next_frame():
+            rgba = im.current_frame().pixels_u8x4()
+        elif im.error == "shrt":
+            im.push(more_bytes)            # streaming: feed and retry
+    """
+
+    def __init__(self, data: bytes | bytearray = b"", backend: str = "numpy"):
+        self._buf = bytearray(data)
+        self._backend = backend
+        self._err: str | None = None
+        self._err_msg = ""
+        self._frame: Frame | None = None
+        self._format_set = False
+
+    # -- constructors (j40_from_file / j40_from_memory) -------------------
+
+    @classmethod
+    def from_file(cls, path: str | Path, backend: str = "numpy") -> "Image":
+        try:
+            data = Path(path).read_bytes()
+        except OSError as e:
+            im = cls()
+            im._err = "open"
+            im._err_msg = str(e)
+            return im
+        return cls(data, backend=backend)
+
+    @classmethod
+    def from_memory(cls, data: bytes, backend: str = "numpy") -> "Image":
+        return cls(data, backend=backend)
+
+    # -- configuration -----------------------------------------------------
+
+    def output_format(self, pixel_format: int = RGBA, bit_format: int = U8X4) -> bool:
+        """Only RGBA/U8X4 is accepted, like the reference (j40.h:8369-8372)."""
+        if pixel_format != RGBA or bit_format != U8X4:
+            self._err = "fmt?"
+            return False
+        self._format_set = True
+        return True
+
+    # -- streaming ---------------------------------------------------------
+
+    def push(self, data: bytes) -> None:
+        """Append more input bytes; clears a retryable 'shrt' error."""
+        self._buf.extend(data)
+        if self._err == "shrt":
+            self._err = None
+
+    # -- decoding ----------------------------------------------------------
+
+    def next_frame(self) -> bool:
+        """Decode the next frame; False on error (check .error).
+
+        A 'shrt' error means more input is needed: push() and retry, matching
+        the reference's resumable coroutine semantics (re-entry is from the
+        start here; section-level checkpointing is an optimization TODO).
+        """
+        if self._err is not None and self._err != "shrt":
+            return False
+        from .decode import Decoder
+
+        try:
+            dec = Decoder(bytes(self._buf), backend=self._backend)
+            dec.decode_frame()
+            rgba = dec.render_rgba8()
+        except ShortInput as e:
+            self._err = "shrt"
+            self._err_msg = e.message
+            return False
+        except J40Error as e:
+            self._err = e.code
+            self._err_msg = e.message
+            return False
+        self._err = None
+        self._frame = Frame(rgba)
+        return True
+
+    def current_frame(self) -> Frame:
+        """The last decoded frame, or the error-pixels placeholder on misuse
+        (j40.h:8403-8441)."""
+        if self._frame is None:
+            return Frame(_error_pixels())
+        return self._frame
+
+    # -- errors (j40_error / j40_error_string) -----------------------------
+
+    @property
+    def error(self) -> str | None:
+        return self._err
+
+    def error_string(self) -> str:
+        if self._err is None:
+            return "successful"
+        messages = {
+            "shrt": "premature end of file",
+            "!jxl": "not a JPEG XL file",
+            "ftyp": "invalid ftyp box",
+            "TODO": "unimplemented feature encountered",
+        }
+        base = messages.get(self._err, f"decode error `{self._err}`")
+        return f"{base}{': ' + self._err_msg if self._err_msg else ''}"
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def free(self) -> None:
+        """j40_free analog (releases buffers; the handle stays usable for
+        error queries only)."""
+        self._buf = bytearray()
+        self._frame = None
+
+    def __enter__(self) -> "Image":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.free()

@@ -57,7 +57,9 @@ def _read_box_header(data: bytes, pos: int) -> tuple[bytes, int, int] | None:
 
 def parse_container(data: bytes) -> Container:
     """Detect bare codestream vs box container and extract the codestream."""
-    if len(data) >= 2 and data[0] == 0xFF and data[1] == 0x0A:
+    if len(data) < 2:
+        raise ShortInput("container signature needs 2 bytes")
+    if data[0] == 0xFF and data[1] == 0x0A:
         return Container(codestream=data, is_bare=True)
     check(data[:2] == JXL_BOX[:2], "!jxl")
     check(data[: len(JXL_BOX)] == JXL_BOX, "!jxl")
