@@ -50,8 +50,10 @@ class Frame:
 class Decoder:
     """Decodes a JPEG XL codestream (Modular and VarDCT frames)."""
 
-    def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy"):
+    def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy",
+                 apply_filters: bool = False):
         self.backend = backend
+        self.apply_filters = apply_filters
         self.container = parse_container(data)
         self.codestream = self.container.codestream
         self.limits = limits
@@ -77,6 +79,7 @@ class Decoder:
 
         state = FrameState(im, f, self.limits)
         state.backend = self.backend
+        state.apply_filters = self.apply_filters
 
         if toc.single_size:
             # everything decoded inline from the main reader (j40.h:8194-8200)

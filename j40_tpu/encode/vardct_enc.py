@@ -62,6 +62,7 @@ class VarDCTOptions:
     quant_lf: int = 64
     hf_mul: int = 8
     use_prefix: bool = True
+    sharpness: int = 0  # per-block EPF sharpness (0 = EPF skips the block)
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -249,7 +250,7 @@ def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
             np.zeros((h64, w64), dtype=np.int32),  # XFromY
             np.zeros((h64, w64), dtype=np.int32),  # BFromY
             blockinfo,
-            np.zeros((h8, w8), dtype=np.int32),  # Sharpness
+            np.full((h8, w8), opt.sharpness, dtype=np.int32),  # Sharpness
         ],
         predictor=0,
         use_prefix=opt.use_prefix,

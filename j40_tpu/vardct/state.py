@@ -684,6 +684,17 @@ class VarDCTState:
                         :effvh, :effvw
                     ]
 
+        # restoration filters (implemented per j40.h:7251-7624, which the
+        # reference never invokes; opt-in via Decoder(apply_filters=True))
+        if getattr(self.fs, "apply_filters", False):
+            from ..ops.filters import epf, gaborish
+
+            arr = np.stack(samples)
+            if f.gab_enabled:
+                arr = gaborish(arr, f.gab_weights)
+            arr = epf(arr, self, gg, is_modular=False)
+            samples = [arr[0], arr[1], arr[2]]
+
         # XYB -> linear sRGB -> sRGB' -> int planes (j40.h:7208-7241)
         cbrt_bias = np.cbrt(np.array(im.opsin_bias, dtype=np.float32))
         itscale = np.float32(255.0 / im.intensity_target)

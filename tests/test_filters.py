@@ -1,0 +1,73 @@
+"""Restoration filter tests (reference j40.h:7251-7624 — implemented there
+but never invoked; we wire them behind Decoder(apply_filters=True))."""
+
+import numpy as np
+
+from j40_tpu.decode import Decoder
+from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+from j40_tpu.ops.filters import KERNELS4, epf_step, gaborish, gaborish_jax
+
+GAB_W = [[0.115169525, 0.061248592]] * 3
+
+
+def test_gaborish_preserves_constants():
+    const = np.full((3, 16, 16), 0.5, dtype=np.float32)
+    out = gaborish(const, GAB_W)
+    np.testing.assert_allclose(out, const, atol=1e-6)
+
+
+def test_gaborish_is_smoothing():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(3, 32, 32)).astype(np.float32)
+    out = gaborish(img, GAB_W)
+    assert out.var() < img.var()
+    # energy roughly preserved on average
+    np.testing.assert_allclose(out.mean(), img.mean(), atol=1e-3)
+
+
+def test_gaborish_jax_parity():
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(3, 24, 40)).astype(np.float32)
+    a = gaborish(img, GAB_W)
+    b = np.asarray(gaborish_jax(img, GAB_W))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_epf_skip_is_identity():
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(3, 16, 16)).astype(np.float32)
+    rs = np.full((2, 2), -1.0, np.float32)
+    out = epf_step(img, 1.0, rs, KERNELS4, True, [40.0, 5.0, 3.5], 2 / 3)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_epf_smooths_with_active_sigma():
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(3, 16, 16)).astype(np.float32) * 0.05
+    rs = np.full((2, 2), 1.0, np.float32)  # sigma 1.0 >= threshold
+    out = epf_step(img, 1.0, rs, KERNELS4, True, [40.0, 5.0, 3.5], 2 / 3)
+    assert not np.array_equal(out, img)
+    assert out.var() < img.var()
+
+
+def test_decode_with_filters_end_to_end():
+    rng = np.random.default_rng(77)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(64, 80, 3)), axis=0), axis=1)
+        % 200
+        + 20
+    ).astype(np.uint8)
+    cs = encode_vardct(img, VarDCTOptions(sharpness=7))
+    d0 = Decoder(cs)
+    d0.decode_frame()
+    base = d0.render_rgba8()
+    d1 = Decoder(cs, apply_filters=True)
+    d1.decode_frame()
+    filt = d1.render_rgba8()
+    assert not np.array_equal(base, filt)
+    assert np.isfinite(filt).all()
+    # numpy and jax backends agree with filters on
+    d2 = Decoder(cs, apply_filters=True, backend="jax")
+    d2.decode_frame()
+    filt_jax = d2.render_rgba8()
+    assert np.abs(filt.astype(int) - filt_jax.astype(int)).max() <= 1
