@@ -1,15 +1,18 @@
-"""Benchmark: VarDCT decode throughput (Mpix/s) vs the reference dj40.
+"""Benchmark: decode throughput (Mpix/s) vs the reference dj40.
+
+Measures the BASELINE.json metric — "decode Mpix/s/chip (Modular lossless +
+VarDCT d1.0)" — as the geometric mean over the two modes, each compared
+against a locally built dj40 on the same files (the reference publishes no
+absolute numbers; see BASELINE.md).  dj40 is timed without PNG writing.
 
 Prints exactly one JSON line on stdout:
   {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": R}
-
-vs_baseline is our Mpix/s divided by dj40's Mpix/s on the same file, measured
-on this machine (the reference publishes no absolute numbers; BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -20,8 +23,9 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent
 CACHE = Path("/tmp/j40_tpu_bench")
-SIZE = int(os.environ.get("BENCH_SIZE", "256"))
+SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+WORKERS = int(os.environ.get("BENCH_WORKERS", "8"))
 
 
 def _ensure_dj40() -> Path | None:
@@ -50,54 +54,83 @@ def _test_image(size: int) -> np.ndarray:
     return (img % 200 + 20).astype(np.uint8)
 
 
+def _time_ours(data: bytes, backend: str) -> float:
+    from j40_tpu.decode import Decoder
+
+    def once():
+        d = Decoder(data, backend=backend, workers=WORKERS)
+        d.decode_frame()
+        return d.render_rgba8()
+
+    rgba = once()  # warmup (includes jit compile on device backends)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        once()
+    dt = (time.perf_counter() - t0) / ITERS
+    return rgba.shape[0] * rgba.shape[1] / dt / 1e6
+
+
+def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
+    subprocess.run([str(dj40), str(jxl)], capture_output=True)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        subprocess.run([str(dj40), str(jxl)], capture_output=True)
+    dt = (time.perf_counter() - t0) / ITERS
+    return pixels / dt / 1e6
+
+
 def main() -> None:
     sys.path.insert(0, str(REPO))
-    from j40_tpu.decode import decode_file
+    from j40_tpu.encode.encoder import encode_modular
     from j40_tpu.encode.vardct_enc import encode_vardct
 
     CACHE.mkdir(exist_ok=True)
-    jxl_path = CACHE / f"bench_{SIZE}.jxl"
-    if not jxl_path.exists():
-        cs = encode_vardct(_test_image(SIZE))
-        jxl_path.write_bytes(cs)
-    data = jxl_path.read_bytes()
+    img = _test_image(SIZE)
+    pixels = SIZE * SIZE
 
-    backend = os.environ.get("BENCH_BACKEND", "jax")
-    # warmup (includes jit compilation)
-    _, rgba = decode_file(data, backend=backend)
-    pixels = rgba.shape[0] * rgba.shape[1]
+    cases = {}
+    mod_path = CACHE / f"modular_{SIZE}.jxl"
+    if not mod_path.exists():
+        mod_path.write_bytes(encode_modular(img))
+    cases["modular"] = (mod_path, "numpy")
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        decode_file(data, backend=backend)
-    dt = (time.perf_counter() - t0) / ITERS
-    ours_mpix_s = pixels / dt / 1e6
+    vd_size = min(SIZE, 2048)
+    vd_path = CACHE / f"vardct_{vd_size}.jxl"
+    if not vd_path.exists():
+        vd_path.write_bytes(encode_vardct(img[:vd_size, :vd_size]))
+    cases["vardct"] = (vd_path, os.environ.get("BENCH_BACKEND", "jax"))
 
-    vs_baseline = 0.0
     dj40 = _ensure_dj40()
-    if dj40 is not None:
-        out_png = CACHE / "bench_ref.png"
-        subprocess.run([str(dj40), str(jxl_path), str(out_png)], capture_output=True)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            subprocess.run(
-                [str(dj40), str(jxl_path), str(out_png)], capture_output=True
-            )
-        ref_dt = (time.perf_counter() - t0) / ITERS
-        ref_mpix_s = pixels / ref_dt / 1e6
-        vs_baseline = ours_mpix_s / ref_mpix_s
+    ours = {}
+    refs = {}
+    for name, (path, backend) in cases.items():
+        data = path.read_bytes()
+        ours[name] = _time_ours(data, backend)
+        if dj40 is not None:
+            refs[name] = _time_dj40(dj40, path, pixels)
         print(
-            f"# ours: {ours_mpix_s:.3f} Mpix/s, dj40: {ref_mpix_s:.3f} Mpix/s",
+            f"# {name}: ours {ours[name]:.2f} Mpix/s, dj40 "
+            f"{refs.get(name, float('nan')):.2f} Mpix/s",
             file=sys.stderr,
+        )
+
+    value = math.sqrt(ours["modular"] * ours["vardct"])
+    vs_baseline = 0.0
+    if refs:
+        vs_baseline = math.sqrt(
+            (ours["modular"] / refs["modular"]) * (ours["vardct"] / refs["vardct"])
         )
 
     print(
         json.dumps(
             {
-                "metric": f"VarDCT decode throughput ({SIZE}x{SIZE}, backend={backend})",
-                "value": round(ours_mpix_s, 4),
+                "metric": (
+                    f"decode Mpix/s/chip, geomean of Modular lossless + VarDCT "
+                    f"({SIZE}x{SIZE}, {WORKERS} host threads)"
+                ),
+                "value": round(value, 3),
                 "unit": "Mpix/s",
-                "vs_baseline": round(vs_baseline, 4),
+                "vs_baseline": round(vs_baseline, 3),
             }
         )
     )

@@ -51,9 +51,10 @@ class Decoder:
     """Decodes a JPEG XL codestream (Modular and VarDCT frames)."""
 
     def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy",
-                 apply_filters: bool = False):
+                 apply_filters: bool = False, workers: int = 1):
         self.backend = backend
         self.apply_filters = apply_filters
+        self.workers = workers
         self.container = parse_container(data)
         self.codestream = self.container.codestream
         self.limits = limits
@@ -100,13 +101,29 @@ class Decoder:
                 state.hf_global(
                     self._section_reader(toc.hf_global_codeoff, toc.hf_global_size)
                 )
-            for s in toc.sections:
+            lf_sections = [s for s in toc.sections if s.pass_ < 0]
+            pg_sections = [s for s in toc.sections if s.pass_ >= 0]
+            for s in lf_sections:
                 sr = self._section_reader(s.codeoff, s.size)
-                if s.pass_ < 0:
-                    state.lf_group(sr, s.idx)
-                else:
-                    state.pass_group(sr, s.pass_, s.idx)
+                state.lf_group(sr, s.idx)
                 sr.no_more_bytes()
+
+            def _one_pass_group(s):
+                sr = self._section_reader(s.codeoff, s.size)
+                state.pass_group(sr, s.pass_, s.idx)
+                sr.no_more_bytes()
+
+            if self.workers > 1 and len(pg_sections) > 1:
+                # per-section isolation (independent entropy streams, disjoint
+                # output regions; j40.h:7752-7776) makes group decode
+                # embarrassingly parallel; the native core releases the GIL
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.workers) as ex:
+                    list(ex.map(_one_pass_group, pg_sections))
+            else:
+                for s in pg_sections:
+                    _one_pass_group(s)
 
         state.finish()
         self.frame = Frame(header=f, gmodular=state.gmodular)
