@@ -161,6 +161,9 @@ class Decoder:
             src = planes[i] if i < 3 else alpha
             if src is None:
                 out[:, :, i] = 255
+            elif im.bpp == 8:
+                # (p*255 + 128) // 255 == p for p in [0, 255]
+                out[:, :, i] = np.clip(src, 0, 255).astype(np.uint8)
             else:
                 p = np.clip(src, 0, maxpixel).astype(np.int64)
                 out[:, :, i] = ((p * 255 + half) // maxpixel).astype(np.uint8)

@@ -94,18 +94,19 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
     kx_lf = np.float32(vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor)
     kb_lf = np.float32(vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor)
 
-    # group varblocks by dctsel (host)
-    classes: dict[int, list[int]] = {}
-    corners = {}
-    for y8 in range(ggh8):
-        for x8 in range(ggw8):
-            v = int(gg.blocks[y8, x8])
-            ds = (v >> 20) - 2
-            if ds < 0:
-                continue
-            voff = v & 0xFFFFF
-            classes.setdefault(ds, []).append(voff)
-            corners[voff] = (y8, x8)
+    # group varblocks by dctsel (host, vectorized over the block map)
+    blocks_arr = np.asarray(gg.blocks)
+    corner_mask = (blocks_arr >> 20) >= 2
+    cy, cx = np.nonzero(corner_mask)
+    ds_all = (blocks_arr[cy, cx] >> 20) - 2
+    voff_all = blocks_arr[cy, cx] & 0xFFFFF
+    classes: dict[int, np.ndarray] = {}
+    corner_y = np.empty(gg.nb_varblocks, dtype=np.int64)
+    corner_x = np.empty(gg.nb_varblocks, dtype=np.int64)
+    corner_y[voff_all] = cy
+    corner_x[voff_all] = cx
+    for ds in np.unique(ds_all):
+        classes[int(ds)] = voff_all[ds_all == ds]
 
     plane = jnp.zeros((3, ggh8 * 8, ggw8 * 8), dtype=jnp.float32)
     consts = dict(
@@ -125,29 +126,27 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
         vw8 = 1 << (max(log_rows, log_columns) - 3)
         llfsize = vh8 * vw8
         n = len(voffs)
-        coeffs = np.empty((3, n, size), dtype=np.float32)
-        llf = np.empty((3, n, llfsize), dtype=np.float32)
-        hfmul_inv = np.empty(n, dtype=np.float32)
-        kx = np.empty(n, dtype=np.float32)
-        kb = np.empty(n, dtype=np.float32)
-        for k, voff in enumerate(voffs):
-            off = int(gg.vb_coeffoff[voff])
-            y8, x8 = corners[voff]
-            for c in range(3):
-                coeffs[c, k] = gg.coeffs[c][off : off + size]
-            ly = gg.llfcoeffs[1][(off >> 6) : (off >> 6) + llfsize]
-            lx = gg.llfcoeffs[0][(off >> 6) : (off >> 6) + llfsize]
-            lb = gg.llfcoeffs[2][(off >> 6) : (off >> 6) + llfsize]
-            llf[0, k] = lx + ly * kx_lf
-            llf[1, k] = ly
-            llf[2, k] = lb + ly * kb_lf
-            hfmul_inv[k] = gg.vb_hfmul_inv[voff]
-            kx[k] = vs.base_corr_x + vs.inv_colour_factor * float(
-                gg.xfromy[y8 // 8, x8 // 8]
-            )
-            kb[k] = vs.base_corr_b + vs.inv_colour_factor * float(
-                gg.bfromy[y8 // 8, x8 // 8]
-            )
+        # vectorized gathers: coefficient slices are contiguous per varblock
+        offs = np.asarray(gg.vb_coeffoff)[voffs]
+        cidx = offs[:, None] + np.arange(size)[None, :]
+        coeffs = np.stack([gg.coeffs[c][cidx] for c in range(3)]).astype(np.float32)
+        lidx = (offs[:, None] >> 6) + np.arange(llfsize)[None, :]
+        lx = gg.llfcoeffs[0][lidx]
+        ly = gg.llfcoeffs[1][lidx]
+        lb = gg.llfcoeffs[2][lidx]
+        llf = np.stack([lx + ly * kx_lf, ly, lb + ly * kb_lf])
+        hfmul_inv = np.asarray(gg.vb_hfmul_inv)[voffs].astype(np.float32)
+        y8s, x8s = corner_y[voffs], corner_x[voffs]
+        kx = (
+            vs.base_corr_x
+            + vs.inv_colour_factor
+            * np.asarray(gg.xfromy)[y8s // 8, x8s // 8]
+        ).astype(np.float32)
+        kb = (
+            vs.base_corr_b
+            + vs.inv_colour_factor
+            * np.asarray(gg.bfromy)[y8s // 8, x8s // 8]
+        ).astype(np.float32)
         # canonical positions of LLF coefficients: y*(2^max)+x
         llf_idx = np.array(
             [y * (vw8 * 8) + x for y in range(vh8) for x in range(vw8)], np.int32
@@ -172,13 +171,10 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
                 .reshape(3, ggh8 * 8, ggw8 * 8)
             )
         else:
-            idx = np.empty((n, rows, cols), dtype=np.int32)
             W = ggw8 * 8
-            for k, voff in enumerate(voffs):
-                y8, x8 = corners[voff]
-                ys = (y8 * 8 + np.arange(rows))[:, None]
-                xs = (x8 * 8 + np.arange(cols))[None, :]
-                idx[k] = ys * W + xs
+            ys = (y8s[:, None, None] * 8 + np.arange(rows)[None, :, None])
+            xs = (x8s[:, None, None] * 8 + np.arange(cols)[None, None, :])
+            idx = (ys * W + xs).astype(np.int32)
             flat = plane.reshape(3, -1)
             flat = flat.at[:, jnp.asarray(idx.ravel())].set(
                 samples.reshape(3, -1)

@@ -328,6 +328,27 @@ class VarDCTState:
         llfcoeffs = [np.zeros(ggw8 * ggh8, dtype=np.float32) for _ in range(3)]
         coeffs = [np.zeros(ggw8 * ggh8 * 64, dtype=np.float32) for _ in range(3)]
 
+        # fast path: every varblock is DCT8x8 in raster order (the dominant
+        # case for photographic content and our encoder's output)
+        if (
+            nb_varblocks == ggw8 * ggh8
+            and not dctsel_arr.any()
+        ):
+            self.dct_select_used |= 1
+            self.order_used |= 1
+            blocks[:] = (2 << 20) | np.arange(nb_varblocks, dtype=np.int32).reshape(
+                ggh8, ggw8
+            )
+            coeffoff_arr[:] = np.arange(nb_varblocks, dtype=np.int64) * 64
+            vb_dctsel[:] = 0
+            for c in range(3):
+                llfcoeffs[c][:] = lfquant[c].ravel()
+            self._finish_hf_metadata(
+                nb_varblocks, m, gg, blocks, coeffoff_arr, vb_dctsel, hfmul_m1,
+                llfcoeffs, coeffs,
+            )
+            return
+
         voff = 0
         coeffoff = 0
         for y0 in range(ggh8):
@@ -362,7 +383,13 @@ class VarDCTState:
                 coeffoff += 1 << (log_vw + log_vh)
                 voff += 1
         check(voff == nb_varblocks, "vblk")
+        self._finish_hf_metadata(
+            nb_varblocks, m, gg, blocks, coeffoff_arr, vb_dctsel, hfmul_m1,
+            llfcoeffs, coeffs,
+        )
 
+    def _finish_hf_metadata(self, nb_varblocks, m, gg, blocks, coeffoff_arr,
+                            vb_dctsel, hfmul_m1, llfcoeffs, coeffs):
         # qfidx & hfmul (j40.h:6692-6700)
         qfidx = np.zeros(nb_varblocks, dtype=np.int32)
         for t in self.qf_thr:
