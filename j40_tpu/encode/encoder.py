@@ -104,18 +104,19 @@ class EncodeOptions:
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
                    options: EncodeOptions | None = None) -> bytes:
-    """Encode (h, w) grayscale—not yet—or (h, w, 3) RGB image losslessly.
+    """Encode (h, w, 3) RGB or (h, w, 4) RGBA losslessly.
 
-    Returns a bare JPEG XL codestream (FF 0A ...).
+    Returns a bare JPEG XL codestream (FF 0A ...).  bpp up to 15 is supported
+    (the int16 sample-buffer limit shared with the reference, j40.h:4225).
     """
     opt = options or EncodeOptions()
-    assert image.ndim == 3 and image.shape[2] in (1, 3), "need (h,w,1|3)"
+    assert image.ndim == 3 and image.shape[2] in (3, 4), "need (h,w,3|4)"
     h, wd, nc = image.shape
-    assert nc == 3, "grayscale TODO"
+    num_alpha = 1 if nc == 4 else 0
 
     w = BitWriter()
     write_signature(w)
-    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False)
+    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False, num_alpha=num_alpha)
 
     # FrameHeader (not all_default; j40.h:5163-5388 field order)
     w.zero_pad_to_byte()
@@ -125,12 +126,15 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     w.u64(0)  # flags
     w.u(1, 0)  # do_ycbcr (xyb_encoded false)
     w.u(2, 0)  # log_upsampling
-    # (no extra channels -> no ec upsampling)
+    for _ in range(num_alpha):
+        w.u(2, 0)  # per-extra-channel upsampling
     w.u(2, opt.group_size_shift - 7)  # group_size_shift
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes = 1
     w.u(1, 0)  # have_crop = false
-    # blending (regular frame): mode=replace; full frame -> no src_ref_frame
-    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)
+    # blending (regular frame): replace for color + each extra channel;
+    # full frame -> no src_ref_frame
+    for _ in range(1 + num_alpha):
+        w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)
     # no animation
     w.u(1, 1)  # is_last
     # save_before_ct not read (is_last && blend replace && full)

@@ -106,3 +106,26 @@ def test_native_core_matches_python(dj40, tmp_path, smooth_img):
     finally:
         os.environ["J40T_NATIVE"] = "1"
     np.testing.assert_array_equal(a, b)
+
+
+def test_alpha_channel(dj40, tmp_path):
+    rng = np.random.default_rng(1)
+    img = (np.cumsum(rng.integers(-3, 4, size=(24, 32, 4)), axis=1) % 256).astype(
+        np.uint8
+    )
+    cs = encode_modular(img)
+    ref = _dj40_decode(dj40, cs, tmp_path)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref)
+    np.testing.assert_array_equal(rgba, img)
+
+
+def test_12bpp(dj40, tmp_path):
+    rng = np.random.default_rng(2)
+    img = (np.cumsum(rng.integers(-20, 21, size=(24, 32, 3)), axis=1) % 4096).astype(
+        np.int32
+    )
+    cs = encode_modular(img, bpp=12)
+    ref = _dj40_decode(dj40, cs, tmp_path)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref)
