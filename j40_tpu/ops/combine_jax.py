@@ -196,4 +196,8 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
         jnp.float32(255.0 / im.intensity_target),
         jnp.float32((1 << im.bpp) - 1),
     )
-    return np.asarray(out)[:, :ggh, :ggw]
+    if im.bpp == 8:
+        # clamp on device and fetch uint8: 4x less device->host traffic (the
+        # render stage clips to [0, 255] anyway)
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return np.asarray(out)[:, :ggh, :ggw].astype(np.int32)
