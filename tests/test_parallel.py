@@ -1,0 +1,54 @@
+"""Multi-device / multi-image parallel decode tests (virtual 8-device CPU
+mesh; see conftest.py)."""
+
+import numpy as np
+
+from j40_tpu.decode import decode_file
+from j40_tpu.encode.encoder import encode_modular
+from j40_tpu.encode.vardct_enc import encode_vardct
+from j40_tpu.parallel.batch import decode_batch
+
+
+def _images(n):
+    rng = np.random.default_rng(31)
+    out = []
+    for _ in range(n):
+        img = (
+            np.cumsum(rng.integers(-3, 4, size=(40, 48, 3)), axis=1) % 200 + 20
+        ).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def test_decode_batch_modular():
+    imgs = _images(6)
+    blobs = [encode_modular(im) for im in imgs]
+    outs = decode_batch(blobs, workers=4, backend="numpy")
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out[:, :, :3], im)
+
+
+def test_decode_batch_vardct_jax_multidevice():
+    import jax
+
+    assert len(jax.devices()) >= 2, "conftest should provide 8 CPU devices"
+    imgs = _images(4)
+    blobs = [encode_vardct(im) for im in imgs]
+    outs = decode_batch(blobs, workers=4, backend="jax")
+    # parity against single-device sequential decode
+    for blob, out in zip(blobs, outs):
+        _, ref = decode_file(blob, backend="numpy")
+        assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
+
+
+def test_dryrun_multichip():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = fn(*args)
+    assert out.shape == (3, 64, 64)
+    ge.dryrun_multichip(8)
