@@ -152,6 +152,34 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
             [y * (vw8 * 8) + x for y in range(vh8) for x in range(vw8)], np.int32
         )
         weights = vs.dq_weights[param_idx]
+
+        full_dct8 = ds == 0 and n == ggh8 * ggw8
+        if full_dct8:
+            from .pallas_kernels import pallas_available, reconstruct_dct8_pallas
+
+            if pallas_available():
+                # fused Pallas path: dequant+CfL+IDCT in one VMEM pass, raster
+                # output directly — skips the generic class pipeline entirely
+                pconsts = jnp.asarray(
+                    [
+                        consts["global_scale_inv"],
+                        consts["qm_scales"][0],
+                        consts["qm_scales"][2],
+                        consts["quant_bias"][0],
+                        consts["quant_bias"][1],
+                        consts["quant_bias"][2],
+                        consts["quant_bias_num"],
+                        0.0,
+                    ],
+                    dtype=jnp.float32,
+                )
+                plane = reconstruct_dct8_pallas(
+                    jnp.asarray(coeffs), jnp.asarray(llf.reshape(3, n)),
+                    jnp.asarray(hfmul_inv), jnp.asarray(kx), jnp.asarray(kb),
+                    jnp.asarray(weights), pconsts, ggh8, ggw8,
+                )
+                continue
+
         samples = _class_pipeline(
             jnp.asarray(coeffs), jnp.asarray(llf), jnp.asarray(llf_idx),
             jnp.asarray(hfmul_inv), jnp.asarray(kx), jnp.asarray(kb),
@@ -162,9 +190,7 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
             jnp.float32(consts["quant_bias_num"]),
             ds,
         )
-        # scatter blocks into the plane
-        if ds == 0 and n == ggh8 * ggw8:
-            # fast path: full uniform DCT8x8 partition, pure reshape
+        if full_dct8:
             plane = (
                 samples.reshape(3, ggh8, ggw8, 8, 8)
                 .transpose(0, 1, 3, 2, 4)

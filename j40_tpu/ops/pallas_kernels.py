@@ -1,0 +1,132 @@
+"""Pallas TPU kernels for the VarDCT hot path.
+
+Fused dequant + chroma-from-luma + inverse DCT for DCT8x8 block batches.
+The whole per-block 2-D IDCT (including the canonical coefficient transpose)
+is a dense 64x64 matrix K with samples_flat = K @ coeffs_flat, so the kernel
+is one VPU elementwise chain plus one MXU matmul over the lane-aligned
+(n, 64) layout — no lane-splitting reshapes, which Mosaic cannot lower.
+The block→raster relayout stays outside in XLA (a fused transpose).
+
+See /opt/skills/guides/pallas_guide.md for conventions.  Off TPU the kernel
+runs in interpreter mode (tests); production CPU paths use ops.reconstruct.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..vardct.dct import inverse_dct2d
+
+
+@functools.lru_cache(maxsize=None)
+def idct8_matrix() -> np.ndarray:
+    """(64, 64) K with samples.ravel() == K @ canonical_coeffs (float32)."""
+    cols = []
+    for i in range(64):
+        e = np.zeros(64, dtype=np.float32)
+        e[i] = 1.0
+        cols.append(inverse_dct2d(e, 3, 3).ravel())
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
+def _kernel(
+    coeffs_ref,     # (3, bn, 64) raw coefficients for this tile
+    llf_ref,        # (3, bn) dequantized LF
+    scalars_ref,    # (3, bn): hfmul_inv, kx, kb
+    weights_ref,    # (64, 3) dequant weight table
+    k_ref,          # (64, 64) dense 2-D IDCT operator
+    consts_ref,     # (8,): gs_inv, qmx, qmb, qb0, qb1, qb2, qbnum, pad
+    out_ref,        # (3, bn, 64) samples (row-major 8x8 per block)
+):
+    # channels unrolled: Mosaic cannot lower tiny (3,)-axis broadcasts, so
+    # everything stays 2-D (bn, 64) with scalar per-channel constants
+    gs_inv = consts_ref[0]
+    qmv = (jnp.float32(1.0) * consts_ref[1], jnp.float32(1.0), consts_ref[2])
+    qbv = (consts_ref[3], consts_ref[4], consts_ref[5])
+    qbnum = consts_ref[6]
+
+    hfmul_inv = scalars_ref[0, :]          # (bn,)
+    kx = scalars_ref[1, :]
+    kb = scalars_ref[2, :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, coeffs_ref.shape[1:], 1)
+    k = k_ref[:]
+
+    def dequant(c):
+        q = coeffs_ref[c]                  # (bn, 64)
+        small = jnp.abs(q) <= 1.0
+        safe = jnp.where(q == 0.0, 1.0, q)
+        adj = jnp.where(small, q * qbv[c], q - qbnum / safe)
+        mult = (gs_inv * qmv[c]) * hfmul_inv[:, None]
+        return adj * mult / weights_ref[:, c][None, :]
+
+    d0, d1, d2 = dequant(0), dequant(1), dequant(2)
+    planes = (d0 + d1 * kx[:, None], d1, d2 + d1 * kb[:, None])
+    for c in range(3):
+        cf = jnp.where(pos == 0, llf_ref[c, :][:, None], planes[c])
+        # samples = K @ coeffs per block: (bn, 64) x (64, 64) on the MXU
+        out_ref[c] = jax.lax.dot_general(
+            cf, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("h8", "w8", "tile"))
+def reconstruct_dct8_pallas(
+    coeffs,      # (3, h8*w8, 64) float32
+    llf,         # (3, h8*w8)
+    hfmul_inv,   # (h8*w8,)
+    kx, kb,      # (h8*w8,)
+    weights,     # (64, 3)
+    consts,      # (8,) packed floats
+    h8: int,
+    w8: int,
+    tile: int = 512,
+):
+    """Fused dequant+CfL+IDCT for an all-DCT8x8 LF group; returns XYB samples
+    (3, h8*8, w8*8) float32."""
+    n = h8 * w8
+    k = jnp.asarray(idct8_matrix())
+    scalars = jnp.stack([hfmul_inv, kx, kb])
+
+    tile = min(tile, n)
+    if n % tile:
+        tile = n  # fall back to one program for ragged sizes
+    grid = (n // tile,)
+
+    blocks = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile, 64), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tile, 64), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n, 64), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(coeffs, llf, scalars, weights, k, consts)
+    # block -> raster layout (fused by XLA)
+    return (
+        blocks.reshape(3, h8, w8, 8, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, h8 * 8, w8 * 8)
+    )
+
+
+def pallas_available() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
