@@ -100,6 +100,7 @@ class EncodeOptions:
     predictor: int = 5  # gradient
     use_prefix: bool = True  # prefix vs ANS coding
     group_size_shift: int = 8
+    permute_toc: bool = False  # exercise the TOC permutation path
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -195,14 +196,45 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
         )
         sections.append(gsw.finish())
 
-    w.u(1, 0)  # not permuted
+    _write_toc(w, sections, opt.permute_toc, opt.use_prefix)
+    return w.finish()
+
+
+def _write_toc(w: BitWriter, sections: list[bytes], permute: bool,
+               use_prefix: bool) -> None:
+    """Emit the TOC; optionally with a Lehmer-coded section permutation
+    (j40.h:5505-5543).  Sizes and payloads are stored in permuted order; the
+    decoder's apply_permutation maps them back to role order."""
+    n = len(sections)
+    if not permute or n <= 1:
+        w.u(1, 0)  # not permuted
+        w.zero_pad_to_byte()
+        for s in sections:
+            w.u32(TOC_U32, len(s))
+        w.zero_pad_to_byte()
+        for s in sections:
+            w.out.extend(s)
+        return
+    from .entropy import EntropyEncoder
+    from .permute import add_permutation_tokens, lehmer_encode
+
+    # deterministic nontrivial shuffle: reverse the section order
+    shuffle = list(range(n))[::-1]  # stored[j] holds role shuffle[j]
+    perm = [0] * n  # perm[i] = stored position of role i
+    for j, role in enumerate(shuffle):
+        perm[role] = j
+    lehmer = lehmer_encode(perm)
+    w.u(1, 1)  # permuted
+    enc = EntropyEncoder(8, use_prefix=use_prefix)
+    add_permutation_tokens(enc, lehmer, n, 0)
+    enc.write(w)
     w.zero_pad_to_byte()
-    for s in sections:
+    stored = [sections[role] for role in shuffle]
+    for s in stored:
         w.u32(TOC_U32, len(s))
     w.zero_pad_to_byte()
-    for s in sections:
+    for s in stored:
         w.out.extend(s)
-    return w.finish()
 
 
 def _lf_global_single(w: BitWriter, channels, opt: EncodeOptions) -> None:

@@ -63,6 +63,7 @@ class VarDCTOptions:
     hf_mul: int = 8
     use_prefix: bool = True
     sharpness: int = 0  # per-block EPF sharpness (0 = EPF skips the block)
+    custom_order: bool = False  # Lehmer-permuted coefficient order (order 0)
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -215,10 +216,36 @@ def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
                      coeff_enc: EntropyEncoder) -> None:
     w.u(1, 1)  # default dq matrices
     w.u(ceil_lg(num_groups), 0)  # num_hf_presets - 1 = 0
-    # HfPass for pass 0: used_orders = 0 (all natural)
-    w.u(2, 2)  # u32 selector 2 -> value 0, 0 bits
+    if opt.custom_order:
+        # used_orders = 1: Lehmer-permuted order for order_idx 0 (DCT8x8)
+        from .permute import add_permutation_tokens, lehmer_encode
+
+        w.u32(((0x5F, 0), (0x13, 0), (0, 0), (0, 13)), 1)
+        enc = EntropyEncoder(8, use_prefix=opt.use_prefix)
+        perm = _custom_order_perm()
+        lehmer = lehmer_encode(perm)
+        for _c in range(3):
+            add_permutation_tokens(enc, lehmer, 64, 1)
+        enc.write(w)
+    else:
+        # HfPass for pass 0: used_orders = 0 (all natural)
+        w.u(2, 2)  # u32 selector 2 -> value 0, 0 bits
     # coefficient code spec: 495*15*1 contexts, single cluster
     coeff_enc.write_spec(w)
+
+
+def _custom_order_perm() -> list[int]:
+    """Deterministic nontrivial shuffle of the 63 post-LLF positions."""
+    idx = list(range(63))
+    return idx[::-1]
+
+
+def _effective_order(opt: VarDCTOptions):
+    base = list(natural_order(3, 3))
+    if not opt.custom_order:
+        return base
+    perm = _custom_order_perm()
+    return base[:1] + [base[1 + p] for p in perm]
 
 
 def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
@@ -272,7 +299,7 @@ def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8,
 
 
 def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8):
-    order = natural_order(3, 3)
+    order = _effective_order(opt)
     nb_block_ctx = 15
     gw8 = min(w8 - gx8, 32)
     gh8 = min(h8 - gy8, 32)

@@ -129,3 +129,16 @@ def test_12bpp(dj40, tmp_path):
     ref = _dj40_decode(dj40, cs, tmp_path)
     _, rgba = decode_file(cs)
     np.testing.assert_array_equal(rgba, ref)
+
+
+def test_permuted_toc(dj40, tmp_path):
+    rng = np.random.default_rng(3)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(300, 520, 3)), axis=0), axis=1)
+        % 256
+    ).astype(np.uint8)
+    cs = encode_modular(img, options=EncodeOptions(permute_toc=True))
+    ref = _dj40_decode(dj40, cs, tmp_path)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)

@@ -150,3 +150,11 @@ def test_multi_group_vardct(dj40, tmp_path):
     _, rgba = decode_file(cs)
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_custom_coefficient_order(dj40, tmp_path, photo):
+    # Lehmer-permuted coefficient order (used_orders != 0 path)
+    cs = encode_vardct(photo, VarDCTOptions(custom_order=True))
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
