@@ -19,6 +19,21 @@ from ..vardct import special
 from ..vardct.tables import DCT_SELECT, QM_SCALE
 from .reconstruct import idct2d_batch, xyb_to_srgb_u8
 
+# small on-device caches for constant tables, keyed by content: the dev-host
+# tunnel makes every host->device transfer expensive, and these arrays repeat
+# across decodes (library dequant weights, opsin constants)
+_DEVICE_CACHE: dict = {}
+
+
+def _cached_device(key, np_arr):
+    import jax
+
+    ent = _DEVICE_CACHE.get(key)
+    if ent is None or ent[0] != np_arr.tobytes():
+        ent = (np_arr.tobytes(), jnp.asarray(np_arr))
+        _DEVICE_CACHE[key] = ent
+    return ent[1]
+
 # dctsel values handled by dense 64x64 matrices
 _SPECIAL_FNS = {
     1: lambda b: special.inverse_hornuss(b),
@@ -160,7 +175,7 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
             if pallas_available():
                 # fused Pallas path: dequant+CfL+IDCT in one VMEM pass, raster
                 # output directly — skips the generic class pipeline entirely
-                pconsts = jnp.asarray(
+                pconsts = np.asarray(
                     [
                         consts["global_scale_inv"],
                         consts["qm_scales"][0],
@@ -171,12 +186,17 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
                         consts["quant_bias_num"],
                         0.0,
                     ],
-                    dtype=jnp.float32,
+                    dtype=np.float32,
                 )
+                # upload int16 coefficients when they fit: halves the
+                # dominant host->device transfer
+                cmax = np.abs(coeffs).max() if coeffs.size else 0
+                cup = coeffs.astype(np.int16) if cmax < 32000 else coeffs
                 plane = reconstruct_dct8_pallas(
-                    jnp.asarray(coeffs), jnp.asarray(llf.reshape(3, n)),
+                    jnp.asarray(cup), jnp.asarray(llf.reshape(3, n)),
                     jnp.asarray(hfmul_inv), jnp.asarray(kx), jnp.asarray(kb),
-                    jnp.asarray(weights), pconsts, ggh8, ggw8,
+                    _cached_device(("w", param_idx), weights),
+                    _cached_device(("pc",), np.asarray(pconsts)), ggh8, ggw8,
                 )
                 continue
 

@@ -80,7 +80,7 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=("h8", "w8", "tile"))
 def reconstruct_dct8_pallas(
-    coeffs,      # (3, h8*w8, 64) float32
+    coeffs,      # (3, h8*w8, 64) float32 or int16 (converted on device)
     llf,         # (3, h8*w8)
     hfmul_inv,   # (h8*w8,)
     kx, kb,      # (h8*w8,)
@@ -93,6 +93,8 @@ def reconstruct_dct8_pallas(
     """Fused dequant+CfL+IDCT for an all-DCT8x8 LF group; returns XYB samples
     (3, h8*8, w8*8) float32."""
     n = h8 * w8
+    coeffs = coeffs.astype(jnp.float32)
+    llf = llf.astype(jnp.float32)
     k = jnp.asarray(idct8_matrix())
     scalars = jnp.stack([hfmul_inv, kx, kb])
 
