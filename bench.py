@@ -81,6 +81,13 @@ def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
 
 def main() -> None:
     sys.path.insert(0, str(REPO))
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from j40_tpu.encode.encoder import encode_modular
     from j40_tpu.encode.vardct_enc import encode_vardct
 

@@ -30,6 +30,18 @@ struct Bits {
   bool overrun;     // set when reads run past the end ("shrt")
 
   inline void refill() {
+    if (pos + 8 <= size) {
+      // branch-free bulk refill: load 8 bytes, take what fits
+      uint64_t chunk;
+      memcpy(&chunk, data + pos, 8);
+      bits |= chunk << nbits;
+      int32_t take = (63 - nbits) >> 3;
+      pos += take;
+      nbits += take * 8;
+      // restore the invariant bits >> nbits == 0 (partial top byte)
+      bits &= ~(uint64_t)0 >> (64 - nbits);
+      return;
+    }
     while (nbits <= 56 && pos < size) {
       bits |= (uint64_t)data[pos++] << nbits;
       nbits += 8;

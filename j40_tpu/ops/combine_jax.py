@@ -172,33 +172,47 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
         if full_dct8:
             from .pallas_kernels import pallas_available, reconstruct_dct8_pallas
 
-            if pallas_available():
-                # fused Pallas path: dequant+CfL+IDCT in one VMEM pass, raster
-                # output directly — skips the generic class pipeline entirely
-                pconsts = np.asarray(
+            if pallas_available() and not getattr(vs.fs, "apply_filters", False):
+                # single-dispatch fused path: dequant+CfL+IDCT (Pallas) + XYB
+                # +quantize in ONE device call, int16 coeffs + one merged aux
+                # upload, clamped uint8 fetch
+                from .pallas_kernels import reconstruct_dct8_full
+
+                pconsts = np.concatenate(
                     [
-                        consts["global_scale_inv"],
-                        consts["qm_scales"][0],
-                        consts["qm_scales"][2],
-                        consts["quant_bias"][0],
-                        consts["quant_bias"][1],
-                        consts["quant_bias"][2],
-                        consts["quant_bias_num"],
-                        0.0,
-                    ],
-                    dtype=np.float32,
+                        np.asarray(
+                            [
+                                consts["global_scale_inv"],
+                                consts["qm_scales"][0],
+                                consts["qm_scales"][2],
+                                consts["quant_bias"][0],
+                                consts["quant_bias"][1],
+                                consts["quant_bias"][2],
+                                consts["quant_bias_num"],
+                                0.0,
+                            ],
+                            dtype=np.float32,
+                        ),
+                        np.asarray(im.opsin_inv_mat, np.float32).ravel(),
+                        np.asarray(im.opsin_bias, np.float32),
+                        np.asarray(
+                            [255.0 / im.intensity_target, (1 << im.bpp) - 1],
+                            np.float32,
+                        ),
+                    ]
                 )
-                # upload int16 coefficients when they fit: halves the
-                # dominant host->device transfer
                 cmax = np.abs(coeffs).max() if coeffs.size else 0
                 cup = coeffs.astype(np.int16) if cmax < 32000 else coeffs
-                plane = reconstruct_dct8_pallas(
-                    jnp.asarray(cup), jnp.asarray(llf.reshape(3, n)),
-                    jnp.asarray(hfmul_inv), jnp.asarray(kx), jnp.asarray(kb),
+                aux = np.concatenate(
+                    [llf.reshape(3, n), hfmul_inv[None], kx[None], kb[None]]
+                ).astype(np.float32)
+                out = reconstruct_dct8_full(
+                    jnp.asarray(cup), jnp.asarray(aux),
                     _cached_device(("w", param_idx), weights),
-                    _cached_device(("pc",), np.asarray(pconsts)), ggh8, ggw8,
+                    _cached_device(("pc22",), pconsts),
+                    ggh8, ggw8, im.bpp == 8,
                 )
-                continue
+                return np.asarray(out)[:, :ggh, :ggw].astype(np.int32)
 
         samples = _class_pipeline(
             jnp.asarray(coeffs), jnp.asarray(llf), jnp.asarray(llf_idx),

@@ -132,3 +132,34 @@ def pallas_available() -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("h8", "w8", "to_u8"))
+def reconstruct_dct8_full(
+    coeffs,      # (3, n, 64) int16/float32
+    aux,         # (6, n) float32: llf x/y/b, hfmul_inv, kx, kb
+    weights,     # (64, 3)
+    consts,      # (22,): [8 dequant consts][9 opsin_inv][3 opsin_bias][itscale, maxval]
+    h8: int,
+    w8: int,
+    to_u8: bool = True,
+):
+    """Single-dispatch reconstruction: fused Pallas dequant+CfL+IDCT, then
+    XYB→sRGB quantization, clamped uint8 output.  One host→device transfer
+    for all per-group data and one device→host fetch — the tunnel-latency
+    optimal shape for this dev host."""
+    from .reconstruct import xyb_to_srgb_u8
+
+    samples = reconstruct_dct8_pallas(
+        coeffs, aux[0:3], aux[3], aux[4], aux[5], weights, consts[:8], h8, w8
+    )
+    out = xyb_to_srgb_u8(
+        samples,
+        consts[8:17].reshape(3, 3),
+        consts[17:20],
+        consts[20],
+        consts[21],
+    )
+    if to_u8:
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return out
