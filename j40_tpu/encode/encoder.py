@@ -79,7 +79,8 @@ def _write_single_leaf_tree(w: BitWriter, predictor: int, use_prefix: bool) -> N
 
 
 def _write_modular_stream(
-    w: BitWriter, channels: list[np.ndarray], predictor: int, use_prefix: bool
+    w: BitWriter, channels: list[np.ndarray], predictor: int, use_prefix: bool,
+    lz77: bool = False
 ) -> None:
     """Modular sub-bitstream: header (no transforms, local single-leaf tree)
     followed by all channel tokens."""
@@ -87,8 +88,11 @@ def _write_modular_stream(
     w.u(1, 1)  # default WP params
     w.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # nb_transforms = 0
     _write_single_leaf_tree(w, predictor, use_prefix)
-    # leaf code spec + tokens for all channels (single context)
-    enc = EntropyEncoder(1, use_prefix=use_prefix)
+    # leaf code spec + tokens for all channels (single context); dist_mult is
+    # the max channel width (j40.h:3840-3844)
+    dist_mult = max(c.shape[1] for c in channels)
+    enc = EntropyEncoder(1, use_prefix=use_prefix, lz77=lz77,
+                         dist_mult=dist_mult if lz77 else 0)
     for data in channels:
         for t in _channel_tokens(data, predictor):
             enc.add(0, t)
@@ -101,6 +105,7 @@ class EncodeOptions:
     use_prefix: bool = True  # prefix vs ANS coding
     group_size_shift: int = 8
     permute_toc: bool = False  # exercise the TOC permutation path
+    lz77: bool = False  # RLE-style LZ77 emission in the token stream
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -193,6 +198,7 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
             [c[y0 : y0 + gh_, x0 : x0 + gw_] for c in channels],
             opt.predictor,
             opt.use_prefix,
+            lz77=opt.lz77,
         )
         sections.append(gsw.finish())
 
@@ -241,7 +247,8 @@ def _lf_global_single(w: BitWriter, channels, opt: EncodeOptions) -> None:
     """LfGlobal for the single-group case: all channels decoded globally."""
     w.u(1, 1)  # LfChannelDequantization all_default
     w.u(1, 0)  # no global tree
-    _write_modular_stream(w, channels, opt.predictor, opt.use_prefix)
+    _write_modular_stream(w, channels, opt.predictor, opt.use_prefix,
+                          lz77=opt.lz77)
 
 
 def _lf_global_multi(w: BitWriter, channels, opt: EncodeOptions) -> None:

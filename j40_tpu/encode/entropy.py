@@ -310,10 +310,18 @@ class EntropyEncoder:
 
     def __init__(self, num_dist: int, use_prefix: bool = True,
                  cluster_map: list[int] | None = None,
-                 config: HybridIntConfig = HybridIntConfig(4, 1, 0)):
+                 config: HybridIntConfig = HybridIntConfig(4, 1, 0),
+                 lz77: bool = False, dist_mult: int = 0,
+                 lz_min_symbol: int = 224, lz_min_length: int = 3):
         self.num_dist = num_dist
         self.use_prefix = use_prefix
-        self.cluster_map = cluster_map or [0] * num_dist
+        self.lz77 = lz77
+        self.dist_mult = dist_mult
+        self.lz_min_symbol = lz_min_symbol
+        self.lz_min_length = lz_min_length
+        total_dist = num_dist + (1 if lz77 else 0)
+        self.cluster_map = cluster_map or [0] * total_dist
+        assert len(self.cluster_map) == total_dist
         self.num_clusters = max(self.cluster_map) + 1
         self.config = config
         # multiple independent token streams may share one spec (e.g. the HF
@@ -338,15 +346,79 @@ class EntropyEncoder:
         tokenized_streams = {}
         for sid, events in self.streams.items():
             tokenized = []  # (cluster, token, midbits, mid)
-            for ctx, value in events:
-                cl = self.cluster_map[ctx]
-                token, midbits, mid = encode_hybrid_int(value, cfg)
-                tokenized.append((cl, token, midbits, mid))
-                hists[cl][token] = hists[cl].get(token, 0) + 1
+            if self.lz77:
+                self._tokenize_lz77(events, tokenized, hists)
+            else:
+                for ctx, value in events:
+                    cl = self.cluster_map[ctx]
+                    token, midbits, mid = encode_hybrid_int(value, cfg)
+                    tokenized.append((cl, token, midbits, mid))
+                    hists[cl][token] = hists[cl].get(token, 0) + 1
             tokenized_streams[sid] = tokenized
         self._tokenized_streams = tokenized_streams
         self._tokenized = tokenized_streams.get(0, [])
         self._hists = hists
+
+    def _tokenize_lz77(self, events, tokenized, hists):
+        """Greedy distance-1 run (RLE) LZ77 emission: a run of >=min_length
+        equal values following one occurrence becomes a length+distance pair
+        (decoder semantics j40.h:2804-2876)."""
+        cfg = self.config
+        lz_cfg = HybridIntConfig(4, 1, 0)  # written as lz_len_config
+        self._lz_cfg = lz_cfg
+        lz_cl = self.cluster_map[self.num_dist]  # appended LZ distance dist
+        # the raw distance token decoding to effective distance 1:
+        # dist_mult == 0: distance = raw + 1 -> raw token 0
+        # dist_mult != 0: raw >= 120 -> distance = raw - 119 -> raw token 120
+        dist_value = 120 if self.dist_mult else 0
+        # special-distance vertical copy: SPECIAL_DISTANCES[0] = (0, 1) means
+        # raw token 0 decodes to distance dist_mult when dist_mult != 0
+        # (one image row for modular streams, j40.h:2834-2851)
+        vdist = self.dist_mult
+        i = 0
+        n = len(events)
+        while i < n:
+            ctx, value = events[i]
+            run = 0
+            if i > 0 and events[i - 1][1] == value:
+                while i + run < n and events[i + run][1] == value:
+                    run += 1
+            vrun = 0
+            if vdist and i >= vdist:
+                while (
+                    i + vrun < n
+                    and events[i + vrun][1] == events[i + vrun - vdist][1]
+                ):
+                    vrun += 1
+            if vdist and vrun >= self.lz_min_length and vrun > run:
+                cl = self.cluster_map[ctx]
+                lt, lmb, lmid = encode_hybrid_int(vrun - self.lz_min_length, lz_cfg)
+                token = self.lz_min_symbol + lt
+                tokenized.append((cl, token, lmb, lmid))
+                hists[cl][token] = hists[cl].get(token, 0) + 1
+                dt, dmb, dmid = encode_hybrid_int(0, cfg)  # raw 0 -> special (0,1)
+                tokenized.append((lz_cl, dt, dmb, dmid))
+                hists[lz_cl][dt] = hists[lz_cl].get(dt, 0) + 1
+                i += vrun
+                continue
+            if run >= self.lz_min_length:
+                # length token coded in the CURRENT context's cluster
+                cl = self.cluster_map[ctx]
+                lt, lmb, lmid = encode_hybrid_int(run - self.lz_min_length, lz_cfg)
+                token = self.lz_min_symbol + lt
+                tokenized.append((cl, token, lmb, lmid))
+                hists[cl][token] = hists[cl].get(token, 0) + 1
+                dt, dmb, dmid = encode_hybrid_int(dist_value, cfg)
+                tokenized.append((lz_cl, dt, dmb, dmid))
+                hists[lz_cl][dt] = hists[lz_cl].get(dt, 0) + 1
+                i += run
+            else:
+                cl = self.cluster_map[ctx]
+                token, midbits, mid = encode_hybrid_int(value, cfg)
+                assert token < self.lz_min_symbol, "value token collides with LZ range"
+                tokenized.append((cl, token, midbits, mid))
+                hists[cl][token] = hists[cl].get(token, 0) + 1
+                i += 1
 
     def write_spec(self, w: BitWriter) -> None:
         """Emit the code-spec header only (tokens may live in a different
@@ -355,9 +427,16 @@ class EntropyEncoder:
         self._tokenize()
         tokenized, hists = self._tokenized, self._hists
 
-        w.u(1, 0)  # lz77_enabled = false
-        # cluster map (nothing to write when num_dist == 1)
-        if self.num_dist > 1:
+        if self.lz77:
+            w.u(1, 1)  # lz77_enabled
+            w.u32(((224, 0), (512, 0), (4096, 0), (8, 15)), self.lz_min_symbol)
+            w.u32(((3, 0), (4, 0), (5, 2), (9, 8)), self.lz_min_length)
+            write_hybrid_config(w, self._lz_cfg, 8)
+        else:
+            w.u(1, 0)  # lz77_enabled = false
+        total_dist = self.num_dist + (1 if self.lz77 else 0)
+        # cluster map (nothing to write when total_dist == 1)
+        if total_dist > 1:
             w.u(1, 1)  # is_simple
             nbits = (self.num_clusters - 1).bit_length()
             w.u(2, nbits)

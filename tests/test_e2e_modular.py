@@ -142,3 +142,27 @@ def test_permuted_toc(dj40, tmp_path):
     _, rgba = decode_file(cs)
     np.testing.assert_array_equal(rgba, ref)
     np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_lz77_rle(dj40, tmp_path, use_prefix):
+    # distance-1 runs (RLE-style LZ77); exercises window copy in all decoders
+    rng = np.random.default_rng(8)
+    img = np.repeat(
+        np.repeat((rng.integers(0, 8, size=(16, 20, 3)) * 32).astype(np.uint8), 4, 0),
+        4,
+        1,
+    )
+    opt = EncodeOptions(use_prefix=use_prefix, lz77=True, predictor=0)
+    _roundtrip(dj40, tmp_path, img, opt)
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_lz77_special_distances(dj40, tmp_path, use_prefix):
+    # vertical copies via the special-distance table entry (0, 1)
+    rng = np.random.default_rng(9)
+    row = rng.integers(0, 256, size=(1, 64, 3)).astype(np.uint8)
+    img = np.repeat(row, 48, axis=0).copy()
+    img[13] = 255 - img[13]
+    opt = EncodeOptions(use_prefix=use_prefix, lz77=True, predictor=0)
+    _roundtrip(dj40, tmp_path, img, opt)
