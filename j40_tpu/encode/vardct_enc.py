@@ -64,6 +64,7 @@ class VarDCTOptions:
     use_prefix: bool = True
     sharpness: int = 0  # per-block EPF sharpness (0 = EPF skips the block)
     custom_order: bool = False  # Lehmer-permuted coefficient order (order 0)
+    num_passes: int = 1  # progressive passes (coefficients split additively)
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -138,7 +139,11 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w.u(2, 0)  # log_upsampling
     w.u(3, 3)  # x_qm_scale
     w.u(3, 2)  # b_qm_scale
-    w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
+    w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), opt.num_passes)  # num_passes
+    if opt.num_passes > 1:
+        w.u32(((0, 0), (1, 0), (2, 0), (3, 1)), 0)  # num_ds = 0
+        for _ in range(opt.num_passes - 1):
+            w.u(2, 0)  # per-pass shift
     w.u(1, 0)  # have_crop
     w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
     w.u(1, 1)  # is_last
@@ -153,20 +158,30 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     gcols, grows = ceil_div(wd, 256), ceil_div(h, 256)
     num_groups = gcols * grows
 
-    # the coefficient code SPEC lives in HfGlobal while its TOKENS live in the
-    # per-group pass sections (one independent stream each), so collect all
-    # group token streams first
-    coeff_enc = _collect_pass_group_tokens(
-        opt, hf_int, h8, w8, gcols=gcols, grows=grows
-    )
+    # split coefficients additively across passes (decoder accumulates with
+    # `+=`, j40.h:6989): earlier passes drop |q|<=1 detail
+    passes_hf = []
+    rem = hf_int
+    for _p in range(opt.num_passes - 1):
+        coarse = np.where(np.abs(rem) <= 1, 0, rem)
+        passes_hf.append(coarse)
+        rem = rem - coarse
+    passes_hf.append(rem)
 
-    if num_groups == 1:
+    # the per-pass coefficient code SPECs live in HfGlobal while the TOKENS
+    # live in the per-(pass, group) sections, so collect all streams first
+    coeff_encs = [
+        _collect_pass_group_tokens(opt, p_hf, h8, w8, gcols=gcols, grows=grows)
+        for p_hf in passes_hf
+    ]
+
+    if num_groups == 1 and opt.num_passes == 1:
         sw = BitWriter()
         _write_lf_global(sw, opt)
-        _write_hf_global(sw, opt, num_groups=1, coeff_enc=coeff_enc)
+        _write_hf_global(sw, opt, num_groups=1, coeff_encs=coeff_encs)
         _write_lf_group(sw, opt, lf_int, h8, w8)
         # pass group: preset selector is u(ceil_lg(1)) = 0 bits, then tokens
-        coeff_enc.write_tokens(sw, 0)
+        coeff_encs[0].write_tokens(sw, 0)
         section = sw.finish()
         w.u(1, 0)  # TOC not permuted
         w.zero_pad_to_byte()
@@ -175,7 +190,8 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
         w.out.extend(section)
         return w.finish()
 
-    # multi-group, single LF group: LfGlobal + LFg + HfGlobal + per-group
+    # multi-group/multi-pass, single LF group:
+    # LfGlobal + LFg + HfGlobal + per-(pass, group) sections
     sections: list[bytes] = []
     sw = BitWriter()
     _write_lf_global(sw, opt)
@@ -184,13 +200,14 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     _write_lf_group(sw, opt, lf_int, h8, w8)
     sections.append(sw.finish())
     sw = BitWriter()
-    _write_hf_global(sw, opt, num_groups=num_groups, coeff_enc=coeff_enc)
+    _write_hf_global(sw, opt, num_groups=num_groups, coeff_encs=coeff_encs)
     sections.append(sw.finish())
-    for g in range(num_groups):
-        sw = BitWriter()
-        sw.u(ceil_lg(1), 0)  # preset selector (0 bits for 1 preset)
-        coeff_enc.write_tokens(sw, g)
-        sections.append(sw.finish())
+    for p_i in range(opt.num_passes):
+        for g in range(num_groups):
+            sw = BitWriter()
+            sw.u(ceil_lg(1), 0)  # preset selector (0 bits for 1 preset)
+            coeff_encs[p_i].write_tokens(sw, g)
+            sections.append(sw.finish())
 
     w.u(1, 0)  # TOC not permuted
     w.zero_pad_to_byte()
@@ -213,9 +230,14 @@ def _write_lf_global(w: BitWriter, opt: VarDCTOptions) -> None:
 
 
 def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
-                     coeff_enc: EntropyEncoder) -> None:
+                     coeff_encs: list) -> None:
     w.u(1, 1)  # default dq matrices
     w.u(ceil_lg(num_groups), 0)  # num_hf_presets - 1 = 0
+    for coeff_enc in coeff_encs:
+        _write_hf_pass(w, opt, coeff_enc)
+
+
+def _write_hf_pass(w: BitWriter, opt: VarDCTOptions, coeff_enc) -> None:
     if opt.custom_order:
         # used_orders = 1: Lehmer-permuted order for order_idx 0 (DCT8x8)
         from .permute import add_permutation_tokens, lehmer_encode

@@ -158,3 +158,12 @@ def test_custom_coefficient_order(dj40, tmp_path, photo):
     _, rgba = decode_file(cs)
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("num_passes", [2, 3])
+def test_progressive_passes(dj40, tmp_path, photo, num_passes):
+    # additive multi-pass coefficient streams (j40.h:6989 accumulate)
+    cs = encode_vardct(photo, VarDCTOptions(num_passes=num_passes))
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
