@@ -419,7 +419,7 @@ def synthesize_vardct(
     coeff_enc = _collect_tokens_generic(opt, placements, hf_tokens_per_vb, h8, w8)
     sw = BitWriter()
     _write_lf_global(sw, opt)
-    _write_hf_global(sw, opt, num_groups=1, coeff_enc=coeff_enc)
+    _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc])
     _write_lf_group(sw, opt, lf_int, h8, w8, dctsels=[p[2] for p in placements])
     coeff_enc.write_tokens(sw)
     section = sw.finish()
