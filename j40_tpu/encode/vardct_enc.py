@@ -65,6 +65,7 @@ class VarDCTOptions:
     sharpness: int = 0  # per-block EPF sharpness (0 = EPF skips the block)
     custom_order: bool = False  # Lehmer-permuted coefficient order (order 0)
     num_passes: int = 1  # progressive passes (coefficients split additively)
+    custom_dq: bool = False  # write custom dequant matrices (all modes)
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -231,7 +232,11 @@ def _write_lf_global(w: BitWriter, opt: VarDCTOptions) -> None:
 
 def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
                      coeff_encs: list) -> None:
-    w.u(1, 1)  # default dq matrices
+    if opt.custom_dq:
+        w.u(1, 0)  # custom dq matrices follow
+        _write_dq_matrices(w, opt)
+    else:
+        w.u(1, 1)  # default dq matrices
     w.u(ceil_lg(num_groups), 0)  # num_hf_presets - 1 = 0
     for coeff_enc in coeff_encs:
         _write_hf_pass(w, opt, coeff_enc)
@@ -271,7 +276,7 @@ def _effective_order(opt: VarDCTOptions):
 
 
 def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
-                    dctsels=None) -> None:
+                    dctsels=None, xfromy=None, bfromy=None) -> None:
     """dctsels: per-varblock DctSelect values in raster-corner order
     (defaults to all DCT8x8, one per 8x8 block)."""
     from .encoder import _write_modular_stream
@@ -296,8 +301,10 @@ def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
     _write_modular_stream(
         w,
         [
-            np.zeros((h64, w64), dtype=np.int32),  # XFromY
-            np.zeros((h64, w64), dtype=np.int32),  # BFromY
+            (np.zeros((h64, w64), np.int32) if xfromy is None
+             else np.asarray(xfromy, np.int32)),  # XFromY
+            (np.zeros((h64, w64), np.int32) if bfromy is None
+             else np.asarray(bfromy, np.int32)),  # BFromY
             blockinfo,
             np.full((h8, w8), opt.sharpness, dtype=np.int32),  # Sharpness
         ],
@@ -375,6 +382,8 @@ def synthesize_vardct(
     lf_int: np.ndarray,
     hf_tokens_per_vb: list[np.ndarray],
     options: VarDCTOptions | None = None,
+    xfromy: np.ndarray | None = None,
+    bfromy: np.ndarray | None = None,
 ) -> bytes:
     """Build a VarDCT bitstream with explicitly given quantized data.
 
@@ -420,7 +429,8 @@ def synthesize_vardct(
     sw = BitWriter()
     _write_lf_global(sw, opt)
     _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc])
-    _write_lf_group(sw, opt, lf_int, h8, w8, dctsels=[p[2] for p in placements])
+    _write_lf_group(sw, opt, lf_int, h8, w8, dctsels=[p[2] for p in placements],
+                    xfromy=xfromy, bfromy=bfromy)
     coeff_enc.write_tokens(sw)
     section = sw.finish()
 
@@ -507,3 +517,77 @@ def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8) -> EntropyEncode
                 nz -= prev
                 i += 1
     return enc
+
+
+# -- custom dequant matrix emission (exercises all j40.h:4696-4777 modes) ----
+
+
+def _write_dq_matrices(w: BitWriter, opt: VarDCTOptions) -> None:
+    """Write all 17 dq matrix headers with a mix of encoding modes.
+
+    Values are f16-exact so decode is deterministic across implementations.
+    Mode assignment: 8x8 sets use the parametric modes (0 -> DCT bands,
+    1 -> Hornuss, 2 -> DCT2, 3 -> DCT4, 9 -> DCT4X8, 10 -> AFV); every
+    non-8x8 set uses RAW, because the reference restricts modes 1-6 to 8x8
+    matrices (j40.h:4751-4754 requires8x8 covers mode 6 too).
+    """
+    from ..vardct.tables import DCT_PARAMS
+    from .encoder import _write_modular_stream
+
+    def params_block(per_param, nscaled):
+        # the reader iterates channel-outer (j40.h:4757-4759): for each
+        # channel, all params, scaled by 64 for j < nscaled
+        for c in range(3):
+            for j, v in enumerate(per_param):
+                w.f16(v[c] / (64.0 if j < nscaled else 1.0))
+
+    def dct_params(n, first):
+        # ReadDctParams: n, then channel-outer values, first scaled by 64
+        w.u(4, n - 1)
+        for c in range(3):
+            w.f16(first[c] / 64.0)
+            for j in range(1, n):
+                w.f16(-0.5)
+
+    for idx in range(17):
+        log_r, log_c = DCT_PARAMS[idx][0], DCT_PARAMS[idx][1]
+        rows, cols = 1 << log_r, 1 << log_c
+        if log_r != 3 or log_c != 3:  # RAW: the only custom mode for non-8x8
+            w.u(3, 7)
+            w.f16(0.125)  # denom -> weights = int / 0.125 = int * 8
+            vals = (np.arange(rows * cols, dtype=np.int32) % 37 + 4).reshape(
+                rows, cols
+            )
+            _write_modular_stream(
+                w, [vals, vals + 1, vals + 2], predictor=0,
+                use_prefix=opt.use_prefix,
+            )
+        elif idx == 1:  # Hornuss: 3 params, x64
+            w.u(3, 1)
+            params_block([(256.0, 64.0, 16.0), (3072.0, 768.0, 192.0),
+                          (3072.0, 768.0, 192.0)], nscaled=3)
+        elif idx == 2:  # DCT2: 6 params, x64
+            w.u(3, 2)
+            params_block([(v, v / 2.0, v / 4.0) for v in
+                          (3840.0, 2560.0, 1280.0, 640.0, 448.0, 320.0)],
+                         nscaled=6)
+        elif idx == 3:  # DCT4: 2 params (x64) + dct_params
+            w.u(3, 3)
+            params_block([(2.0,) * 3, (2.0,) * 3], nscaled=2)
+            dct_params(4, (2048.0, 512.0, 128.0))
+        elif idx == 9:  # DCT4X8: 1 param (unscaled) + dct_params
+            w.u(3, 4)
+            params_block([(2.0,) * 3], nscaled=0)
+            dct_params(4, (2048.0, 512.0, 128.0))
+        elif idx == 10:  # AFV: 9 params (first 6 x64) + 2 dct_params
+            w.u(3, 5)
+            params_block(
+                [(v,) * 3 for v in (3072.0, 3072.0, 256.0, 256.0, 256.0, 448.0)]
+                + [(-0.25,) * 3] * 3,
+                nscaled=6,
+            )
+            dct_params(4, (2048.0, 512.0, 128.0))
+            dct_params(4, (2048.0, 512.0, 128.0))
+        else:  # 8x8 DCT with custom bands (set 0)
+            w.u(3, 6)
+            dct_params(5, (3072.0, 1024.0, 512.0))

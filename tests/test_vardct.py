@@ -167,3 +167,54 @@ def test_progressive_passes(dj40, tmp_path, photo, num_passes):
     _, rgba = decode_file(cs)
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_custom_dq_matrices(dj40, tmp_path, photo):
+    # all custom dequant-matrix encodings: parametric modes for 8x8 sets,
+    # RAW (modular-coded) for the rest (j40.h:4696-4777)
+    cs = encode_vardct(photo, VarDCTOptions(custom_dq=True, hf_mul=64))
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_custom_dq_special_transforms(dj40, tmp_path):
+    # custom Hornuss/DCT2/DCT4/DCT4X8/AFV tables actually used by blocks
+    rng = np.random.default_rng(60)
+    h8 = w8 = 4
+    grid = np.zeros((h8, w8), np.int32)
+    for i, ds in enumerate([1, 2, 3, 12, 14, 15, 16, 17]):
+        grid[i // 4, i % 4] = ds
+    hf = []
+    for _ in range(h8 * w8):
+        q = rng.integers(-3, 4, size=(3, 64))
+        q[rng.random((3, 64)) < 0.8] = 0
+        hf.append(q)
+    lf = rng.integers(-40, 40, size=(3, h8, w8))
+    cs = synthesize_vardct(32, 32, grid, lf, hf,
+                           options=VarDCTOptions(custom_dq=True))
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_nonzero_cfl_factors(dj40, tmp_path):
+    # per-64px-cell chroma-from-luma factors (xfromy/bfromy planes)
+    rng = np.random.default_rng(50)
+    h8 = w8 = 16
+    grid = np.zeros((h8, w8), np.int32)
+    lf = rng.integers(-40, 40, size=(3, h8, w8))
+    hf = []
+    for _ in range(h8 * w8):
+        q = rng.integers(-3, 4, size=(3, 64))
+        q[rng.random((3, 64)) < 0.8] = 0
+        hf.append(q)
+    xf = rng.integers(-60, 60, size=(2, 2))
+    bf = rng.integers(-60, 60, size=(2, 2))
+    cs = synthesize_vardct(128, 128, grid, lf, hf, xfromy=xf, bfromy=bf)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+    # device path parity
+    _, rj = decode_file(cs, backend="jax")
+    assert np.abs(rj.astype(int) - rgba.astype(int)).max() <= 1
