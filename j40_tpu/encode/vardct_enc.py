@@ -71,11 +71,10 @@ class VarDCTOptions:
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
     """Encode (h, w, 3) uint8 sRGB image as a VarDCT frame (8x8 blocks).
 
-    Images up to 2048x2048 (one LF group) are supported; larger images need
-    the multi-LF-group layout (TODO)."""
+    Any size up to the level-5 limits; images beyond 2048px use the
+    multi-LF-group layout."""
     opt = options or VarDCTOptions()
     h, wd, _ = image.shape
-    assert h <= 2048 and wd <= 2048, "multi-LF-group VarDCT encode TODO"
     h8, w8 = ceil_div(h, 8), ceil_div(wd, 8)
 
     # pad to multiple of 8 by edge replication
@@ -191,15 +190,23 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
         w.out.extend(section)
         return w.finish()
 
-    # multi-group/multi-pass, single LF group:
-    # LfGlobal + LFg + HfGlobal + per-(pass, group) sections
+    # multi-group/multi-pass:
+    # LfGlobal + per-LF-group + HfGlobal + per-(pass, group) sections
+    gg_cols, gg_rows = ceil_div(wd, 2048), ceil_div(h, 2048)
     sections: list[bytes] = []
     sw = BitWriter()
     _write_lf_global(sw, opt)
     sections.append(sw.finish())
-    sw = BitWriter()
-    _write_lf_group(sw, opt, lf_int, h8, w8)
-    sections.append(sw.finish())
+    for ggr in range(gg_rows):
+        for ggc in range(gg_cols):
+            y0, x0 = ggr * 256, ggc * 256  # in 8px block units
+            gh8 = min(h8 - y0, 256)
+            gw8 = min(w8 - x0, 256)
+            sw = BitWriter()
+            _write_lf_group(
+                sw, opt, lf_int[:, y0 : y0 + gh8, x0 : x0 + gw8], gh8, gw8
+            )
+            sections.append(sw.finish())
     sw = BitWriter()
     _write_hf_global(sw, opt, num_groups=num_groups, coeff_encs=coeff_encs)
     sections.append(sw.finish())

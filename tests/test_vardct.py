@@ -218,3 +218,18 @@ def test_nonzero_cfl_factors(dj40, tmp_path):
     # device path parity
     _, rj = decode_file(cs, backend="jax")
     assert np.abs(rj.astype(int) - rgba.astype(int)).max() <= 1
+
+
+@pytest.mark.slow
+def test_multi_lf_group(dj40, tmp_path):
+    # image wider than 2048: two LF groups side by side
+    rng = np.random.default_rng(4)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-1, 2, size=(160, 2304, 3)), axis=0), axis=1)
+        % 200
+        + 20
+    ).astype(np.uint8)
+    cs = encode_vardct(img)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
