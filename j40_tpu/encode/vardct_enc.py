@@ -69,12 +69,17 @@ class VarDCTOptions:
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
-    """Encode (h, w, 3) uint8 sRGB image as a VarDCT frame (8x8 blocks).
+    """Encode (h, w, 3) RGB or (h, w, 4) RGBA uint8 sRGB as a VarDCT frame
+    (8x8 blocks; alpha is carried as a losslessly-coded extra channel).
 
     Any size up to the level-5 limits; images beyond 2048px use the
     multi-LF-group layout."""
     opt = options or VarDCTOptions()
-    h, wd, _ = image.shape
+    h, wd, nc = image.shape
+    alpha = image[:, :, 3] if nc == 4 else None
+    if alpha is not None:
+        assert h <= 256 and wd <= 256, "VarDCT alpha: single-group only (TODO)"
+    image = image[:, :, :3]
     h8, w8 = ceil_div(h, 8), ceil_div(wd, 8)
 
     # pad to multiple of 8 by edge replication
@@ -127,7 +132,8 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     # --- assemble bitstream
     w = BitWriter()
     write_signature(w)
-    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True)
+    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
+                         num_alpha=0 if alpha is None else 1)
 
     # frame header (VarDCT)
     w.zero_pad_to_byte()
@@ -137,6 +143,8 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w.u64(128)  # flags: skip_adapt_lf_smooth
     # xyb_encoded -> no do_ycbcr bit
     w.u(2, 0)  # log_upsampling
+    if alpha is not None:
+        w.u(2, 0)  # alpha channel upsampling
     w.u(3, 3)  # x_qm_scale
     w.u(3, 2)  # b_qm_scale
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), opt.num_passes)  # num_passes
@@ -145,7 +153,8 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
         for _ in range(opt.num_passes - 1):
             w.u(2, 0)  # per-pass shift
     w.u(1, 0)  # have_crop
-    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
+    for _ in range(1 + (0 if alpha is None else 1)):
+        w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
     w.u(1, 1)  # is_last
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
     w.u(1, 1)  # restoration all_default
@@ -177,7 +186,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
 
     if num_groups == 1 and opt.num_passes == 1:
         sw = BitWriter()
-        _write_lf_global(sw, opt)
+        _write_lf_global(sw, opt, alpha=alpha)
         _write_hf_global(sw, opt, num_groups=1, coeff_encs=coeff_encs)
         _write_lf_group(sw, opt, lf_int, h8, w8)
         # pass group: preset selector is u(ceil_lg(1)) = 0 bits, then tokens
@@ -227,14 +236,20 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     return w.finish()
 
 
-def _write_lf_global(w: BitWriter, opt: VarDCTOptions) -> None:
+def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None) -> None:
+    from .encoder import _write_modular_stream
+
     w.u(1, 1)  # LfChannelDequantization all_default
     w.u32(((1, 11), (2049, 11), (4097, 12), (8193, 16)), opt.global_scale)
     w.u32(((16, 0), (1, 5), (1, 8), (1, 16)), opt.quant_lf)
     w.u(1, 1)  # default HF block context
     w.u(1, 1)  # LfChannelCorrelation all_default
-    # gmodular: no channels (no extra channels, vardct) -> global tree bit only
     w.u(1, 0)  # no global tree
+    if alpha is not None:
+        # gmodular holds the extra channels of a VarDCT frame; in the
+        # single-group layout they decode right here in LfGlobal
+        _write_modular_stream(w, [np.asarray(alpha, np.int32)], predictor=5,
+                              use_prefix=opt.use_prefix)
 
 
 def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
@@ -459,7 +474,8 @@ def _write_vardct_frame_header(w: BitWriter) -> None:
     w.u(3, 2)  # b_qm_scale
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
     w.u(1, 0)  # have_crop
-    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
+    for _ in range(1 + (0 if alpha is None else 1)):
+        w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
     w.u(1, 1)  # is_last
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
     w.u(1, 1)  # restoration all_default

@@ -623,9 +623,14 @@ class VarDCTState:
 
         from ..modular.decode import Channel
 
-        gmodular.channels = [Channel(f.width, f.height) for _ in range(3)]
-        for c in gmodular.channels:
+        # prepend the three reconstructed color channels, KEEPING any decoded
+        # extra channels (the reference drops them here, j40.h:7869-7874, so
+        # VarDCT frames lose alpha in dj40; we preserve them)
+        color = [Channel(f.width, f.height) for _ in range(3)]
+        for c in color:
             c.data = np.zeros((f.height, f.width), dtype=np.int32)
+        gmodular.channels = color + gmodular.channels
+        gmodular.nb_meta_channels = 0
 
         use_jax = getattr(self.fs, "backend", "numpy") == "jax"
         for ggidx in sorted(self.lf_groups.keys()):

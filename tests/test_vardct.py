@@ -233,3 +233,21 @@ def test_multi_lf_group(dj40, tmp_path):
     _, rgba = decode_file(cs)
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_vardct_with_alpha(dj40, tmp_path):
+    # alpha rides as a losslessly-coded extra channel; the reference DROPS
+    # extra channels during combine (j40.h:7869-7874) so dj40 must agree on
+    # color and render opaque alpha, while we preserve it
+    rng = np.random.default_rng(12)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(48, 56, 4)), axis=0), axis=1)
+        % 200
+        + 20
+    ).astype(np.uint8)
+    cs = encode_vardct(img)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba[:, :, 3], img[:, :, 3])
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref[:, :, :3].astype(int) - rgba[:, :, :3].astype(int)).max() <= 1
+    assert (ref[:, :, 3] == 255).all()  # the reference's documented behavior
