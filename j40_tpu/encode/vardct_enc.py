@@ -474,8 +474,7 @@ def _write_vardct_frame_header(w: BitWriter) -> None:
     w.u(3, 2)  # b_qm_scale
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
     w.u(1, 0)  # have_crop
-    for _ in range(1 + (0 if alpha is None else 1)):
-        w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
+    w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
     w.u(1, 1)  # is_last
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
     w.u(1, 1)  # restoration all_default
