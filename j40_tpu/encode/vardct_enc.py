@@ -66,6 +66,7 @@ class VarDCTOptions:
     custom_order: bool = False  # Lehmer-permuted coefficient order (order 0)
     num_passes: int = 1  # progressive passes (coefficients split additively)
     custom_dq: bool = False  # write custom dequant matrices (all modes)
+    num_hf_presets: int = 1  # per-group preset selectors (context offsets)
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -222,7 +223,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     for p_i in range(opt.num_passes):
         for g in range(num_groups):
             sw = BitWriter()
-            sw.u(ceil_lg(1), 0)  # preset selector (0 bits for 1 preset)
+            sw.u(ceil_lg(opt.num_hf_presets), g % opt.num_hf_presets)
             coeff_encs[p_i].write_tokens(sw, g)
             sections.append(sw.finish())
 
@@ -259,7 +260,8 @@ def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
         _write_dq_matrices(w, opt)
     else:
         w.u(1, 1)  # default dq matrices
-    w.u(ceil_lg(num_groups), 0)  # num_hf_presets - 1 = 0
+    assert opt.num_hf_presets <= num_groups
+    w.u(ceil_lg(num_groups), opt.num_hf_presets - 1)
     for coeff_enc in coeff_encs:
         _write_hf_pass(w, opt, coeff_enc)
 
@@ -338,18 +340,22 @@ def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
 def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8,
                                gcols: int = 1, grows: int = 1) -> EntropyEncoder:
     """HF coefficient tokens mirroring the decoder's context chain
-    (j40.h:6888-7005); one independent stream per 256px group."""
-    order = natural_order(3, 3)
+    (j40.h:6888-7005); one independent stream per 256px group.  With multiple
+    HF presets, group g uses preset g % num_hf_presets (context offset
+    495*nb_block_ctx*preset, j40.h:7020)."""
     nb_block_ctx = 15
-    enc = EntropyEncoder(495 * nb_block_ctx, use_prefix=opt.use_prefix)
+    enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
+                         use_prefix=opt.use_prefix)
     for grow in range(grows):
         for gcol in range(gcols):
-            _collect_group(opt, enc, grow * gcols + gcol, hf_int, h8, w8,
-                           gcol * 32, grow * 32)
+            g = grow * gcols + gcol
+            ctxoff = 495 * nb_block_ctx * (g % opt.num_hf_presets)
+            _collect_group(opt, enc, g, hf_int, h8, w8,
+                           gcol * 32, grow * 32, ctxoff)
     return enc
 
 
-def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8):
+def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8, ctxoff=0):
     order = _effective_order(opt)
     nb_block_ctx = 15
     gw8 = min(w8 - gx8, 32)
@@ -373,10 +379,10 @@ def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8):
                         pred = nonzeros[nzpos - 1][c]
                 else:
                     pred = nonzeros[nzpos - gw8][c] if ly8 > 0 else 32
-                nzctx = bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
+                nzctx = ctxoff + bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
                 enc.add(nzctx, nz_true, stream)
                 nonzeros[nzpos][c] = nz_true  # qnz == nz for 8x8
-                cctx = 458 * bctx + 37 * nb_block_ctx
+                cctx = ctxoff + 458 * bctx + 37 * nb_block_ctx
                 prev = 1 if nz_true <= 4 else 0  # 1 << (log_size - 4) = 4
                 nz = nz_true
                 i = 1

@@ -251,3 +251,18 @@ def test_vardct_with_alpha(dj40, tmp_path):
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref[:, :, :3].astype(int) - rgba[:, :, :3].astype(int)).max() <= 1
     assert (ref[:, :, 3] == 255).all()  # the reference's documented behavior
+
+
+def test_hf_presets(dj40, tmp_path):
+    # num_hf_presets > 1: per-group preset selectors offset the coefficient
+    # contexts (j40.h:7020)
+    rng = np.random.default_rng(3)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(300, 520, 3)), axis=0), axis=1)
+        % 200
+        + 20
+    ).astype(np.uint8)
+    cs = encode_vardct(img, VarDCTOptions(num_hf_presets=3))
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
