@@ -67,6 +67,8 @@ class VarDCTOptions:
     num_passes: int = 1  # progressive passes (coefficients split additively)
     custom_dq: bool = False  # write custom dequant matrices (all modes)
     num_hf_presets: int = 1  # per-group preset selectors (context offsets)
+    # custom HF block context: dict(lf_thr=[[..]x3], qf_thr=[..], map=[..])
+    block_ctx: dict | None = None
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -243,7 +245,29 @@ def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None) -> None:
     w.u(1, 1)  # LfChannelDequantization all_default
     w.u32(((1, 11), (2049, 11), (4097, 12), (8193, 16)), opt.global_scale)
     w.u32(((16, 0), (1, 5), (1, 8), (1, 16)), opt.quant_lf)
-    w.u(1, 1)  # default HF block context
+    if opt.block_ctx is None:
+        w.u(1, 1)  # default HF block context
+    else:
+        from ..mathutil import pack_signed
+
+        bc = opt.block_ctx
+        w.u(1, 0)
+        for i in range(3):
+            thr = bc["lf_thr"][i]
+            w.u(4, len(thr))
+            for t in thr:
+                w.u32(((0, 4), (16, 8), (272, 16), (65808, 32)), pack_signed(t))
+        w.u(4, len(bc["qf_thr"]))
+        for t in bc["qf_thr"]:
+            w.u32(((0, 2), (4, 3), (12, 5), (44, 8)), t - 1)
+        # cluster map over the full context table (simple encoding)
+        cmap = bc["map"]
+        nclusters = max(cmap) + 1
+        w.u(1, 1)  # is_simple
+        nbits = (nclusters - 1).bit_length()
+        w.u(2, nbits)
+        for c in cmap:
+            w.u(nbits, c)
     w.u(1, 1)  # LfChannelCorrelation all_default
     w.u(1, 0)  # no global tree
     if alpha is not None:
@@ -300,7 +324,8 @@ def _effective_order(opt: VarDCTOptions):
 
 
 def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
-                    dctsels=None, xfromy=None, bfromy=None) -> None:
+                    dctsels=None, xfromy=None, bfromy=None,
+                    hfmul_per_vb=None) -> None:
     """dctsels: per-varblock DctSelect values in raster-corner order
     (defaults to all DCT8x8, one per 8x8 block)."""
     from .encoder import _write_modular_stream
@@ -321,7 +346,10 @@ def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
     w64, h64 = ceil_div(w8 * 8, 64), ceil_div(h8 * 8, 64)
     blockinfo = np.zeros((2, nb_varblocks), dtype=np.int32)
     blockinfo[0, :] = np.asarray(dctsels, dtype=np.int32)
-    blockinfo[1, :] = opt.hf_mul - 1
+    if hfmul_per_vb is None:
+        blockinfo[1, :] = opt.hf_mul - 1
+    else:
+        blockinfo[1, :] = np.asarray(hfmul_per_vb, np.int32) - 1
     _write_modular_stream(
         w,
         [
@@ -412,6 +440,7 @@ def synthesize_vardct(
     options: VarDCTOptions | None = None,
     xfromy: np.ndarray | None = None,
     bfromy: np.ndarray | None = None,
+    hfmul_per_vb: np.ndarray | None = None,
 ) -> bytes:
     """Build a VarDCT bitstream with explicitly given quantized data.
 
@@ -453,12 +482,15 @@ def synthesize_vardct(
     w.zero_pad_to_byte()
     _write_vardct_frame_header(w)
 
-    coeff_enc = _collect_tokens_generic(opt, placements, hf_tokens_per_vb, h8, w8)
+    coeff_enc = _collect_tokens_generic(
+        opt, placements, hf_tokens_per_vb, h8, w8,
+        lf_int=lf_int, hfmul_per_vb=hfmul_per_vb,
+    )
     sw = BitWriter()
     _write_lf_global(sw, opt)
     _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc])
     _write_lf_group(sw, opt, lf_int, h8, w8, dctsels=[p[2] for p in placements],
-                    xfromy=xfromy, bfromy=bfromy)
+                    xfromy=xfromy, bfromy=bfromy, hfmul_per_vb=hfmul_per_vb)
     coeff_enc.write_tokens(sw)
     section = sw.finish()
 
@@ -491,27 +523,58 @@ def _write_vardct_frame_header(w: BitWriter) -> None:
     w.u64(0)  # frame extensions
 
 
-def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8) -> EntropyEncoder:
+def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8,
+                            lf_int=None, hfmul_per_vb=None) -> EntropyEncoder:
     """HF token collection for arbitrary varblock layouts (decoder mirror of
-    j40.h:6888-7005 with default contexts)."""
-    from ..vardct.tables import DCT_SELECT, LOG_ORDER_SIZE
+    j40.h:6888-7005), including custom block contexts."""
+    from ..vardct.tables import DCT_SELECT, DEFAULT_BLKCTX as _DEF, LOG_ORDER_SIZE
 
-    nb_block_ctx = 15
-    enc = EntropyEncoder(495 * nb_block_ctx, use_prefix=opt.use_prefix)
+    bc = opt.block_ctx
+    if bc is None:
+        nb_block_ctx = 15
+        ctx_map = _DEF
+        nb_qf_thr = 0
+        lfidx_size = 1
+        lfidx_plane = np.zeros((h8, w8), np.int64)
+        qf_thr = []
+    else:
+        ctx_map = bc["map"]
+        nb_block_ctx = max(ctx_map) + 1
+        qf_thr = bc["qf_thr"]
+        nb_qf_thr = len(qf_thr)
+        nlf = [len(bc["lf_thr"][i]) for i in range(3)]
+        lfidx_size = (nlf[0] + 1) * (nlf[1] + 1) * (nlf[2] + 1)
+        # lfidx precompute mirrors j40__lf_quant (X, *(nb0+1), B, *(nb2+1), Y)
+        lfp = np.zeros((h8, w8), np.int64)
+        for t in bc["lf_thr"][0]:
+            lfp += lf_int[0] > t
+        lfp *= nlf[0] + 1
+        for t in bc["lf_thr"][2]:
+            lfp += lf_int[2] > t
+        lfp *= nlf[2] + 1
+        for t in bc["lf_thr"][1]:
+            lfp += lf_int[1] > t
+        lfidx_plane = lfp
+
+    enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
+                         use_prefix=opt.use_prefix)
     nonzeros = np.zeros((h8 * w8, 3), dtype=np.int32)
     # corner map in raster order equals placement order
-    for (y8, x8, dctsel), q_all in zip(placements, hf_tokens):
+    for vb_i, ((y8, x8, dctsel), q_all) in enumerate(zip(placements, hf_tokens)):
         log_rows, log_columns, _, order_idx = DCT_SELECT[dctsel]
         log_size = log_rows + log_columns
         order = natural_order(*LOG_ORDER_SIZE[order_idx])
         nzpos = y8 * w8 + x8
-        bctx0 = order_idx  # (order_idx*(nb_qf_thr+1)+qfidx)*lfidx_size+lfidx
-        bctxc = 13
+        hfmul_m1 = (opt.hf_mul if hfmul_per_vb is None else int(hfmul_per_vb[vb_i])) - 1
+        qfidx = sum(1 for t in qf_thr if hfmul_m1 >= t)
+        lfidx = int(lfidx_plane[y8, x8])
+        bctx0 = (order_idx * (nb_qf_thr + 1) + qfidx) * lfidx_size + lfidx
+        bctxc = 13 * (nb_qf_thr + 1) * lfidx_size
         for c_yxb in range(3):
             c = YXB2XYB[c_yxb]
             q = np.asarray(q_all[c], dtype=np.int64)
             assert q.shape[0] == 1 << log_size
-            bctx = DEFAULT_BLKCTX[bctx0 + bctxc * c_yxb]
+            bctx = ctx_map[bctx0 + bctxc * c_yxb]
             llf = 1 << (log_size - 6)
             nz_true = int(np.count_nonzero(q[[order[i] for i in range(llf, 1 << log_size)]]))
             assert nz_true <= 63 << (log_size - 6)

@@ -266,3 +266,30 @@ def test_hf_presets(dj40, tmp_path):
     _, rgba = decode_file(cs)
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_custom_block_contexts(dj40, tmp_path):
+    # custom lf/qf thresholds + clustered block-context map (j40.h:6287-6305),
+    # with per-varblock HfMul so qfidx actually varies
+    rng = np.random.default_rng(70)
+    h8 = w8 = 8
+    grid = np.zeros((h8, w8), np.int32)
+    lf = rng.integers(-40, 40, size=(3, h8, w8))
+    hf = []
+    for _ in range(h8 * w8):
+        q = rng.integers(-3, 4, size=(3, 64))
+        q[rng.random((3, 64)) < 0.8] = 0
+        hf.append(q)
+    hfmul = rng.integers(4, 40, size=h8 * w8)
+    lf_thr = [[0], [5, 20], [-10]]
+    qf_thr = [8, 24]
+    size = 39
+    for n in (1, 2, 1):
+        size *= n + 1
+    size *= 2 + 1
+    cmap = [i % 8 for i in range(size)]
+    opt = VarDCTOptions(block_ctx=dict(lf_thr=lf_thr, qf_thr=qf_thr, map=cmap))
+    cs = synthesize_vardct(64, 64, grid, lf, hf, options=opt, hfmul_per_vb=hfmul)
+    _, rgba = decode_file(cs)
+    ref = _dj40(dj40, cs, tmp_path)
+    assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
