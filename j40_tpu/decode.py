@@ -148,10 +148,13 @@ class Decoder:
         maxpixel = (1 << im.bpp) - 1
         half = 1 << (im.bpp - 1)
 
-        planes = [gm.channels[i].data for i in range(3)]
+        # grayscale modular frames have a single color channel (the reference
+        # rejects these; we replicate it across RGB)
+        ncolor = 1 if (im.cspace is CSpace.GREY and not im.xyb_encoded) else 3
+        planes = [gm.channels[min(i, ncolor - 1)].data for i in range(3)]
         alpha = None
-        for i in range(3, gm.num_channels):
-            ec = im.ec_info[i - 3]
+        for i in range(ncolor, gm.num_channels):
+            ec = im.ec_info[i - ncolor]
             if ec.type == 0:  # alpha
                 alpha = gm.channels[i].data
                 break

@@ -116,13 +116,15 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     (the int16 sample-buffer limit shared with the reference, j40.h:4225).
     """
     opt = options or EncodeOptions()
-    assert image.ndim == 3 and image.shape[2] in (3, 4), "need (h,w,3|4)"
+    assert image.ndim == 3 and image.shape[2] in (1, 2, 3, 4), "need (h,w,1..4)"
     h, wd, nc = image.shape
-    num_alpha = 1 if nc == 4 else 0
+    grayscale = nc <= 2
+    num_alpha = 1 if nc in (2, 4) else 0
 
     w = BitWriter()
     write_signature(w)
-    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False, num_alpha=num_alpha)
+    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False,
+                         num_alpha=num_alpha, grayscale=grayscale)
 
     # FrameHeader (not all_default; j40.h:5163-5388 field order)
     w.zero_pad_to_byte()

@@ -39,9 +39,11 @@ def write_image_metadata(
     modular_16bit: bool = True,
     num_alpha: int = 0,
     intensity_target: float | None = None,
+    grayscale: bool = False,
 ) -> None:
     write_size_header(w, width, height)
-    if bpp == 8 and xyb_encoded and num_alpha == 0 and intensity_target is None:
+    if (bpp == 8 and xyb_encoded and num_alpha == 0
+            and intensity_target is None and not grayscale):
         w.u(1, 1)  # all_default
         w.u(1, 1)  # default_m
         return
@@ -55,6 +57,15 @@ def write_image_metadata(
     for _ in range(num_alpha):
         w.u(1, 1)  # d_alpha: default alpha channel
     w.u(1, 1 if xyb_encoded else 0)
-    w.u(1, 1)  # ColourEncoding all_default (sRGB)
+    if grayscale:
+        w.u(1, 0)  # ColourEncoding not all_default
+        w.u(1, 0)  # want_icc = false
+        w.enum(1)  # colour space: grey
+        w.enum(1)  # white point: D65 (no primaries for grey)
+        w.u(1, 0)  # no gamma -> transfer function enum
+        w.enum(13)  # sRGB transfer
+        w.enum(1)  # render intent: relative
+    else:
+        w.u(1, 1)  # ColourEncoding all_default (sRGB)
     w.u64(0)  # extensions: none
     w.u(1, 1)  # default_m

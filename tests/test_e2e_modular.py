@@ -166,3 +166,32 @@ def test_lz77_special_distances(dj40, tmp_path, use_prefix):
     img[13] = 255 - img[13]
     opt = EncodeOptions(use_prefix=use_prefix, lz77=True, predictor=0)
     _roundtrip(dj40, tmp_path, img, opt)
+
+
+def test_grayscale(dj40, tmp_path):
+    # grayscale modular: the reference rejects it (render requires 3 channels);
+    # we decode it, replicating the single channel across RGB
+    rng = np.random.default_rng(6)
+    g = (np.cumsum(rng.integers(-3, 4, size=(32, 40, 1)), axis=1) % 256).astype(
+        np.uint8
+    )
+    cs = encode_modular(g)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba[:, :, 0], g[:, :, 0])
+    np.testing.assert_array_equal(rgba[:, :, 0], rgba[:, :, 1])
+    # dj40 rejects grayscale with its TODO error
+    jxl = tmp_path / "g.jxl"
+    jxl.write_bytes(cs)
+    r = subprocess.run([str(dj40), str(jxl)], capture_output=True, text=True)
+    assert r.returncode != 0
+
+
+def test_grayscale_with_alpha():
+    rng = np.random.default_rng(7)
+    g = (np.cumsum(rng.integers(-3, 4, size=(24, 24, 2)), axis=1) % 256).astype(
+        np.uint8
+    )
+    cs = encode_modular(g)
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba[:, :, 0], g[:, :, 0])
+    np.testing.assert_array_equal(rgba[:, :, 3], g[:, :, 1])
