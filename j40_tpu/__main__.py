@@ -23,6 +23,7 @@ def main(argv=None) -> int:
     ap.add_argument("--filters", action="store_true",
                     help="apply gaborish/EPF restoration filters")
     ap.add_argument("--time", action="store_true", help="print decode time")
+    ap.add_argument("--stats", action="store_true", help="print stage timings")
     args = ap.parse_args(argv)
 
     from .decode import Decoder
@@ -50,6 +51,10 @@ def main(argv=None) -> int:
     if args.time:
         print(f"decoded in {dt*1000:.1f} ms ({w*h/dt/1e6:.2f} Mpix/s)",
               file=sys.stderr)
+    if args.stats:
+        for k, v in dec.stats.items():
+            print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}",
+                  file=sys.stderr)
 
     if args.output:
         from PIL import Image as PILImage

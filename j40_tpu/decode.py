@@ -55,6 +55,8 @@ class Decoder:
         self.backend = backend
         self.apply_filters = apply_filters
         self.workers = workers
+        #: per-stage wall times and stream facts, filled by decode_frame
+        self.stats: dict = {}
         self.container = parse_container(data)
         self.codestream = self.container.codestream
         self.limits = limits
@@ -69,12 +71,26 @@ class Decoder:
     # -- frame decoding ----------------------------------------------------
 
     def decode_frame(self) -> Frame:
+        import time
+
+        t0 = time.perf_counter()
         im = self.image
         r = self.r
         f = read_frame_header(r, im, self.limits)
         if f.type != FRAME_REGULAR or not f.is_last:
             raise Unsupported(message="only single regular frames supported")
         toc = read_toc(r, f)
+        self.stats.update(
+            headers_s=time.perf_counter() - t0,
+            codestream_bytes=len(self.codestream),
+            frame=f"{f.width}x{f.height}",
+            mode="modular" if f.is_modular else "vardct",
+            num_groups=f.num_groups,
+            num_lf_groups=f.num_lf_groups,
+            num_passes=f.num_passes,
+            sections=len(toc.sections),
+        )
+        t_sections = time.perf_counter()
 
         from .frame_state import FrameState
 
@@ -125,7 +141,11 @@ class Decoder:
                 for s in pg_sections:
                     _one_pass_group(s)
 
+        self.stats["sections_s"] = time.perf_counter() - t_sections
+        t_finish = time.perf_counter()
         state.finish()
+        self.stats["reconstruct_s"] = time.perf_counter() - t_finish
+        self.stats["total_s"] = time.perf_counter() - t0
         self.frame = Frame(header=f, gmodular=state.gmodular)
         return self.frame
 

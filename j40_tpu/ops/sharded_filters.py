@@ -1,0 +1,67 @@
+"""Sharded whole-image restoration filtering with ICI halo exchange.
+
+The per-LF-group filters (ops.filters) mirror at group borders, so a sharded
+decode needs no communication.  This module provides the spec-faithful
+alternative: the image is row-sharded across a device mesh and each 3x3
+gaborish step exchanges one-row halos with mesh neighbors via
+`jax.lax.ppermute` (ICI neighbor traffic — the ring-exchange pattern the
+format's group topology maps to; SURVEY.md §2 "cross-group sequential
+couplings").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _gaborish_rows(tile, top_halo, bottom_halo, weights):
+    """Filter one row-shard given 1-row halos from the neighbor shards."""
+    outs = []
+    for c in range(3):
+        w1, w2 = weights[c]
+        wsum = 1.0 + w1 * 4 + w2 * 4
+        w0n, w1n, w2n = 1.0 / wsum, w1 / wsum, w2 / wsum
+        # stack halo rows around the tile, then pad columns by edge replication
+        ext = jnp.concatenate([top_halo[c][None], tile[c], bottom_halo[c][None]])
+        p = jnp.pad(ext, ((0, 0), (1, 1)), mode="edge")
+        outs.append(
+            p[:-2, :-2] * w2n + p[:-2, 1:-1] * w1n + p[:-2, 2:] * w2n
+            + p[1:-1, :-2] * w1n + p[1:-1, 1:-1] * w0n + p[1:-1, 2:] * w1n
+            + p[2:, :-2] * w2n + p[2:, 1:-1] * w1n + p[2:, 2:] * w2n
+        )
+    return jnp.stack(outs)
+
+
+def sharded_gaborish(channels: np.ndarray, weights, mesh: Mesh, axis: str = "rows"):
+    """Whole-image gaborish over a row-sharded (3, H, W) array.
+
+    Each shard sends its edge rows to its mesh neighbors with ppermute and
+    receives the neighbor halos; outer image borders replicate (matching the
+    unsharded reference layout in ops.filters.gaborish)."""
+    n = mesh.devices.size
+
+    def step(x):
+        idx = jax.lax.axis_index(axis)
+        # neighbor edge rows ride the ICI ring
+        up_edge = x[:, 0, :]
+        down_edge = x[:, -1, :]
+        from_above = jax.lax.ppermute(
+            down_edge, axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            up_edge, axis, [(i + 1, i) for i in range(n - 1)]
+        )
+        # outer borders: replicate own edge (mirror-of-size-1 == edge)
+        top = jnp.where(idx == 0, up_edge, from_above)
+        bottom = jnp.where(idx == n - 1, down_edge, from_below)
+        return _gaborish_rows(x, top, bottom, weights)
+
+    fn = jax.shard_map(
+        step, mesh=mesh, in_specs=P(None, axis, None), out_specs=P(None, axis, None)
+    )
+    return jax.jit(fn)(jnp.asarray(channels))

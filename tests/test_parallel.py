@@ -52,3 +52,22 @@ def test_dryrun_multichip():
     out = fn(*args)
     assert out.shape == (3, 64, 64)
     ge.dryrun_multichip(8)
+
+
+def test_sharded_gaborish_matches_unsharded():
+    # whole-image gaborish sharded over 8 devices with ppermute halo exchange
+    # must match the single-device reference exactly
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.ops.filters import gaborish
+    from j40_tpu.ops.sharded_filters import sharded_gaborish
+
+    rng = np.random.default_rng(44)
+    img = rng.normal(size=(3, 64, 48)).astype(np.float32)
+    weights = [[0.115169525, 0.061248592]] * 3
+    ref = gaborish(img, weights)
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("rows",))
+    out = np.asarray(sharded_gaborish(img, weights, mesh))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
