@@ -13,30 +13,14 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .errors import J40Error, Unsupported, check
-from .headers.frame import (
-    FRAME_REGULAR,
-    FrameHeader,
-    Section,
-    Toc,
-    read_frame_header,
-    read_toc,
-)
-from .headers.image import CSpace, ImageMetadata, read_image_metadata, read_signature
+from .errors import Unsupported, check
+from .headers.frame import FRAME_REGULAR, FrameHeader, read_frame_header, read_toc
+from .headers.image import CSpace, read_image_metadata, read_signature
 from .headers.icc import read_icc
 from .io.bits import BitReader
 from .io.container import parse_container
 from .limits import MAIN_LV5, Limits
-from .modular.decode import (
-    Channel,
-    ModularImage,
-    decode_channel,
-    allocate,
-    parse_modular_header,
-)
-from .modular.transforms import inverse_transforms
-from .modular.tree import read_tree
-from .mathutil import ceil_div
+from .modular.decode import ModularImage
 
 
 @dataclass

@@ -12,9 +12,7 @@ tables, 1+3G+17+pass*num_groups+g pass groups.
 
 from __future__ import annotations
 
-import numpy as np
-
-from .errors import J40Error, Unsupported, check
+from .errors import Unsupported, check
 from .headers.frame import FrameHeader
 from .headers.image import CSpace, ImageMetadata
 from .io.bits import BitReader

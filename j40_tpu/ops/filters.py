@@ -16,8 +16,6 @@ noticed — we replicate the reference behavior exactly.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 # kernel tables (j40.h:7579-7583), in the reference's (k0, k1) order
