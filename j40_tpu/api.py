@@ -40,8 +40,10 @@ def _error_pixels() -> np.ndarray:
 class Frame:
     """Decoded frame handle (j40_frame analog)."""
 
-    def __init__(self, rgba: np.ndarray):
+    def __init__(self, rgba: np.ndarray, duration: int = 0):
         self._rgba = rgba
+        #: display duration in animation ticks (0 for still images)
+        self.duration = duration
 
     @property
     def width(self) -> int:
@@ -80,6 +82,8 @@ class Image:
         self._err_msg = ""
         self._frame: Frame | None = None
         self._format_set = False
+        self._dec = None
+        self._frames_emitted = 0
 
     # -- constructors (j40_from_file / j40_from_memory) -------------------
 
@@ -113,6 +117,7 @@ class Image:
     def push(self, data: bytes) -> None:
         """Append more input bytes; clears a retryable 'shrt' error."""
         self._buf.extend(data)
+        self._dec = None  # re-entry replays from the start over the new buffer
         if self._err == "shrt":
             self._err = None
 
@@ -130,19 +135,26 @@ class Image:
         from .decode import Decoder
 
         try:
-            dec = Decoder(bytes(self._buf), backend=self._backend)
-            dec.decode_frame()
-            rgba = dec.render_rgba8()
+            if self._dec is None:
+                self._dec = Decoder(bytes(self._buf), backend=self._backend)
+                for _ in range(self._frames_emitted):  # replay after push()
+                    self._dec.decode_frame()
+            if self._dec.done:
+                return False  # no more frames; error stays clear
+            fr = self._dec.decode_frame()
+            rgba = self._dec.render_rgba8()
         except ShortInput as e:
             self._err = "shrt"
             self._err_msg = e.message
+            self._dec = None
             return False
         except J40Error as e:
             self._err = e.code
             self._err_msg = e.message
             return False
         self._err = None
-        self._frame = Frame(rgba)
+        self._frames_emitted += 1
+        self._frame = Frame(rgba, duration=fr.header.duration)
         return True
 
     def current_frame(self) -> Frame:
@@ -177,6 +189,7 @@ class Image:
         error queries only)."""
         self._buf = bytearray()
         self._frame = None
+        self._dec = None
 
     def __enter__(self) -> "Image":
         return self

@@ -27,6 +27,9 @@ from .modular.decode import ModularImage
 class Frame:
     header: FrameHeader
     gmodular: ModularImage
+    #: image-sized channel planes after blending onto the canvas (spec §5.3);
+    #: for a plain single full frame these alias the gmodular channel data
+    canvas: list[np.ndarray] | None = None
     # rendered outputs
     rgba: np.ndarray | None = None  # (h, w, 4) uint8
 
@@ -51,18 +54,23 @@ class Decoder:
             self.image.icc = read_icc(r)
         self.r = r
         self.frame: Frame | None = None
+        #: reference-frame slots for animation blending (spec §5.3; the
+        #: reference rejects non-final frames outright, j40.h:5201)
+        self.ref_frames: list[list[np.ndarray] | None] = [None] * 4
+        self.done = False
 
     # -- frame decoding ----------------------------------------------------
 
     def decode_frame(self) -> Frame:
         import time
 
+        check(not self.done, "excs", "no more frames in the codestream")
         t0 = time.perf_counter()
         im = self.image
         r = self.r
         f = read_frame_header(r, im, self.limits)
-        if f.type != FRAME_REGULAR or not f.is_last:
-            raise Unsupported(message="only single regular frames supported")
+        if f.type != FRAME_REGULAR:
+            raise Unsupported(message="only regular frames supported")
         toc = read_toc(r, f)
         self.stats.update(
             headers_s=time.perf_counter() - t0,
@@ -130,8 +138,64 @@ class Decoder:
         state.finish()
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
         self.stats["total_s"] = time.perf_counter() - t0
-        self.frame = Frame(header=f, gmodular=state.gmodular)
+        # position the main reader at the next frame's byte boundary
+        r.seek_bits(toc.end_codeoff * 8)
+        canvas = self._composite(f, state.gmodular)
+        if f.is_last:
+            self.done = True
+        else:
+            self.ref_frames[f.save_as_ref] = canvas
+        self.frame = Frame(header=f, gmodular=state.gmodular, canvas=canvas)
         return self.frame
+
+    # -- blending (spec §5.3 subset: REPLACE and ADD) ----------------------
+
+    def _ncolor(self) -> int:
+        im = self.image
+        return 1 if (im.cspace is CSpace.GREY and not im.xyb_encoded) else 3
+
+    def _composite(self, f: FrameHeader, gm: ModularImage) -> list[np.ndarray]:
+        """Blend the decoded frame onto its source reference canvas.
+
+        The canvas is a list of image-sized planes, one per gmodular channel
+        (color + extra channels).  Full-frame REPLACE (the only case the
+        reference handles, implicitly) aliases the frame data; cropped or
+        blended frames composite over `ref_frames[src_ref_frame]`."""
+        from .headers.frame import BLEND_ADD, BLEND_REPLACE
+
+        im = self.image
+        ncolor = self._ncolor()
+        exact = (
+            f.x0 == 0 and f.y0 == 0 and f.width == im.width and f.height == im.height
+        )
+        canvas: list[np.ndarray] = []
+        for ci in range(gm.num_channels):
+            bi = f.blend_info if ci < ncolor else f.ec_blend_info[ci - ncolor]
+            data = gm.channels[ci].data
+            if exact and bi.mode == BLEND_REPLACE:
+                canvas.append(data)
+                continue
+            ref = self.ref_frames[bi.src_ref_frame]
+            base = (
+                ref[ci].copy()
+                if ref is not None
+                else np.zeros((im.height, im.width), data.dtype)
+            )
+            # clip the frame rect (origin may be negative) to the image rect
+            sx0, sy0 = max(0, -f.x0), max(0, -f.y0)
+            dx0, dy0 = max(0, f.x0), max(0, f.y0)
+            w = min(f.width - sx0, im.width - dx0)
+            h = min(f.height - sy0, im.height - dy0)
+            if w > 0 and h > 0:
+                sub = data[sy0 : sy0 + h, sx0 : sx0 + w]
+                if bi.mode == BLEND_REPLACE:
+                    base[dy0 : dy0 + h, dx0 : dx0 + w] = sub
+                elif bi.mode == BLEND_ADD:
+                    base[dy0 : dy0 + h, dx0 : dx0 + w] += sub
+                else:
+                    raise Unsupported(message=f"blend mode {bi.mode}")
+            canvas.append(base)
+        return canvas
 
     def _section_reader(self, codeoff: int, size: int) -> BitReader:
         check(codeoff + size <= len(self.codestream), "shrt")
@@ -144,23 +208,23 @@ class Decoder:
         reference's clamp+scale semantics (j40.h:7910-7962)."""
         im = self.image
         f = self.frame
-        assert f is not None
-        gm = f.gmodular
+        assert f is not None and f.canvas is not None
+        canvas = f.canvas
         check(im.bpp >= 8, "TODO", "<8bpp render")
         check(im.exp_bits == 0, "TODO", "float samples")
-        h, w = f.header.height, f.header.width
+        h, w = canvas[0].shape
         maxpixel = (1 << im.bpp) - 1
         half = 1 << (im.bpp - 1)
 
         # grayscale modular frames have a single color channel (the reference
         # rejects these; we replicate it across RGB)
-        ncolor = 1 if (im.cspace is CSpace.GREY and not im.xyb_encoded) else 3
-        planes = [gm.channels[min(i, ncolor - 1)].data for i in range(3)]
+        ncolor = self._ncolor()
+        planes = [canvas[min(i, ncolor - 1)] for i in range(3)]
         alpha = None
-        for i in range(ncolor, gm.num_channels):
+        for i in range(ncolor, len(canvas)):
             ec = im.ec_info[i - ncolor]
             if ec.type == 0:  # alpha
-                alpha = gm.channels[i].data
+                alpha = canvas[i]
                 break
 
         out = np.empty((h, w, 4), dtype=np.uint8)
@@ -177,14 +241,35 @@ class Decoder:
         return out
 
 
+def _read_input(path_or_bytes) -> bytes:
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        return bytes(path_or_bytes)
+    return open(path_or_bytes, "rb").read()
+
+
 def decode_file(path_or_bytes, backend: str = "numpy") -> tuple[Decoder, np.ndarray]:
-    data = (
-        path_or_bytes
-        if isinstance(path_or_bytes, (bytes, bytearray))
-        else open(path_or_bytes, "rb").read()
-    )
-    dec = Decoder(bytes(data), backend=backend)
-    dec.decode_frame()
+    """Decode to the final displayed frame (all frames are processed so the
+    blending chain is honored; single-frame files behave as before)."""
+    dec = Decoder(_read_input(path_or_bytes), backend=backend)
+    while not dec.done:
+        dec.decode_frame()
     rgba = dec.render_rgba8()
     dec.frame.rgba = rgba
     return dec, rgba
+
+
+def decode_animation(
+    path_or_bytes, backend: str = "numpy"
+) -> tuple[Decoder, list[tuple[int, np.ndarray]]]:
+    """Decode every displayed frame of an (animated) codestream.
+
+    Returns (decoder, [(duration_ticks, rgba), ...]); frames with duration 0
+    that are not last are compositing intermediates and are not emitted
+    (spec §5.3).  Tick rate is `decoder.image.anim_tps_num / anim_tps_denom`."""
+    dec = Decoder(_read_input(path_or_bytes), backend=backend)
+    frames: list[tuple[int, np.ndarray]] = []
+    while not dec.done:
+        fr = dec.decode_frame()
+        if fr.header.duration > 0 or fr.header.is_last:
+            frames.append((fr.header.duration, dec.render_rgba8()))
+    return dec, frames

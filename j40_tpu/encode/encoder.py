@@ -126,7 +126,36 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False,
                          num_alpha=num_alpha, grayscale=grayscale)
 
-    # FrameHeader (not all_default; j40.h:5163-5388 field order)
+    _write_modular_frame_header(w, num_alpha=num_alpha, opt=opt, im_size=(wd, h))
+
+    channels = [image[:, :, c].astype(np.int32) for c in range(nc)]
+    _write_frame_body(w, channels, wd, h, opt)
+    return w.finish()
+
+
+CROP_U32 = ((0, 8), (256, 11), (2304, 14), (18688, 30))
+
+
+def _write_modular_frame_header(
+    w: BitWriter,
+    *,
+    num_alpha: int,
+    opt: EncodeOptions,
+    im_size: tuple[int, int],
+    frame_size: tuple[int, int] | None = None,
+    origin: tuple[int, int] = (0, 0),
+    is_last: bool = True,
+    duration: int = 0,
+    save_as_ref: int = 0,
+    have_anim: bool = False,
+) -> None:
+    """FrameHeader (not all_default; read side frame.py:101-253 field order).
+
+    `frame_size`/`origin` emit the have_crop path; `have_anim` must match the
+    image metadata's have_animation (the duration field is conditional on it)."""
+    imw, imh = im_size
+    fw, fh = frame_size or im_size
+    x0, y0 = origin
     w.zero_pad_to_byte()
     w.u(1, 0)  # not all_default
     w.u(2, 0)  # type = regular
@@ -138,14 +167,27 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
         w.u(2, 0)  # per-extra-channel upsampling
     w.u(2, opt.group_size_shift - 7)  # group_size_shift
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes = 1
-    w.u(1, 0)  # have_crop = false
-    # blending (regular frame): replace for color + each extra channel;
-    # full frame -> no src_ref_frame
+    have_crop = not (fw == imw and fh == imh and x0 == 0 and y0 == 0)
+    w.u(1, 1 if have_crop else 0)
+    if have_crop:
+        w.u32(CROP_U32, pack_signed(x0))
+        w.u32(CROP_U32, pack_signed(y0))
+        w.u32(CROP_U32, fw)
+        w.u32(CROP_U32, fh)
+    full_frame = x0 <= 0 and y0 <= 0 and fw + x0 >= imw and fh + y0 >= imh
+    # blending: REPLACE for color + each extra channel; non-full frames name
+    # the reference slot they composite over
     for _ in range(1 + num_alpha):
         w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)
-    # no animation
-    w.u(1, 1)  # is_last
-    # save_before_ct not read (is_last && blend replace && full)
+        if not full_frame:
+            w.u(2, 0)  # src_ref_frame
+    if have_anim:
+        w.u32(((0, 0), (1, 0), (0, 8), (0, 32)), duration)
+    w.u(1, 1 if is_last else 0)
+    if not is_last:
+        w.u(2, save_as_ref)
+        if full_frame and (duration == 0 or save_as_ref != 0):
+            w.u(1, 0)  # save_before_ct (don't-care for non-XYB modular)
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len = 0
     w.u(1, 1)  # restoration all_default
     # NOTE: the reference decoder reads gab_custom and epf bits even in the
@@ -157,6 +199,11 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     # restoration extensions are NOT read when restoration_all_default is set
     w.u64(0)  # extensions (frame header)
 
+
+def _write_frame_body(
+    w: BitWriter, channels: list[np.ndarray], wd: int, h: int, opt: EncodeOptions
+) -> None:
+    """TOC + sections for one modular frame (single- or multi-group)."""
     group_size = 1 << opt.group_size_shift
     gcolumns = ceil_div(wd, group_size)
     grows = ceil_div(h, group_size)
@@ -165,8 +212,6 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     ggcolumns = ceil_div(wd, gg_size)
     ggrows = ceil_div(h, gg_size)
     num_lf_groups = ggcolumns * ggrows
-
-    channels = [image[:, :, c].astype(np.int32) for c in range(nc)]
 
     if num_groups == 1:
         # single-section layout
@@ -178,7 +223,7 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
         w.u32(TOC_U32, len(section))
         w.zero_pad_to_byte()
         w.out.extend(section)
-        return w.finish()
+        return
 
     # multi-group layout: LfGlobal + LF groups (empty) + HfGlobal(empty) + groups
     sections: list[bytes] = []
@@ -205,6 +250,52 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
         sections.append(gsw.finish())
 
     _write_toc(w, sections, opt.permute_toc, opt.use_prefix)
+
+
+def encode_animation(
+    frames,
+    bpp: int = 8,
+    options: EncodeOptions | None = None,
+    tps: tuple[int, int] = (10, 1),
+    num_loops: int = 0,
+) -> bytes:
+    """Encode an animated codestream (a capability beyond the reference,
+    which rejects any non-final frame at j40.h:5201).
+
+    `frames` is a list of `(image, duration)` or `(image, duration, (x0, y0))`
+    tuples; the first frame must be image-sized, later frames may be crops
+    composited at `(x0, y0)` (REPLACE blending over reference slot 0).
+    `duration` is in ticks of `tps[1]/tps[0]` seconds; intermediate frames may
+    use duration 0 (composited but not displayed)."""
+    opt = options or EncodeOptions()
+    items = []
+    for fr in frames:
+        img = np.asarray(fr[0])
+        origin = fr[2] if len(fr) > 2 else (0, 0)
+        assert img.ndim == 3 and img.shape[2] in (1, 2, 3, 4), "need (h,w,1..4)"
+        items.append((img, int(fr[1]), origin))
+    assert items, "need at least one frame"
+    h, wd, nc = items[0][0].shape
+    assert items[0][2] == (0, 0), "first frame must be full-size at (0, 0)"
+    grayscale = nc <= 2
+    num_alpha = 1 if nc in (2, 4) else 0
+
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(
+        w, wd, h, bpp=bpp, xyb_encoded=False, num_alpha=num_alpha,
+        grayscale=grayscale, animation=(tps[0], tps[1], num_loops),
+    )
+    for i, (img, duration, (x0, y0)) in enumerate(items):
+        fh, fw = img.shape[:2]
+        assert img.shape[2] == nc, "channel count must match across frames"
+        _write_modular_frame_header(
+            w, num_alpha=num_alpha, opt=opt, im_size=(wd, h),
+            frame_size=(fw, fh), origin=(x0, y0),
+            is_last=(i == len(items) - 1), duration=duration, have_anim=True,
+        )
+        channels = [img[:, :, c].astype(np.int32) for c in range(nc)]
+        _write_frame_body(w, channels, fw, fh, opt)
     return w.finish()
 
 
