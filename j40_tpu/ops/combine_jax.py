@@ -242,12 +242,11 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
             plane = flat.reshape(3, ggh8 * 8, ggw8 * 8)
 
     if getattr(vs.fs, "apply_filters", False):
-        from .filters import epf, gaborish_jax
+        from .filters import epf_jax, gaborish_jax
 
         if f.gab_enabled:
             plane = gaborish_jax(plane, f.gab_weights)
-        # EPF currently runs via the numpy oracle (device port TODO)
-        plane = jnp.asarray(epf(np.asarray(plane), vs, gg, is_modular=False))
+        plane = epf_jax(plane, vs, gg, is_modular=False)
 
     out = xyb_to_srgb_u8(
         plane,

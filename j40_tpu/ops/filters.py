@@ -207,3 +207,126 @@ def gaborish_jax(channels, weights):
             + p[2:, :-2] * w2n + p[2:, 1:-1] * w1n + p[2:, 2:] * w2n
         )
     return jnp.stack(outs)
+
+
+def _epf_step_jax(
+    channels,        # (3, H, W) device array
+    rs_px,           # (H, W) per-pixel reciprocal sigma (negatives = skip)
+    sigma_scale: float,
+    kernels,         # static tuple
+    dist_uses_cross: bool,
+    channel_scale,   # static 3-tuple
+    border_sad_mul: float,
+):
+    """One EPF pass on device; same math as epf_step (kept in lockstep).
+
+    The kernel taps are a static tuple, so the k-loop unrolls at trace time
+    into pure shifted-slice arithmetic — XLA fuses the whole pass into one
+    elementwise kernel (mirror pads are static-shape gathers)."""
+    import jax.numpy as jnp
+
+    _, H, W = channels.shape
+    sigma_scale = jnp.float32(sigma_scale * POS_MULT)
+    border_scale = sigma_scale * jnp.float32(border_sad_mul)
+
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    border = ((((xs[None, :] + 1) | (ys[:, None] + 1)) & 7) < 2)
+    inv_sigma_pos = jnp.where(border, rs_px * border_scale, rs_px * sigma_scale)
+
+    # half-sample mirror == numpy/jnp "symmetric" padding (ops.filters
+    # _mirror_index for pads <= size, which holds for >=8px planes)
+    pad3 = jnp.pad(channels, ((0, 0), (3, 3), (3, 3)), mode="symmetric")
+
+    D = []
+    for (k0, k1) in kernels:
+        dx, dy = k0, k1  # distances use (dx, dy) = (k0, k1); see epf_step
+        base = pad3[:, 2 : 2 + H + 2, 2 : 2 + W + 2]
+        off = pad3[:, 2 + dy : 2 + dy + H + 2, 2 + dx : 2 + dx + W + 2]
+        D.append(jnp.abs(base - off))
+
+    scale = [jnp.float32(s) for s in channel_scale]
+    sum_weights = jnp.ones((H, W), dtype=jnp.float32)
+    sum_channels = channels
+    pad2 = pad3[:, 1:-1, 1:-1]
+
+    for k, (k0, k1) in enumerate(kernels):
+        dist = jnp.zeros((H, W), dtype=jnp.float32)
+        for c in range(3):
+            d = D[k][c]
+            if dist_uses_cross:
+                dist = dist + scale[c] * (
+                    d[1 : 1 + H, 1 : 1 + W]
+                    + d[1 : 1 + H, 0:W] + d[0:H, 1 : 1 + W]
+                    + d[2 : 2 + H, 1 : 1 + W] + d[1 : 1 + H, 2 : 2 + W]
+                )
+            else:
+                dist = dist + scale[c] * d[1 : 1 + H, 1 : 1 + W]
+        weight = jnp.maximum(jnp.float32(0.0), jnp.float32(1.0) + dist * inv_sigma_pos)
+        sum_weights = sum_weights + weight
+        dy, dx = k0, k1  # sampling transposes the taps (reference parity)
+        shifted = pad2[:, 2 + dy : 2 + dy + H, 2 + dx : 2 + dx + W]
+        sum_channels = sum_channels + shifted * weight[None]
+
+    out = sum_channels / sum_weights[None]
+    return jnp.where((rs_px < 0.0)[None], channels, out)
+
+
+def _epf_steps_jit():
+    import functools
+
+    import jax
+
+    global _EPF_JIT
+    try:
+        return _EPF_JIT
+    except NameError:
+        pass
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("iters", "channel_scale", "p0_scale", "p2_scale",
+                         "border_sad_mul"),
+    )
+    def run(channels, rs_px, *, iters, channel_scale, p0_scale, p2_scale,
+            border_sad_mul):
+        kw = dict(channel_scale=channel_scale, border_sad_mul=border_sad_mul)
+        if iters >= 3:
+            channels = _epf_step_jax(channels, rs_px, p0_scale, KERNELS12,
+                                     True, **kw)
+        if iters >= 1:
+            channels = _epf_step_jax(channels, rs_px, 1.0, KERNELS4, True, **kw)
+        if iters >= 2:
+            channels = _epf_step_jax(channels, rs_px, p2_scale, KERNELS4,
+                                     False, **kw)
+        return channels
+
+    _EPF_JIT = run
+    return run
+
+
+def epf_jax(channels, vs, gg, is_modular: bool = False):
+    """Device EPF: all steps fused under one jit; only the tiny per-block
+    sigma plane is computed on host (entropy-coded sharpness lookup)."""
+    import jax.numpy as jnp
+
+    f = vs.fs.f
+    if f.epf_iters <= 0:
+        return channels
+    _, H, W = channels.shape
+    if is_modular:
+        if f.epf_sigma_for_modular < SIGMA_THRESHOLD:
+            return channels
+        recip = np.full(((H + 7) // 8, (W + 7) // 8),
+                        1.0 / f.epf_sigma_for_modular, dtype=np.float32)
+    else:
+        recip = epf_recip_sigmas(vs, gg)
+    rs_px = jnp.repeat(jnp.repeat(jnp.asarray(recip), 8, 0), 8, 1)[:H, :W]
+    return _epf_steps_jit()(
+        jnp.asarray(channels), rs_px,
+        iters=int(f.epf_iters),
+        channel_scale=tuple(float(s) for s in f.epf_channel_scale),
+        p0_scale=float(f.epf_pass0_sigma_scale),
+        p2_scale=float(f.epf_pass2_sigma_scale),
+        border_sad_mul=float(f.epf_border_sad_mul),
+    )

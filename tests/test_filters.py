@@ -71,3 +71,38 @@ def test_decode_with_filters_end_to_end():
     d2.decode_frame()
     filt_jax = d2.render_rgba8()
     assert np.abs(filt.astype(int) - filt_jax.astype(int)).max() <= 1
+
+
+def test_epf_step_jax_parity():
+    from j40_tpu.ops.filters import KERNELS12, _epf_step_jax
+
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(3, 24, 40)).astype(np.float32) * 0.1
+    rs = rng.uniform(0.5, 2.5, size=(3, 5)).astype(np.float32)
+    rs[1, 2] = -1.0  # one skipped block
+    for kernels, cross in ((KERNELS4, True), (KERNELS12, True), (KERNELS4, False)):
+        ref = epf_step(img, 0.9, rs, kernels, cross, [40.0, 5.0, 3.5], 2 / 3)
+        rs_px = np.repeat(np.repeat(rs, 8, 0), 8, 1)[:24, :40]
+        out = np.asarray(
+            _epf_step_jax(img, rs_px, 0.9, kernels, cross, (40.0, 5.0, 3.5), 2 / 3)
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_epf_jax_full_parity():
+    from types import SimpleNamespace
+
+    from j40_tpu.ops.filters import epf, epf_jax
+
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(3, 32, 32)).astype(np.float32) * 0.1
+    f = SimpleNamespace(
+        epf_iters=3, epf_channel_scale=[40.0, 5.0, 3.5], epf_quant_mul=0.46,
+        epf_pass0_sigma_scale=0.9, epf_pass2_sigma_scale=6.5,
+        epf_border_sad_mul=2 / 3, epf_sigma_for_modular=1.0,
+        epf_sharp_lut=[i / 7.0 for i in range(8)],
+    )
+    vs = SimpleNamespace(fs=SimpleNamespace(f=f))
+    ref = epf(img, vs, None, is_modular=True)
+    out = np.asarray(epf_jax(img, vs, None, is_modular=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
