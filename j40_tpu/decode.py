@@ -238,7 +238,29 @@ class Decoder:
             else:
                 p = np.clip(src, 0, maxpixel).astype(np.int64)
                 out[:, :, i] = ((p * 255 + half) // maxpixel).astype(np.uint8)
-        return out
+        # EXIF-style orientation (the reference parses but never applies it,
+        # j40.h:3152; we honor it like libjxl's default un-orientation)
+        return apply_orientation(out, int(im.orientation))
+
+
+def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform a stored (h, w, c) image to display orientation (spec Table
+    F.2 / EXIF codes 1-8; 5-8 swap the displayed width and height)."""
+    if orientation == 2:
+        return arr[:, ::-1].copy()
+    if orientation == 3:
+        return arr[::-1, ::-1].copy()
+    if orientation == 4:
+        return arr[::-1, :].copy()
+    if orientation == 5:  # transpose
+        return arr.transpose(1, 0, 2).copy()
+    if orientation == 6:  # rotate 90 clockwise
+        return arr.transpose(1, 0, 2)[:, ::-1].copy()
+    if orientation == 7:  # anti-transpose
+        return arr.transpose(1, 0, 2)[::-1, ::-1].copy()
+    if orientation == 8:  # rotate 90 counter-clockwise
+        return arr.transpose(1, 0, 2)[::-1, :].copy()
+    return arr
 
 
 def _read_input(path_or_bytes) -> bytes:

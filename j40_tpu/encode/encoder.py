@@ -109,12 +109,13 @@ class EncodeOptions:
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
-                   options: EncodeOptions | None = None) -> bytes:
+                   options: EncodeOptions | None = None,
+                   orientation: int = 1) -> bytes:
     """Encode (h, w, 3) RGB or (h, w, 4) RGBA losslessly.
 
     Returns a bare JPEG XL codestream (FF 0A ...).  bpp up to 15 is supported
     (the int16 sample-buffer limit shared with the reference, j40.h:4225).
-    """
+    `orientation` stores the image with an EXIF-style display transform."""
     opt = options or EncodeOptions()
     assert image.ndim == 3 and image.shape[2] in (1, 2, 3, 4), "need (h,w,1..4)"
     h, wd, nc = image.shape
@@ -124,7 +125,8 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     w = BitWriter()
     write_signature(w)
     write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False,
-                         num_alpha=num_alpha, grayscale=grayscale)
+                         num_alpha=num_alpha, grayscale=grayscale,
+                         orientation=orientation)
 
     _write_modular_frame_header(w, num_alpha=num_alpha, opt=opt, im_size=(wd, h))
 

@@ -41,28 +41,32 @@ def write_image_metadata(
     intensity_target: float | None = None,
     grayscale: bool = False,
     animation: tuple[int, int, int] | None = None,
+    orientation: int = 1,
 ) -> None:
     """`animation` = (tps_numerator, tps_denominator, num_loops) enables the
-    extra_fields/have_animation path (read side: image.py:204-208)."""
+    extra_fields/have_animation path (read side: image.py:204-208);
+    `orientation` is the EXIF-style 1-8 code (1 = identity)."""
     write_size_header(w, width, height)
+    extra_fields = animation is not None or orientation != 1
     if (bpp == 8 and xyb_encoded and num_alpha == 0
             and intensity_target is None and not grayscale
-            and animation is None):
+            and not extra_fields):
         w.u(1, 1)  # all_default
         w.u(1, 1)  # default_m
         return
     w.u(1, 0)  # not all_default
-    w.u(1, 1 if animation else 0)  # extra_fields
-    if animation:
-        w.u(3, 0)  # orientation: identity
+    w.u(1, 1 if extra_fields else 0)  # extra_fields
+    if extra_fields:
+        w.u(3, orientation - 1)
         w.u(1, 0)  # have_intr_size
         w.u(1, 0)  # have_preview
-        w.u(1, 1)  # have_animation
-        tps_num, tps_denom, nloops = animation
-        w.u32(((100, 0), (1000, 0), (1, 10), (1, 30)), tps_num)
-        w.u32(((1, 0), (1001, 0), (1, 8), (1, 10)), tps_denom)
-        w.u32(((0, 0), (0, 3), (0, 16), (0, 32)), nloops)
-        w.u(1, 0)  # have_timecodes
+        w.u(1, 1 if animation else 0)  # have_animation
+        if animation:
+            tps_num, tps_denom, nloops = animation
+            w.u32(((100, 0), (1000, 0), (1, 10), (1, 30)), tps_num)
+            w.u32(((1, 0), (1001, 0), (1, 8), (1, 10)), tps_denom)
+            w.u32(((0, 0), (0, 3), (0, 16), (0, 32)), nloops)
+            w.u(1, 0)  # have_timecodes
     # BitDepth: integer samples
     w.u(1, 0)
     w.u32(((8, 0), (10, 0), (12, 0), (1, 6)), bpp)
@@ -81,7 +85,7 @@ def write_image_metadata(
         w.enum(1)  # render intent: relative
     else:
         w.u(1, 1)  # ColourEncoding all_default (sRGB)
-    if animation:
+    if extra_fields:
         w.u(1, 1)  # ToneMapping all_default (read when extra_fields is set)
     w.u64(0)  # extensions: none
     w.u(1, 1)  # default_m
