@@ -587,6 +587,57 @@ J40T_API void j40t_decode_symbols(J40TStream* s, const int32_t* ctxs, int64_t n,
   for (int64_t i = 0; i < n; ++i) out[i] = code_one(s->bits, s->state, ctxs[i], dist_mult);
 }
 
+// fast path: single-leaf tree with gradient (5) or zero (0) predictor,
+// multiplier 1, offset 0, no LZ77 — the fjxl-style shape our encoder's
+// default output takes.  Inlines the symbol decode (no LZ77/window/copy
+// checks, cluster hoisted) and loads only the W/N/NW neighbors the gradient
+// needs; ~2x over the generic loop.
+template <int PRED>
+static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
+                                     int32_t width, int32_t height,
+                                     int32_t* out) {
+  const bool use_prefix = cs.spec->use_prefix;
+  const int32_t log_alpha = cs.spec->log_alpha;
+  auto decode_px = [&](int64_t pred, int32_t* dst) -> int32_t {
+    int32_t token = use_prefix ? cl.prefix.decode(br)
+                               : ans_code(br, cs, cl, log_alpha);
+    int64_t value = hybrid_int(br, token, cl.cfg);
+    if (value < 0) { cs.error = true; return 3; }
+    int64_t uv = (value & 1) ? -((value >> 1) + 1) : (value >> 1);
+    int64_t val = uv + pred;
+    if (val < -32768 || val > 32767) return 1;
+    *dst = (int32_t)val;
+    return 0;
+  };
+  for (int32_t y = 0; y < height; ++y) {
+    int32_t* row = out + (size_t)y * width;
+    const int32_t* prow = row - width;
+    int32_t r;
+    if (PRED == 0) {
+      for (int32_t x = 0; x < width; ++x)
+        if ((r = decode_px(0, row + x)) != 0) return r;
+    } else if (y == 0) {
+      // edge substitution collapses the gradient to W on the first row
+      int64_t prev = 0;
+      for (int32_t x = 0; x < width; ++x) {
+        if ((r = decode_px(prev, row + x)) != 0) return r;
+        prev = row[x];
+      }
+    } else {
+      if ((r = decode_px(prow[0], row)) != 0) return r;  // x==0: W=N=NW=N
+      for (int32_t x = 1; x < width; ++x) {
+        int64_t w_ = row[x - 1], n_ = prow[x], nw = prow[x - 1];
+        int64_t lo = w_ < n_ ? w_ : n_;
+        int64_t hi = w_ < n_ ? n_ : w_;
+        int64_t g = w_ + n_ - nw;
+        if ((r = decode_px(g < lo ? lo : (g > hi ? hi : g), row + x)) != 0)
+          return r;
+      }
+    }
+  }
+  return (br.overrun || cs.error) ? 3 : 0;
+}
+
 // decode one modular channel; returns 0 on success, 1 on range error ("povf"),
 // 2 on tree/ref error, 3 on bitstream overrun
 J40T_API int32_t j40t_decode_modular_channel(
@@ -612,6 +663,15 @@ J40T_API int32_t j40t_decode_modular_channel(
   if (use_wp) wp.init(width, wp_params);
 
   const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
+
+  if (single_leaf && !s->spec.lz77 && nodes[0].multiplier == 1 &&
+      nodes[0].offset == 0 &&
+      (nodes[0].predictor == 5 || nodes[0].predictor == 0)) {
+    const Cluster& cl = s->spec.clusters[s->spec.cluster_map[nodes[0].ctx]];
+    return nodes[0].predictor == 5
+               ? decode_channel_simple<5>(s->bits, s->state, cl, width, height, out)
+               : decode_channel_simple<0>(s->bits, s->state, cl, width, height, out);
+  }
 
   for (int32_t y = 0; y < height; ++y) {
     int32_t* row = out + (size_t)y * width;
