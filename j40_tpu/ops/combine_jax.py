@@ -201,13 +201,25 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
                         ),
                     ]
                 )
-                cmax = np.abs(coeffs).max() if coeffs.size else 0
-                cup = coeffs.astype(np.int16) if cmax < 32000 else coeffs
+                # narrowest lossless upload: clipped int8 plane + exact-value
+                # exceptions (quantized HF coeffs rarely exceed |127|), ~2x
+                # fewer host->device bytes than int16 on the tunnel
+                flat = coeffs.reshape(-1)
+                cup = np.clip(coeffs, -127, 127).astype(np.int8)
+                exc = np.flatnonzero(np.abs(flat) > 127).astype(np.int64)
+                cap = max(64, 1 << int(len(exc)).bit_length())  # bucketed jit
+                exc_idx = np.zeros(cap, np.int32)
+                exc_val = np.full(cap, np.int32(round(float(flat[0]))) if flat.size
+                                  else np.int32(0), np.int32)
+                if len(exc):
+                    exc_idx[1 : 1 + len(exc)] = exc
+                    exc_val[1 : 1 + len(exc)] = np.round(flat[exc]).astype(np.int32)
                 aux = np.concatenate(
                     [llf.reshape(3, n), hfmul_inv[None], kx[None], kb[None]]
                 ).astype(np.float32)
                 out = reconstruct_dct8_full(
-                    jnp.asarray(cup), jnp.asarray(aux),
+                    jnp.asarray(cup), jnp.asarray(exc_idx), jnp.asarray(exc_val),
+                    jnp.asarray(aux),
                     _cached_device(("w", param_idx), weights),
                     _cached_device(("pc22",), pconsts),
                     ggh8, ggw8, im.bpp == 8,
