@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parent
 CACHE = Path("/tmp/j40_tpu_bench")
 SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
-WORKERS = int(os.environ.get("BENCH_WORKERS", "8"))
+WORKERS = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 4)))
 
 
 def _ensure_dj40() -> Path | None:

@@ -180,14 +180,22 @@ class FrameState:
             ]
         )
         parse_modular_header(r, sub, self.global_tree, self.global_codespec, self.limits)
+        direct = not sub.transforms
+        if direct:
+            # no group-local transforms: decode straight into the gmodular
+            # plane sub-rectangles (strided views; saves the copy-back)
+            for (i, x0, y0, w, h), sc in zip(picks, sub.channels):
+                sc.data = gm.channels[i].data[y0 : y0 + h, x0 : x0 + w]
         allocate(sub)
         for ci in range(sub.num_channels):
             decode_channel(r, sub, ci, sidx)
         sub.code.finish(r)
-        inverse_transforms(sub, self.im.bpp)
-        check(sub.num_channels == len(picks), "gmod", "group transforms changed channel count")
-        for (i, x0, y0, w, h), sc in zip(picks, sub.channels):
-            gm.channels[i].data[y0 : y0 + h, x0 : x0 + w] = sc.data
+        if not direct:
+            inverse_transforms(sub, self.im.bpp)
+            check(sub.num_channels == len(picks), "gmod",
+                  "group transforms changed channel count")
+            for (i, x0, y0, w, h), sc in zip(picks, sub.channels):
+                gm.channels[i].data[y0 : y0 + h, x0 : x0 + w] = sc.data
 
     # -- finalize ----------------------------------------------------------
 

@@ -291,7 +291,8 @@ def _decode_channel_native(r: BitReader, m: ModularImage, cidx: int, sidx: int) 
         == (c.width, c.height, c.hshift, c.vshift)
     ]
     c.data = m.native.decode_modular_channel(
-        m._tree_arr, m._wp_arr, m.dist_mult, cidx, sidx, c.width, c.height, refs
+        m._tree_arr, m._wp_arr, m.dist_mult, cidx, sidx, c.width, c.height, refs,
+        out=c.data,  # decode in place (may be a strided gmodular-plane view)
     )
     # hand the bit position and ANS state back to the Python layer
     r.seek_bits(m.native.bitpos)

@@ -65,6 +65,7 @@ def get_lib():
         ctypes.c_int32, ctypes.c_int32,                   # width, height
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32,  # refs
         ctypes.POINTER(ctypes.c_int32),                   # out
+        ctypes.c_int32, ctypes.c_int32,                   # out_stride, ref_stride
     ]
     lib.j40t_decode_hf_group.restype = ctypes.c_int32
     lib.j40t_decode_hf_group.argtypes = [
@@ -166,8 +167,22 @@ class NativeStream:
     def decode_modular_channel(self, tree_arr: np.ndarray, wp_arr: np.ndarray,
                                dist_mult: int, cidx: int, sidx: int,
                                width: int, height: int,
-                               refs: list[np.ndarray]) -> np.ndarray:
-        out = np.empty((height, width), dtype=np.int32)
+                               refs: list[np.ndarray],
+                               out: np.ndarray | None = None) -> np.ndarray:
+        """Decode into `out` (int32, contiguous rows; may be a strided view
+        such as a sub-rectangle of the gmodular plane) or a fresh array."""
+        if (out is None or out.dtype != np.int32
+                or out.strides[1] != 4 or out.shape != (height, width)):
+            out = np.empty((height, width), dtype=np.int32)
+        out_stride = out.strides[0] // 4
+        # all refs must share one stride for the C ABI (they come from the
+        # same modular image, so this holds; fall back to copies otherwise)
+        ref_stride = width
+        if refs:
+            ok = all(r.dtype == np.int32 and r.strides[1] == 4 for r in refs)
+            if not ok or len({r.strides[0] for r in refs}) != 1:
+                refs = [np.ascontiguousarray(r, dtype=np.int32) for r in refs]
+            ref_stride = refs[0].strides[0] // 4
         ref_ptrs = (ctypes.c_void_p * max(1, len(refs)))()
         for i, rarr in enumerate(refs):
             ref_ptrs[i] = rarr.ctypes.data
@@ -179,6 +194,7 @@ class NativeStream:
             dist_mult, cidx, sidx, width, height,
             ref_ptrs, len(refs),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_stride, ref_stride,
         )
         if rc == 1:
             from ..errors import J40Error

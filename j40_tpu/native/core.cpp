@@ -595,7 +595,7 @@ J40T_API void j40t_decode_symbols(J40TStream* s, const int32_t* ctxs, int64_t n,
 template <int PRED>
 static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
                                      int32_t width, int32_t height,
-                                     int32_t* out) {
+                                     int32_t* out, int32_t stride) {
   const bool use_prefix = cs.spec->use_prefix;
   const int32_t log_alpha = cs.spec->log_alpha;
   auto decode_px = [&](int64_t pred, int32_t* dst) -> int32_t {
@@ -610,8 +610,8 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
     return 0;
   };
   for (int32_t y = 0; y < height; ++y) {
-    int32_t* row = out + (size_t)y * width;
-    const int32_t* prow = row - width;
+    int32_t* row = out + (size_t)y * stride;
+    const int32_t* prow = row - stride;
     int32_t r;
     if (PRED == 0) {
       for (int32_t x = 0; x < width; ++x)
@@ -648,7 +648,9 @@ J40T_API int32_t j40t_decode_modular_channel(
     int32_t cidx, int64_t sidx,
     int32_t width, int32_t height,
     const int32_t* const* refs, int32_t nrefs,  // previous same-shape channels
-    int32_t* out) {
+    int32_t* out,
+    int32_t out_stride,     // row stride in elements (== width if contiguous)
+    int32_t ref_stride) {
   const TreeNode* nodes = (const TreeNode*)tree;
 
   // does the tree need the weighted predictor?
@@ -669,14 +671,16 @@ J40T_API int32_t j40t_decode_modular_channel(
       (nodes[0].predictor == 5 || nodes[0].predictor == 0)) {
     const Cluster& cl = s->spec.clusters[s->spec.cluster_map[nodes[0].ctx]];
     return nodes[0].predictor == 5
-               ? decode_channel_simple<5>(s->bits, s->state, cl, width, height, out)
-               : decode_channel_simple<0>(s->bits, s->state, cl, width, height, out);
+               ? decode_channel_simple<5>(s->bits, s->state, cl, width, height,
+                                          out, out_stride)
+               : decode_channel_simple<0>(s->bits, s->state, cl, width, height,
+                                          out, out_stride);
   }
 
   for (int32_t y = 0; y < height; ++y) {
-    int32_t* row = out + (size_t)y * width;
-    const int32_t* prow = y > 0 ? row - width : nullptr;
-    const int32_t* pprow = y > 1 ? row - 2 * (size_t)width : nullptr;
+    int32_t* row = out + (size_t)y * out_stride;
+    const int32_t* prow = y > 0 ? row - out_stride : nullptr;
+    const int32_t* pprow = y > 1 ? row - 2 * (size_t)out_stride : nullptr;
     for (int32_t x = 0; x < width; ++x) {
       int64_t w_ = x > 0 ? row[x - 1] : (y > 0 ? prow[x] : 0);
       int64_t n_ = y > 0 ? prow[x] : w_;
@@ -724,11 +728,11 @@ J40T_API int32_t j40t_decode_modular_channel(
               int32_t refcidx = (node->prop - 16) / 4;
               if (refcidx >= nrefs) return 2;
               const int32_t* rc = refs[refcidx];
-              int64_t v = rc[(size_t)y * width + x];
+              int64_t v = rc[(size_t)y * ref_stride + x];
               if (node->prop & 2) {
-                int64_t rw = x > 0 ? rc[(size_t)y * width + x - 1] : 0;
-                int64_t rn = y > 0 ? rc[(size_t)(y - 1) * width + x] : rw;
-                int64_t rnw = (x > 0 && y > 0) ? rc[(size_t)(y - 1) * width + x - 1] : rw;
+                int64_t rw = x > 0 ? rc[(size_t)y * ref_stride + x - 1] : 0;
+                int64_t rn = y > 0 ? rc[(size_t)(y - 1) * ref_stride + x] : rw;
+                int64_t rnw = (x > 0 && y > 0) ? rc[(size_t)(y - 1) * ref_stride + x - 1] : rw;
                 v -= gradient64(rw, rn, rnw);
               }
               if (node->prop & 1) v = v < 0 ? -v : v;
