@@ -161,13 +161,34 @@ class Decoder:
         (color + extra channels).  Full-frame REPLACE (the only case the
         reference handles, implicitly) aliases the frame data; cropped or
         blended frames composite over `ref_frames[src_ref_frame]`."""
-        from .headers.frame import BLEND_ADD, BLEND_REPLACE
+        from .headers.frame import (
+            BLEND_ADD,
+            BLEND_BLEND,
+            BLEND_MUL,
+            BLEND_MUL_ADD,
+            BLEND_REPLACE,
+        )
 
         im = self.image
         ncolor = self._ncolor()
         exact = (
             f.x0 == 0 and f.y0 == 0 and f.width == im.width and f.height == im.height
         )
+        # clip the frame rect (origin may be negative) to the image rect
+        sx0, sy0 = max(0, -f.x0), max(0, -f.y0)
+        dx0, dy0 = max(0, f.x0), max(0, f.y0)
+        w = min(f.width - sx0, im.width - dx0)
+        h = min(f.height - sy0, im.height - dy0)
+
+        maxval = float((1 << im.bpp) - 1)
+
+        def _frame_alpha(bi):
+            """Normalized frame alpha sub-rect for alpha-weighted modes."""
+            aci = ncolor + bi.alpha_chan
+            a = gm.channels[aci].data[sy0 : sy0 + h, sx0 : sx0 + w]
+            a = a.astype(np.float64) / maxval
+            return np.clip(a, 0.0, 1.0) if bi.clamp else a
+
         canvas: list[np.ndarray] = []
         for ci in range(gm.num_channels):
             bi = f.blend_info if ci < ncolor else f.ec_blend_info[ci - ncolor]
@@ -181,17 +202,44 @@ class Decoder:
                 if ref is not None
                 else np.zeros((im.height, im.width), data.dtype)
             )
-            # clip the frame rect (origin may be negative) to the image rect
-            sx0, sy0 = max(0, -f.x0), max(0, -f.y0)
-            dx0, dy0 = max(0, f.x0), max(0, f.y0)
-            w = min(f.width - sx0, im.width - dx0)
-            h = min(f.height - sy0, im.height - dy0)
             if w > 0 and h > 0:
                 sub = data[sy0 : sy0 + h, sx0 : sx0 + w]
+                dst = base[dy0 : dy0 + h, dx0 : dx0 + w]
                 if bi.mode == BLEND_REPLACE:
-                    base[dy0 : dy0 + h, dx0 : dx0 + w] = sub
+                    dst[:] = sub
                 elif bi.mode == BLEND_ADD:
-                    base[dy0 : dy0 + h, dx0 : dx0 + w] += sub
+                    dst += sub
+                elif bi.mode == BLEND_BLEND:
+                    # non-premultiplied "over" (spec §5.3); float math, rounded
+                    fa = _frame_alpha(bi)
+                    is_alpha = (
+                        ci >= ncolor
+                        and im.ec_info[ci - ncolor].type == 0
+                        and ci - ncolor == bi.alpha_chan
+                    )
+                    ca = _canvas_alpha(
+                        ref, ncolor, bi.alpha_chan,
+                        (dy0, dx0, h, w), maxval, im,
+                    )
+                    oa = fa + ca * (1.0 - fa)
+                    if is_alpha:
+                        out = oa * maxval
+                    else:
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            out = np.where(
+                                oa > 0,
+                                (sub * fa + dst * ca * (1.0 - fa)) / np.where(oa > 0, oa, 1.0),
+                                0.0,
+                            )
+                    dst[:] = np.round(out).astype(base.dtype)
+                elif bi.mode == BLEND_MUL_ADD:
+                    fa = _frame_alpha(bi)
+                    dst[:] = np.round(sub * fa + dst).astype(base.dtype)
+                elif bi.mode == BLEND_MUL:
+                    sf = sub.astype(np.float64) / maxval
+                    if bi.clamp:
+                        sf = np.clip(sf, 0.0, 1.0)
+                    dst[:] = np.round(dst * sf).astype(base.dtype)
                 else:
                     raise Unsupported(message=f"blend mode {bi.mode}")
             canvas.append(base)
@@ -241,6 +289,16 @@ class Decoder:
         # EXIF-style orientation (the reference parses but never applies it,
         # j40.h:3152; we honor it like libjxl's default un-orientation)
         return apply_orientation(out, int(im.orientation))
+
+
+def _canvas_alpha(ref, ncolor, alpha_chan, rect, maxval, im):
+    """Normalized canvas alpha for the blended rect (1.0 when no reference
+    canvas exists is wrong — an empty canvas is transparent, so 0.0)."""
+    dy0, dx0, h, w = rect
+    if ref is None:
+        return np.zeros((h, w), np.float64)
+    a = ref[ncolor + alpha_chan][dy0 : dy0 + h, dx0 : dx0 + w]
+    return np.clip(a.astype(np.float64) / maxval, 0.0, 1.0)
 
 
 def apply_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:

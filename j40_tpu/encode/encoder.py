@@ -150,6 +150,8 @@ def _write_modular_frame_header(
     duration: int = 0,
     save_as_ref: int = 0,
     have_anim: bool = False,
+    blend_mode: int = 0,
+    clamp: int = 0,
 ) -> None:
     """FrameHeader (not all_default; read side frame.py:101-253 field order).
 
@@ -177,18 +179,25 @@ def _write_modular_frame_header(
         w.u32(CROP_U32, fw)
         w.u32(CROP_U32, fh)
     full_frame = x0 <= 0 and y0 <= 0 and fw + x0 >= imw and fh + y0 >= imh
-    # blending: REPLACE for color + each extra channel; non-full frames name
-    # the reference slot they composite over
-    for _ in range(1 + num_alpha):
-        w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)
-        if not full_frame:
+    # blending for color + each extra channel; the alpha-weighted modes keep
+    # the alpha channel itself on BLEND (over) / REPLACE so it composes sanely
+    modes = [blend_mode] + [blend_mode if blend_mode == 2 else 0] * num_alpha
+    for mode in modes:
+        w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), mode)
+        if num_alpha > 0:
+            if mode in (2, 3):  # BLEND / MUL_ADD: alpha_chan + clamp
+                w.u32(((0, 0), (1, 0), (2, 0), (3, 3)), 0)
+                w.u(1, clamp)
+            elif mode == 4:  # MUL: clamp
+                w.u(1, clamp)
+        if not full_frame or mode != 0:
             w.u(2, 0)  # src_ref_frame
     if have_anim:
         w.u32(((0, 0), (1, 0), (0, 8), (0, 32)), duration)
     w.u(1, 1 if is_last else 0)
     if not is_last:
         w.u(2, save_as_ref)
-        if full_frame and (duration == 0 or save_as_ref != 0):
+        if full_frame and blend_mode == 0 and (duration == 0 or save_as_ref != 0):
             w.u(1, 0)  # save_before_ct (don't-care for non-XYB modular)
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len = 0
     w.u(1, 1)  # restoration all_default
@@ -264,18 +273,22 @@ def encode_animation(
     """Encode an animated codestream (a capability beyond the reference,
     which rejects any non-final frame at j40.h:5201).
 
-    `frames` is a list of `(image, duration)` or `(image, duration, (x0, y0))`
-    tuples; the first frame must be image-sized, later frames may be crops
-    composited at `(x0, y0)` (REPLACE blending over reference slot 0).
-    `duration` is in ticks of `tps[1]/tps[0]` seconds; intermediate frames may
-    use duration 0 (composited but not displayed)."""
+    `frames` is a list of `(image, duration)`, `(image, duration, (x0, y0))`,
+    or `(image, duration, (x0, y0), blend)` tuples; the first frame must be
+    image-sized, later frames may be crops composited at `(x0, y0)` over
+    reference slot 0.  `blend` is one of "replace" (default), "add", "blend"
+    (alpha over; needs an alpha channel), "mul_add", "mul".  `duration` is in
+    ticks of `tps[1]/tps[0]` seconds; intermediate frames may use duration 0
+    (composited but not displayed)."""
+    BLEND_NAMES = {"replace": 0, "add": 1, "blend": 2, "mul_add": 3, "mul": 4}
     opt = options or EncodeOptions()
     items = []
     for fr in frames:
         img = np.asarray(fr[0])
         origin = fr[2] if len(fr) > 2 else (0, 0)
+        blend = BLEND_NAMES[fr[3]] if len(fr) > 3 else 0
         assert img.ndim == 3 and img.shape[2] in (1, 2, 3, 4), "need (h,w,1..4)"
-        items.append((img, int(fr[1]), origin))
+        items.append((img, int(fr[1]), origin, blend))
     assert items, "need at least one frame"
     h, wd, nc = items[0][0].shape
     assert items[0][2] == (0, 0), "first frame must be full-size at (0, 0)"
@@ -288,13 +301,15 @@ def encode_animation(
         w, wd, h, bpp=bpp, xyb_encoded=False, num_alpha=num_alpha,
         grayscale=grayscale, animation=(tps[0], tps[1], num_loops),
     )
-    for i, (img, duration, (x0, y0)) in enumerate(items):
+    for i, (img, duration, (x0, y0), blend) in enumerate(items):
         fh, fw = img.shape[:2]
         assert img.shape[2] == nc, "channel count must match across frames"
+        assert blend not in (2, 3) or num_alpha, "alpha-weighted blend needs alpha"
         _write_modular_frame_header(
             w, num_alpha=num_alpha, opt=opt, im_size=(wd, h),
             frame_size=(fw, fh), origin=(x0, y0),
             is_last=(i == len(items) - 1), duration=duration, have_anim=True,
+            blend_mode=blend, clamp=1,
         )
         channels = [img[:, :, c].astype(np.int32) for c in range(nc)]
         _write_frame_body(w, channels, fw, fh, opt)

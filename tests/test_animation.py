@@ -145,3 +145,52 @@ def test_decoder_refuses_past_last_frame():
     assert dec.done
     with pytest.raises(J40Error):
         dec.decode_frame()
+
+
+def test_alpha_blend_mode():
+    # kBlend "over": second frame composites with its alpha over the first
+    rng = np.random.default_rng(30)
+    base = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    base[:, :, 3] = 255  # opaque canvas
+    top = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    data = encode_animation([(base, 1), (top, 1, (0, 0), "blend")])
+    _, frames = decode_animation(data)
+    fa = top[:, :, 3].astype(np.float64) / 255.0
+    expect_c = np.round(
+        top[:, :, :3] * fa[..., None] + base[:, :, :3] * (1.0 - fa[..., None])
+    )
+    got = frames[1][1]
+    assert np.abs(got[:, :, :3].astype(float) - expect_c).max() <= 1
+    # alpha channel: fa + ca*(1-fa) with ca=1 -> 1 (opaque stays opaque)
+    np.testing.assert_array_equal(got[:, :, 3], 255)
+
+
+def test_mul_add_blend_mode():
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 100, size=(8, 8, 4), dtype=np.uint8)
+    top = rng.integers(0, 100, size=(8, 8, 4), dtype=np.uint8)
+    data = encode_animation([(base, 1), (top, 1, (0, 0), "mul_add")])
+    _, frames = decode_animation(data)
+    fa = top[:, :, 3].astype(np.float64) / 255.0
+    expect = np.round(top[:, :, :3] * fa[..., None] + base[:, :, :3])
+    got = frames[1][1][:, :, :3]
+    assert np.abs(got.astype(float) - np.clip(expect, 0, 255)).max() <= 1
+
+
+def test_mul_blend_mode():
+    rng = np.random.default_rng(32)
+    base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    top = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = encode_animation([(base, 1), (top, 1, (0, 0), "mul")])
+    _, frames = decode_animation(data)
+    expect = np.round(base.astype(np.float64) * (top / 255.0))
+    got = frames[1][1][:, :, :3]
+    assert np.abs(got.astype(float) - expect).max() <= 1
+
+
+def test_add_blend_mode():
+    base = np.full((8, 8, 3), 50, np.uint8)
+    top = np.full((8, 8, 3), 30, np.uint8)
+    data = encode_animation([(base, 1), (top, 1, (0, 0), "add")])
+    _, frames = decode_animation(data)
+    np.testing.assert_array_equal(frames[1][1][:, :, :3], 80)
