@@ -2,9 +2,12 @@
 
 Usage:
   python -m j40_tpu input.jxl [output.png] [--backend jax|numpy] [--workers N]
-         [--filters]
+         [--filters] [--all-frames]
 
-Decodes to PNG (or prints image info when no output is given).
+Decodes to PNG (or prints image info when no output is given).  For animated
+inputs the final composited frame is written; `--all-frames` writes every
+displayed frame as `output-NNN.png` (or an animated PNG if the name ends in
+`.apng`).
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ def main(argv=None) -> int:
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--filters", action="store_true",
                     help="apply gaborish/EPF restoration filters")
+    ap.add_argument("--all-frames", action="store_true",
+                    help="write every displayed animation frame")
     ap.add_argument("--time", action="store_true", help="print decode time")
     ap.add_argument("--stats", action="store_true", help="print stage timings")
     args = ap.parse_args(argv)
@@ -36,20 +41,25 @@ def main(argv=None) -> int:
         return 1
 
     t0 = time.perf_counter()
+    frames = []  # (duration_ticks, rgba)
     try:
         dec = Decoder(data, backend=args.backend, workers=args.workers,
                       apply_filters=args.filters)
-        dec.decode_frame()
-        rgba = dec.render_rgba8()
+        while not dec.done:
+            fr = dec.decode_frame()
+            if args.all_frames and (fr.header.duration > 0 or fr.header.is_last):
+                frames.append((fr.header.duration, dec.render_rgba8()))
+        rgba = frames[-1][1] if frames else dec.render_rgba8()
     except J40Error as e:
         print(f"Error: failed to decode `{args.input}`: {e}", file=sys.stderr)
         return 1
     dt = time.perf_counter() - t0
 
     h, w = rgba.shape[:2]
-    print(f"{w}x{h} frame read.", file=sys.stderr)
+    nf = max(1, len(frames))
+    print(f"{w}x{h} read ({nf} frame{'s'[:nf != 1]}).", file=sys.stderr)
     if args.time:
-        print(f"decoded in {dt*1000:.1f} ms ({w*h/dt/1e6:.2f} Mpix/s)",
+        print(f"decoded in {dt*1000:.1f} ms ({nf*w*h/dt/1e6:.2f} Mpix/s)",
               file=sys.stderr)
     if args.stats:
         for k, v in dec.stats.items():
@@ -59,7 +69,22 @@ def main(argv=None) -> int:
     if args.output:
         from PIL import Image as PILImage
 
-        PILImage.fromarray(rgba, "RGBA").save(args.output)
+        if args.all_frames and len(frames) > 1:
+            im = dec.image
+            ms_per_tick = 1000.0 * im.anim_tps_denom / max(im.anim_tps_num, 1)
+            if args.output.endswith(".apng"):
+                imgs = [PILImage.fromarray(f, "RGBA") for _, f in frames]
+                imgs[0].save(
+                    args.output, save_all=True, append_images=imgs[1:],
+                    duration=[max(1, int(d * ms_per_tick)) for d, _ in frames],
+                    loop=dec.image.anim_nloops,
+                )
+            else:
+                stem, dot, ext = args.output.rpartition(".")
+                for i, (_, f) in enumerate(frames):
+                    PILImage.fromarray(f, "RGBA").save(f"{stem}-{i:03d}{dot}{ext}")
+        else:
+            PILImage.fromarray(rgba, "RGBA").save(args.output)
     return 0
 
 
