@@ -16,6 +16,7 @@ from ..mathutil import ceil_div
 from ..modular.decode import (
     Channel,
     ModularImage,
+    TR_PALETTE,
     TR_RCT,
     TR_SQUEEZE,
     Transform,
@@ -48,6 +49,8 @@ class AdvancedOptions:
     tree: list[TreeNode] | None = None  # default: single leaf gradient
     rct_type: int | None = None  # e.g. 6 for YCgCo
     squeeze: bool = False  # implicit (default-parameter) squeeze
+    palette: bool = False  # extract a palette (lossless; needs few colors)
+    max_colours: int = 4096
     wp_params: WPParams = field(default_factory=WPParams)
 
 
@@ -59,6 +62,25 @@ def _build_modular(image: np.ndarray, opt: AdvancedOptions) -> ModularImage:
     datas = [image[:, :, c].astype(np.int32) for c in range(nc)]
     for ch, d in zip(m.channels, datas):
         ch.data = d
+
+    if opt.palette:
+        assert opt.rct_type is None and not opt.squeeze, "palette-only for now"
+        flat = image.reshape(-1, nc).astype(np.int32)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        assert len(colors) <= opt.max_colours, "too many colors for palette"
+        # channel-list effect mirrors the decoder (decode.py:189-195):
+        # [0, nc) -> one index channel, palette meta channel prepended
+        idxc = Channel(w, h)
+        idxc.data = inv.reshape(h, w).astype(np.int32)
+        palc = Channel(len(colors), nc, 0, -1)
+        palc.data = np.ascontiguousarray(colors.T).astype(np.int32)
+        m.channels = [palc, idxc]
+        m.nb_meta_channels = 1
+        m.transforms.append(
+            Transform(TR_PALETTE, begin_c=0, num_c=nc,
+                      nb_colours=len(colors), nb_deltas=0, d_pred=0)
+        )
+        return m
 
     if opt.rct_type is not None:
         assert nc == 3
@@ -141,6 +163,13 @@ def _write_header_and_streams(
                 sw.u(2, TR_RCT)
                 sw.u32(U32_BEGIN_C, t.begin_c)
                 sw.u32(((6, 0), (0, 2), (2, 4), (10, 6)), t.rct_type)
+            elif t.id == TR_PALETTE:
+                sw.u(2, TR_PALETTE)
+                sw.u32(U32_BEGIN_C, t.begin_c)
+                sw.u32(((1, 0), (3, 0), (4, 0), (1, 13)), t.num_c)
+                sw.u32(((0, 8), (256, 10), (1280, 12), (5376, 16)), t.nb_colours)
+                sw.u32(((0, 0), (1, 8), (257, 10), (1281, 16)), t.nb_deltas)
+                sw.u(4, t.d_pred)
         if sq_present:
             sw.u(2, TR_SQUEEZE)
             sw.u32(((0, 0), (1, 4), (9, 6), (41, 8)), 0)  # num_sq=0: implicit
@@ -258,3 +287,68 @@ def encode_modular_advanced(
     image: np.ndarray, bpp: int = 8, options: AdvancedOptions | None = None
 ) -> bytes:
     return _write_header_and_streams(image, bpp, options or AdvancedOptions())
+
+
+def synthesize_palette(
+    palette: np.ndarray,      # (num_c, nb_colours) int32 palette entries
+    indices: np.ndarray,      # (h, w) int32; may be negative (built-in deltas)
+    nb_deltas: int = 0,
+    d_pred: int = 0,
+    bpp: int = 8,
+    use_prefix: bool = True,
+) -> bytes:
+    """Write a single-group modular stream with an arbitrary Palette transform
+    (incl. delta-palette/prediction and out-of-range synthetic-color indices)
+    for decoder-vs-decoder differential testing — the output image need not
+    correspond to any encodable source (reference: j40.h:4402-4490)."""
+    num_c, nb_colours = palette.shape
+    h, w = indices.shape
+    assert num_c == 3, "3 color channels"
+
+    m = ModularImage(channels=[])
+    palc = Channel(nb_colours, num_c, 0, -1)
+    palc.data = np.ascontiguousarray(palette).astype(np.int32)
+    idxc = Channel(w, h)
+    idxc.data = np.ascontiguousarray(indices).astype(np.int32)
+    m.channels = [palc, idxc]
+    m.nb_meta_channels = 1
+    m.transforms.append(
+        Transform(TR_PALETTE, begin_c=0, num_c=num_c,
+                  nb_colours=nb_colours, nb_deltas=nb_deltas, d_pred=d_pred)
+    )
+
+    opt = AdvancedOptions(use_prefix=use_prefix, tree=[leaf(0)])
+    wbw = BitWriter()
+    write_signature(wbw)
+    write_image_metadata(wbw, w, h, bpp=bpp, xyb_encoded=False)
+    wbw.zero_pad_to_byte()
+    _write_frame_header(wbw, opt)
+
+    tree = opt.tree
+    num_ctx = assign_leaf_contexts(tree)
+    sw = BitWriter()
+    sw.u(1, 1)  # LfChannelDequantization all_default
+    sw.u(1, 0)  # no global tree
+    sw.u(1, 0)  # use_global_tree = false
+    sw.u(1, 1)  # default WP
+    sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 1)  # one transform
+    sw.u(2, TR_PALETTE)
+    sw.u32(U32_BEGIN_C, 0)
+    sw.u32(((1, 0), (3, 0), (4, 0), (1, 13)), num_c)
+    sw.u32(((0, 8), (256, 10), (1280, 12), (5376, 16)), nb_colours)
+    sw.u32(((0, 0), (1, 8), (257, 10), (1281, 16)), nb_deltas)
+    sw.u(4, d_pred)
+    write_tree(sw, tree, use_prefix)
+    genc = EntropyEncoder(num_ctx, use_prefix=use_prefix)
+    for ci in range(m.num_channels):
+        for ctx, tok in encode_channel_tokens(m, ci, tree, opt.wp_params, 0):
+            genc.add(ctx, tok)
+    genc.write(sw)
+
+    section = sw.finish()
+    wbw.u(1, 0)  # not permuted
+    wbw.zero_pad_to_byte()
+    wbw.u32(TOC_U32, len(section))
+    wbw.zero_pad_to_byte()
+    wbw.out.extend(section)
+    return wbw.finish()

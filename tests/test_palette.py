@@ -1,0 +1,92 @@
+"""Palette transform differential tests (reference j40.h:4402-4490): our
+encoder/synthesizer generates palette streams, our decoder and dj40 must
+agree bit-exactly — covering literal palettes, built-in delta indices,
+synthetic out-of-range colors, and delta-palette prediction."""
+
+import numpy as np
+import pytest
+
+from j40_tpu.decode import decode_file
+from j40_tpu.encode.advanced import (
+    AdvancedOptions,
+    encode_modular_advanced,
+    synthesize_palette,
+)
+
+
+def _dj40_decode(dj40, jxl_bytes, tmp_path):
+    import subprocess
+
+    from PIL import Image as PILImage
+
+    jxl = tmp_path / "t.jxl"
+    jxl.write_bytes(jxl_bytes)
+    png = tmp_path / "t.png"
+    r = subprocess.run([str(dj40), str(jxl), str(png)], capture_output=True, text=True)
+    assert r.returncode == 0, f"dj40 failed: {r.stderr} {r.stdout}"
+    return np.asarray(PILImage.open(png).convert("RGB"))
+
+
+
+def _paletted_image(seed, h=40, w=48, ncolors=17):
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncolors, size=(h, w))
+    return colors[idx]
+
+
+def test_palette_roundtrip():
+    img = _paletted_image(1)
+    data = encode_modular_advanced(img, options=AdvancedOptions(palette=True))
+    _, rgba = decode_file(data)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+def test_palette_vs_dj40(dj40, tmp_path):
+    img = _paletted_image(2)
+    data = encode_modular_advanced(img, options=AdvancedOptions(palette=True))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
+
+
+def test_palette_multigroup_vs_dj40(dj40, tmp_path):
+    img = _paletted_image(3, 300, 280, ncolors=50)
+    data = encode_modular_advanced(
+        img, options=AdvancedOptions(palette=True, group_size_shift=7)
+    )
+    ref = _dj40_decode(dj40, data, tmp_path)
+    _, rgba = decode_file(data)
+    np.testing.assert_array_equal(ref, img)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+def _differential(dj40, tmp_path, data):
+    ref = _dj40_decode(dj40, data, tmp_path)
+    _, rgba = decode_file(data)
+    np.testing.assert_array_equal(rgba[:, :, :3], ref)
+
+
+def test_synthetic_colors_vs_dj40(dj40, tmp_path):
+    # indices >= nb_colours produce base-4/base-5 synthetic colors
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, size=(3, 8)).astype(np.int32)
+    idx = rng.integers(0, 8 + 100, size=(24, 32)).astype(np.int32)
+    _differential(dj40, tmp_path, synthesize_palette(pal, idx))
+
+
+def test_builtin_delta_indices_vs_dj40(dj40, tmp_path):
+    # negative indices index the hardcoded 143-delta table
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(3, 16)).astype(np.int32)
+    idx = rng.integers(-72, 16, size=(24, 32)).astype(np.int32)
+    _differential(dj40, tmp_path, synthesize_palette(pal, idx))
+
+
+@pytest.mark.parametrize("d_pred", [0, 5, 6])
+def test_delta_palette_prediction_vs_dj40(dj40, tmp_path, d_pred):
+    # indices < nb_deltas add the channel predictor (incl. WP, d_pred=6)
+    rng = np.random.default_rng(6 + d_pred)
+    pal = rng.integers(-20, 21, size=(3, 24)).astype(np.int32)
+    idx = rng.integers(0, 24, size=(24, 32)).astype(np.int32)
+    _differential(dj40, tmp_path,
+                  synthesize_palette(pal, idx, nb_deltas=12, d_pred=d_pred))
