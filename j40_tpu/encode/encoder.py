@@ -110,7 +110,8 @@ class EncodeOptions:
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
                    options: EncodeOptions | None = None,
-                   orientation: int = 1) -> bytes:
+                   orientation: int = 1,
+                   icc: bytes | None = None) -> bytes:
     """Encode (h, w, 3) RGB or (h, w, 4) RGBA losslessly.
 
     Returns a bare JPEG XL codestream (FF 0A ...).  bpp up to 15 is supported
@@ -126,7 +127,11 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     write_signature(w)
     write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False,
                          num_alpha=num_alpha, grayscale=grayscale,
-                         orientation=orientation)
+                         orientation=orientation, want_icc=icc is not None)
+    if icc is not None:
+        from .headers import write_icc
+
+        write_icc(w, icc, use_prefix=opt.use_prefix)
 
     _write_modular_frame_header(w, num_alpha=num_alpha, opt=opt, im_size=(wd, h))
 

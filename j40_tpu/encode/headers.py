@@ -42,6 +42,7 @@ def write_image_metadata(
     grayscale: bool = False,
     animation: tuple[int, int, int] | None = None,
     orientation: int = 1,
+    want_icc: bool = False,
 ) -> None:
     """`animation` = (tps_numerator, tps_denominator, num_loops) enables the
     extra_fields/have_animation path (read side: image.py:204-208);
@@ -50,7 +51,7 @@ def write_image_metadata(
     extra_fields = animation is not None or orientation != 1
     if (bpp == 8 and xyb_encoded and num_alpha == 0
             and intensity_target is None and not grayscale
-            and not extra_fields):
+            and not extra_fields and not want_icc):
         w.u(1, 1)  # all_default
         w.u(1, 1)  # default_m
         return
@@ -75,7 +76,13 @@ def write_image_metadata(
     for _ in range(num_alpha):
         w.u(1, 1)  # d_alpha: default alpha channel
     w.u(1, 1 if xyb_encoded else 0)
-    if grayscale:
+    if want_icc:
+        # only the colour space enum is read when an ICC payload follows
+        # (read side: image.py:237-243)
+        w.u(1, 0)  # ColourEncoding not all_default
+        w.u(1, 1)  # want_icc
+        w.enum(1 if grayscale else 0)  # colour space
+    elif grayscale:
         w.u(1, 0)  # ColourEncoding not all_default
         w.u(1, 0)  # want_icc = false
         w.enum(1)  # colour space: grey
@@ -89,3 +96,63 @@ def write_image_metadata(
         w.u(1, 1)  # ToneMapping all_default (read when extra_fields is set)
     w.u64(0)  # extensions: none
     w.u(1, 1)  # default_m
+
+
+def icc_context(idx: int, prev: int, pprev: int) -> int:
+    """41-context model for ICC bytes (read side: headers/icc.py:45-66)."""
+    if idx <= 128:
+        return 0
+    if prev < 16:
+        ctx = prev + 3 if prev < 2 else 5
+    elif prev > 240:
+        ctx = 6 + (1 if prev == 255 else 0)
+    elif 97 <= (prev | 32) <= 122:
+        ctx = 1
+    elif prev == 44 or prev == 46 or 48 <= prev < 58:
+        ctx = 2
+    else:
+        ctx = 8
+    if pprev < 16:
+        ctx += 2 * 8
+    elif pprev > 240:
+        ctx += 3 * 8
+    elif 97 <= (pprev | 32) <= 122:
+        ctx += 0
+    elif pprev == 44 or pprev == 46 or 48 <= pprev < 58:
+        ctx += 1 * 8
+    else:
+        ctx += 4 * 8
+    return ctx
+
+
+def write_icc(w: BitWriter, payload: bytes, use_prefix: bool = True) -> None:
+    """Entropy-coded ICC stream (read side: headers/icc.py; spec §14).
+
+    `payload` is the raw command stream; the leading varint carries the
+    nominal output size (we use the payload length, which satisfies the
+    reference's enc_size/21 sanity bound)."""
+    from .entropy import EntropyEncoder
+
+    varint = []
+    v = len(payload)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            varint.append(b | 0x80)
+        else:
+            varint.append(b)
+            break
+    w.u64(len(varint) + len(payload))
+    enc = EntropyEncoder(41, use_prefix=use_prefix)
+    idx = 0
+    for b in varint:
+        enc.add(0, b)
+        idx += 1
+    byte = prev = 0
+    for b in payload:
+        pprev, prev = prev, byte
+        enc.add(icc_context(idx, prev, pprev), b)
+        byte = b
+        idx += 1
+    enc.write(w)

@@ -90,3 +90,31 @@ def test_delta_palette_prediction_vs_dj40(dj40, tmp_path, d_pred):
     idx = rng.integers(0, 24, size=(24, 32)).astype(np.int32)
     _differential(dj40, tmp_path,
                   synthesize_palette(pal, idx, nb_deltas=12, d_pred=d_pred))
+
+
+def test_icc_stream_roundtrip_and_vs_dj40(dj40, tmp_path):
+    # entropy-coded ICC payload (spec §14): our decoder returns it, dj40
+    # decodes past it and still produces the image bit-exactly
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    payload = bytes(rng.integers(0, 256, 700, dtype=np.uint8))
+    data = encode_modular(img, icc=payload)
+    dec, rgba = decode_file(data)
+    assert dec.image.want_icc and dec.image.icc == payload
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
+
+
+def test_icc_stream_tiny_payload(dj40, tmp_path):
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = encode_modular(img, icc=b"\x00\x01\x02")
+    dec, rgba = decode_file(data)
+    assert dec.image.icc == b"\x00\x01\x02"
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
