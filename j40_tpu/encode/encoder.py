@@ -106,6 +106,7 @@ class EncodeOptions:
     group_size_shift: int = 8
     permute_toc: bool = False  # exercise the TOC permutation path
     lz77: bool = False  # RLE-style LZ77 emission in the token stream
+    frame_extension_bits: int = 0  # emit a skippable frame-header extension
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -213,7 +214,15 @@ def _write_modular_frame_header(
     w.u(1, 0)  # epf_sigma_custom
     w.f16(1.0)  # epf sigma_for_modular (modular frames)
     # restoration extensions are NOT read when restoration_all_default is set
-    w.u64(0)  # extensions (frame header)
+    if opt.frame_extension_bits:
+        # extensions bitmask + per-extension payload length, then the payload
+        # bits the decoder must skip (read side: image.py:181-187)
+        w.u64(1)
+        w.u64(opt.frame_extension_bits)
+        for _ in range(opt.frame_extension_bits):
+            w.u(1, 0)
+    else:
+        w.u64(0)  # extensions (frame header)
 
 
 def _write_frame_body(

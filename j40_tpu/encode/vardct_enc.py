@@ -69,6 +69,11 @@ class VarDCTOptions:
     num_hf_presets: int = 1  # per-group preset selectors (context offsets)
     # custom HF block context: dict(lf_thr=[[..]x3], qf_thr=[..], map=[..])
     block_ctx: dict | None = None
+    # custom LfChannelDequantization scales (must be f16-exact); None = default
+    m_lf_scaled: tuple | None = None
+    # emit custom RestorationFilter params in the frame header (gab weights,
+    # EPF sharp/weight/sigma tables); exercises the parse path
+    custom_restoration: bool = False
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -96,7 +101,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     # canonical layout for square blocks is transposed: W[j,i] = C[i,j]
     Wc = C.transpose(0, 1, 2, 4, 3).reshape(3, h8, w8, 64)
 
-    m_lf_scaled = (1.0 / 4096.0, 1.0 / 512.0, 1.0 / 256.0)
+    m_lf_scaled = opt.m_lf_scaled or (1.0 / 4096.0, 1.0 / 512.0, 1.0 / 256.0)
     mult_lf = [
         m_lf_scaled[c] / (opt.global_scale * opt.quant_lf) * 65536 for c in range(3)
     ]
@@ -160,11 +165,14 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
         w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
     w.u(1, 1)  # is_last
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
-    w.u(1, 1)  # restoration all_default
-    w.u(1, 0)  # (quirk) gab_custom
-    w.u(1, 0)  # (quirk) epf_sharp_custom (non-modular)
-    w.u(1, 0)  # epf_weight_custom
-    w.u(1, 0)  # epf_sigma_custom
+    if opt.custom_restoration:
+        _write_custom_restoration(w)
+    else:
+        w.u(1, 1)  # restoration all_default
+        w.u(1, 0)  # (quirk) gab_custom
+        w.u(1, 0)  # (quirk) epf_sharp_custom (non-modular)
+        w.u(1, 0)  # epf_weight_custom
+        w.u(1, 0)  # epf_sigma_custom
     w.u64(0)  # frame extensions
 
     gcols, grows = ceil_div(wd, 256), ceil_div(h, 256)
@@ -239,10 +247,38 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     return w.finish()
 
 
+def _write_custom_restoration(w: BitWriter) -> None:
+    """Non-default RestorationFilter fields (read side: frame.py:217-243);
+    all values f16-exact so the decoders' parses agree bit-for-bit."""
+    w.u(1, 0)  # restoration not all_default
+    w.u(1, 1)  # gab enabled
+    w.u(1, 1)  # gab_custom
+    for wt in (0.125, 0.0625, 0.109375, 0.0546875, 0.115234375, 0.061279296875):
+        w.f16(wt)
+    w.u(2, 2)  # epf_iters
+    w.u(1, 1)  # epf_sharp_custom (non-modular)
+    for i in range(8):
+        w.f16(i / 8.0)
+    w.u(1, 1)  # epf_weight_custom
+    for v in (40.0, 5.0, 3.5):
+        w.f16(v)
+    w.u(32, 0)  # 32 reserved bits the reference skips
+    w.u(1, 1)  # epf_sigma_custom
+    for v in (0.5, 0.875, 6.5, 0.6875):  # quant_mul, pass0, pass2, border
+        w.f16(v)
+    # restoration extensions are read when not all_default
+    w.u64(0)
+
+
 def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None) -> None:
     from .encoder import _write_modular_stream
 
-    w.u(1, 1)  # LfChannelDequantization all_default
+    if opt.m_lf_scaled is not None:
+        w.u(1, 0)  # LfChannelDequantization not all_default
+        for v in opt.m_lf_scaled:
+            w.f16(v * 128.0)
+    else:
+        w.u(1, 1)  # LfChannelDequantization all_default
     w.u32(((1, 11), (2049, 11), (4097, 12), (8193, 16)), opt.global_scale)
     w.u32(((16, 0), (1, 5), (1, 8), (1, 16)), opt.quant_lf)
     if opt.block_ctx is None:

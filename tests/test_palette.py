@@ -118,3 +118,46 @@ def test_icc_stream_tiny_payload(dj40, tmp_path):
     assert dec.image.icc == b"\x00\x01\x02"
     ref = _dj40_decode(dj40, data, tmp_path)
     np.testing.assert_array_equal(ref, img)
+
+
+def test_custom_m_lf_scaled_vs_dj40(dj40, tmp_path):
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(11)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (64, 72, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    opt = VarDCTOptions(m_lf_scaled=(1.0 / 2048.0, 1.0 / 512.0, 1.0 / 128.0))
+    data = encode_vardct(img, opt)
+    ref = _dj40_decode(dj40, data, tmp_path)
+    _, rgba = decode_file(data)
+    assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_custom_restoration_params_vs_dj40(dj40, tmp_path):
+    # non-default RestorationFilter fields must parse identically (both
+    # decoders skip applying them by default)
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(12)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (48, 56, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    data = encode_vardct(img, VarDCTOptions(custom_restoration=True))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    dec, rgba = decode_file(data)
+    assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+    # parsed values round-tripped
+    f = dec.frame.header
+    assert f.epf_sharp_lut == [i / 8.0 for i in range(8)]
+    assert f.epf_quant_mul == 0.5 and f.epf_pass0_sigma_scale == 0.875
+
+
+def test_frame_extensions_skipped_vs_dj40(dj40, tmp_path):
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    data = encode_modular(img, options=EncodeOptions(frame_extension_bits=77))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
+    _, rgba = decode_file(data)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
