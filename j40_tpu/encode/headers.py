@@ -43,6 +43,7 @@ def write_image_metadata(
     animation: tuple[int, int, int] | None = None,
     orientation: int = 1,
     want_icc: bool = False,
+    opsin: tuple | None = None,  # (inv_mat 3x3, bias 3, quant_bias 3, qb_num)
 ) -> None:
     """`animation` = (tps_numerator, tps_denominator, num_loops) enables the
     extra_fields/have_animation path (read side: image.py:204-208);
@@ -51,7 +52,7 @@ def write_image_metadata(
     extra_fields = animation is not None or orientation != 1
     if (bpp == 8 and xyb_encoded and num_alpha == 0
             and intensity_target is None and not grayscale
-            and not extra_fields and not want_icc):
+            and not extra_fields and not want_icc and opsin is None):
         w.u(1, 1)  # all_default
         w.u(1, 1)  # default_m
         return
@@ -95,7 +96,23 @@ def write_image_metadata(
     if extra_fields:
         w.u(1, 1)  # ToneMapping all_default (read when extra_fields is set)
     w.u64(0)  # extensions: none
-    w.u(1, 1)  # default_m
+    if opsin is not None:
+        # custom opsin inverse matrix / biases (read side: image.py:299-307);
+        # values must be f16-exact
+        inv_mat, bias, quant_bias, qb_num = opsin
+        w.u(1, 0)  # not default_m
+        if xyb_encoded:
+            for row in inv_mat:
+                for v in row:
+                    w.f16(v)
+            for v in bias:
+                w.f16(v)
+            for v in quant_bias:
+                w.f16(v)
+            w.f16(qb_num)
+        w.u(3, 0)  # cw_mask: no custom upsampling weights
+    else:
+        w.u(1, 1)  # default_m
 
 
 def icc_context(idx: int, prev: int, pprev: int) -> int:

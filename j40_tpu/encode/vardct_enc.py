@@ -74,6 +74,8 @@ class VarDCTOptions:
     # emit custom RestorationFilter params in the frame header (gab weights,
     # EPF sharp/weight/sigma tables); exercises the parse path
     custom_restoration: bool = False
+    # custom opsin inverse matrix/biases (f16-exact), see write_image_metadata
+    opsin: tuple | None = None
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -141,7 +143,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w = BitWriter()
     write_signature(w)
     write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
-                         num_alpha=0 if alpha is None else 1)
+                         num_alpha=0 if alpha is None else 1, opsin=opt.opsin)
 
     # frame header (VarDCT)
     w.zero_pad_to_byte()

@@ -161,3 +161,24 @@ def test_frame_extensions_skipped_vs_dj40(dj40, tmp_path):
     np.testing.assert_array_equal(ref, img)
     _, rgba = decode_file(data)
     np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+def test_custom_opsin_matrix_vs_dj40(dj40, tmp_path):
+    # custom opsin inverse matrix / biases (default_m=0): both decoders must
+    # reconstruct identically (±1) from the same stored f16 values
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    inv_mat = ((11.0, -9.875, -0.15625),
+               (-3.25, 4.4375, -0.15625),
+               (-3.65625, 2.71875, 1.953125))
+    bias = (-0.0037841796875,) * 3
+    quant_bias = (0.14453125, 0.1640625, 0.1416015625)
+    opsin = (inv_mat, bias, quant_bias, 0.145263671875)
+    rng = np.random.default_rng(14)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (48, 56, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    data = encode_vardct(img, VarDCTOptions(opsin=opsin))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    dec, rgba = decode_file(data)
+    assert dec.image.opsin_inv_mat[0][0] == 11.0
+    assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
