@@ -182,3 +182,6 @@ def test_custom_opsin_matrix_vs_dj40(dj40, tmp_path):
     dec, rgba = decode_file(data)
     assert dec.image.opsin_inv_mat[0][0] == 11.0
     assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+    # device path consumes the same custom constants
+    _, rgba_jax = decode_file(data, backend="jax")
+    assert np.abs(rgba_jax[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
