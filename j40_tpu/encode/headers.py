@@ -49,7 +49,8 @@ def write_image_metadata(
     extra_fields/have_animation path (read side: image.py:204-208);
     `orientation` is the EXIF-style 1-8 code (1 = identity)."""
     write_size_header(w, width, height)
-    extra_fields = animation is not None or orientation != 1
+    extra_fields = (animation is not None or orientation != 1
+                    or intensity_target is not None)
     if (bpp == 8 and xyb_encoded and num_alpha == 0
             and intensity_target is None and not grayscale
             and not extra_fields and not want_icc and opsin is None):
@@ -94,7 +95,15 @@ def write_image_metadata(
     else:
         w.u(1, 1)  # ColourEncoding all_default (sRGB)
     if extra_fields:
-        w.u(1, 1)  # ToneMapping all_default (read when extra_fields is set)
+        if intensity_target is not None:
+            # ToneMapping (read side: image.py:285-297); values f16-exact
+            w.u(1, 0)  # not all_default
+            w.f16(intensity_target)
+            w.f16(0.0009765625)  # min_nits
+            w.u(1, 0)  # relative_to_max_display = false
+            w.f16(0.0)  # linear_below
+        else:
+            w.u(1, 1)  # ToneMapping all_default
     w.u64(0)  # extensions: none
     if opsin is not None:
         # custom opsin inverse matrix / biases (read side: image.py:299-307);

@@ -76,6 +76,8 @@ class VarDCTOptions:
     custom_restoration: bool = False
     # custom opsin inverse matrix/biases (f16-exact), see write_image_metadata
     opsin: tuple | None = None
+    # custom ToneMapping intensity target in nits (f16-exact); None = 255
+    intensity_target: float | None = None
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -143,7 +145,8 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w = BitWriter()
     write_signature(w)
     write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
-                         num_alpha=0 if alpha is None else 1, opsin=opt.opsin)
+                         num_alpha=0 if alpha is None else 1, opsin=opt.opsin,
+                         intensity_target=opt.intensity_target)
 
     # frame header (VarDCT)
     w.zero_pad_to_byte()

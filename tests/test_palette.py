@@ -185,3 +185,20 @@ def test_custom_opsin_matrix_vs_dj40(dj40, tmp_path):
     # device path consumes the same custom constants
     _, rgba_jax = decode_file(data, backend="jax")
     assert np.abs(rgba_jax[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_custom_intensity_target_vs_dj40(dj40, tmp_path):
+    # ToneMapping intensity target scales the XYB->sRGB output (255/target)
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(15)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (48, 56, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    data = encode_vardct(img, VarDCTOptions(intensity_target=512.0))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    dec, rgba = decode_file(data)
+    assert dec.image.intensity_target == 512.0
+    assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+    # visibly dimmer than the default-target encode of the same image
+    base = decode_file(encode_vardct(img))[1]
+    assert rgba[:, :, :3].mean() < base[:, :, :3].mean() * 0.8
