@@ -24,7 +24,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 CACHE = Path("/tmp/j40_tpu_bench")
 SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
-ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 WORKERS = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 4)))
 
 
@@ -63,19 +63,23 @@ def _time_ours(data: bytes, backend: str) -> float:
         return d.render_rgba8()
 
     rgba = once()  # warmup (includes jit compile on device backends)
-    t0 = time.perf_counter()
+    # best-of-N: the dev host's TPU tunnel bandwidth swings ~2x with ambient
+    # load, so the minimum is the honest hardware-capability number
+    dt = float("inf")
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         once()
-    dt = (time.perf_counter() - t0) / ITERS
+        dt = min(dt, time.perf_counter() - t0)
     return rgba.shape[0] * rgba.shape[1] / dt / 1e6
 
 
 def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
     subprocess.run([str(dj40), str(jxl)], capture_output=True)
-    t0 = time.perf_counter()
+    dt = float("inf")
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         subprocess.run([str(dj40), str(jxl)], capture_output=True)
-    dt = (time.perf_counter() - t0) / ITERS
+        dt = min(dt, time.perf_counter() - t0)
     return pixels / dt / 1e6
 
 
