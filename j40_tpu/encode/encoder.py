@@ -112,31 +112,38 @@ class EncodeOptions:
 def encode_modular(image: np.ndarray, bpp: int = 8,
                    options: EncodeOptions | None = None,
                    orientation: int = 1,
-                   icc: bytes | None = None) -> bytes:
+                   icc: bytes | None = None,
+                   extra_channels: list | None = None) -> bytes:
     """Encode (h, w, 3) RGB or (h, w, 4) RGBA losslessly.
 
     Returns a bare JPEG XL codestream (FF 0A ...).  bpp up to 15 is supported
     (the int16 sample-buffer limit shared with the reference, j40.h:4225).
-    `orientation` stores the image with an EXIF-style display transform."""
+    `orientation` stores the image with an EXIF-style display transform.
+    `extra_channels` is a list of (declaration dict, (h, w) plane) pairs for
+    explicitly-declared channels (depth, spot colour, named alpha, ...)."""
     opt = options or EncodeOptions()
     assert image.ndim == 3 and image.shape[2] in (1, 2, 3, 4), "need (h,w,1..4)"
     h, wd, nc = image.shape
     grayscale = nc <= 2
     num_alpha = 1 if nc in (2, 4) else 0
+    extras = extra_channels or []
+    nec = num_alpha + len(extras)
 
     w = BitWriter()
     write_signature(w)
     write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False,
                          num_alpha=num_alpha, grayscale=grayscale,
-                         orientation=orientation, want_icc=icc is not None)
+                         orientation=orientation, want_icc=icc is not None,
+                         extra_decls=[d for d, _ in extras])
     if icc is not None:
         from .headers import write_icc
 
         write_icc(w, icc, use_prefix=opt.use_prefix)
 
-    _write_modular_frame_header(w, num_alpha=num_alpha, opt=opt, im_size=(wd, h))
+    _write_modular_frame_header(w, num_alpha=nec, opt=opt, im_size=(wd, h))
 
     channels = [image[:, :, c].astype(np.int32) for c in range(nc)]
+    channels += [np.asarray(p, dtype=np.int32) for _, p in extras]
     _write_frame_body(w, channels, wd, h, opt)
     return w.finish()
 

@@ -44,6 +44,7 @@ def write_image_metadata(
     orientation: int = 1,
     want_icc: bool = False,
     opsin: tuple | None = None,  # (inv_mat 3x3, bias 3, quant_bias 3, qb_num)
+    extra_decls: list[dict] | None = None,  # explicit extra-channel decls
 ) -> None:
     """`animation` = (tps_numerator, tps_denominator, num_loops) enables the
     extra_fields/have_animation path (read side: image.py:204-208);
@@ -53,7 +54,8 @@ def write_image_metadata(
                     or intensity_target is not None)
     if (bpp == 8 and xyb_encoded and num_alpha == 0
             and intensity_target is None and not grayscale
-            and not extra_fields and not want_icc and opsin is None):
+            and not extra_fields and not want_icc and opsin is None
+            and not extra_decls):
         w.u(1, 1)  # all_default
         w.u(1, 1)  # default_m
         return
@@ -74,9 +76,28 @@ def write_image_metadata(
     w.u(1, 0)
     w.u32(((8, 0), (10, 0), (12, 0), (1, 6)), bpp)
     w.u(1, 1 if modular_16bit else 0)
-    w.u32(((0, 0), (1, 0), (2, 4), (1, 12)), num_alpha)
+    decls = extra_decls or []
+    w.u32(((0, 0), (1, 0), (2, 4), (1, 12)), num_alpha + len(decls))
     for _ in range(num_alpha):
         w.u(1, 1)  # d_alpha: default alpha channel
+    for d in decls:
+        # explicit declaration (read side: image.py:217-235)
+        w.u(1, 0)  # not d_alpha
+        w.enum(d["type"])
+        w.u(1, 0)  # integer bit depth
+        w.u32(((8, 0), (10, 0), (12, 0), (1, 6)), d.get("bpp", 8))
+        w.u32(((0, 0), (3, 0), (4, 0), (1, 3)), 0)  # dim_shift
+        name = d.get("name", "").encode("utf-8")
+        w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), len(name))
+        for b in name:
+            w.u(8, b)
+        if d["type"] == 0:  # alpha
+            w.u(1, d.get("alpha_associated", 0))
+        elif d["type"] == 2:  # spot colour
+            for v in d.get("spot", (1.0, 0.0, 0.0, 0.5)):
+                w.f16(v)
+        elif d["type"] == 5:  # CFA
+            w.u32(((1, 0), (0, 2), (3, 4), (19, 8)), d.get("cfa_channel", 1))
     w.u(1, 1 if xyb_encoded else 0)
     if want_icc:
         # only the colour space enum is read when an ICC payload follows

@@ -161,6 +161,10 @@ def read_bit_depth(r: BitReader) -> tuple[int, int]:
 
 
 def read_name(r: BitReader) -> str:
+    """UTF-8 name (j40.h:3050-3080).  NOTE: the reference's verifier requires
+    `i + c < len` STRICTLY for the final character, which rejects every
+    nonempty name ("name" error); that is a bug we do not replicate — valid
+    UTF-8 names are accepted here per spec."""
     length = r.u32(0, 0, 0, 4, 16, 5, 48, 10)
     raw = bytes(r.u(8) for _ in range(length))
     try:

@@ -202,3 +202,62 @@ def test_custom_intensity_target_vs_dj40(dj40, tmp_path):
     # visibly dimmer than the default-target encode of the same image
     base = decode_file(encode_vardct(img))[1]
     assert rgba[:, :, :3].mean() < base[:, :, :3].mean() * 0.8
+
+
+def test_declared_extra_channels_vs_dj40(dj40, tmp_path):
+    # explicitly-declared extra channels (depth, spot colour, named) parse and
+    # decode in both decoders; alpha is found by type, not position
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    depth = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    spot = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    # NOTE: names must be empty for the dj40 cross-check — the reference's
+    # UTF-8 verifier has an off-by-one that rejects every nonempty name
+    # (j40.h:3067, `i + c < len` strict); named channels are covered in
+    # test_named_channels_ours below
+    data = encode_modular(img, extra_channels=[
+        ({"type": 1}, depth),
+        ({"type": 2, "spot": (1.0, 0.75, 0.0, 0.5)}, spot),
+    ])
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
+    dec, rgba = decode_file(data)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+    assert [e.type for e in dec.image.ec_info] == [1, 2]
+    assert dec.image.ec_info[1].spot[1] == 0.75
+    # the declared planes decode losslessly as gmodular channels
+    np.testing.assert_array_equal(dec.frame.gmodular.channels[3].data, depth)
+    np.testing.assert_array_equal(dec.frame.gmodular.channels[4].data, spot)
+
+
+def test_declared_alpha_vs_dj40(dj40, tmp_path):
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    a = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    data = encode_modular(img, extra_channels=[
+        ({"type": 0, "alpha_associated": 0}, a),
+    ])
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
+    dec, rgba = decode_file(data)
+    np.testing.assert_array_equal(rgba[:, :, 3], a)  # rendered as the alpha
+
+
+def test_named_channels_ours():
+    # spec-valid UTF-8 names (the reference rejects all nonempty names due to
+    # its off-by-one; we accept them per spec)
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    d = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    data = encode_modular(img, extra_channels=[
+        ({"type": 1, "name": "dépth µap"}, d),
+    ])
+    dec, rgba = decode_file(data)
+    assert dec.image.ec_info[0].name == "dépth µap"
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
