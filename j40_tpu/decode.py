@@ -150,9 +150,14 @@ class Decoder:
 
     # -- blending (spec §5.3 subset: REPLACE and ADD) ----------------------
 
-    def _ncolor(self) -> int:
+    def _ncolor(self, f: FrameHeader | None = None) -> int:
         im = self.image
-        return 1 if (im.cspace is CSpace.GREY and not im.xyb_encoded) else 3
+        if f is None and self.frame is not None:
+            f = self.frame.header
+        do_ycbcr = bool(f.do_ycbcr) if f is not None else False
+        # mirror the gmodular channel rule (j40.h:3630)
+        return 1 if (im.cspace is CSpace.GREY and not im.xyb_encoded
+                     and not do_ycbcr) else 3
 
     def _composite(self, f: FrameHeader, gm: ModularImage) -> list[np.ndarray]:
         """Blend the decoded frame onto its source reference canvas.
@@ -170,7 +175,7 @@ class Decoder:
         )
 
         im = self.image
-        ncolor = self._ncolor()
+        ncolor = self._ncolor(f)
         exact = (
             f.x0 == 0 and f.y0 == 0 and f.width == im.width and f.height == im.height
         )
@@ -274,6 +279,32 @@ class Decoder:
             if ec.type == 0:  # alpha
                 alpha = canvas[i]
                 break
+
+        if f.header.do_ycbcr:
+            # YCbCr frames (the reference parses do_ycbcr but refuses to
+            # render, j40.h:7867).  Channel order is (Cb, Y, Cr) with luma in
+            # slot 1, all channels centered; full-range BT.601 with the
+            # libjxl +128/255 luma offset.
+            check(f.header.jpeg_upsampling == 0, "TODO", "chroma subsampling")
+            cb = planes[0].astype(np.float64) / maxpixel
+            y = planes[1].astype(np.float64) / maxpixel + 128.0 / 255.0
+            cr = planes[2].astype(np.float64) / maxpixel
+            planes = [
+                (y + 1.402 * cr) * 255.0,
+                (y - 0.344136 * cb - 0.714136 * cr) * 255.0,
+                (y + 1.772 * cb) * 255.0,
+            ]
+            out = np.empty((h, w, 4), dtype=np.uint8)
+            for i in range(3):
+                out[:, :, i] = np.clip(np.round(planes[i]), 0, 255).astype(np.uint8)
+            if alpha is None:
+                out[:, :, 3] = 255
+            elif im.bpp == 8:
+                out[:, :, 3] = np.clip(alpha, 0, 255).astype(np.uint8)
+            else:
+                p = np.clip(alpha, 0, maxpixel).astype(np.int64)
+                out[:, :, 3] = ((p * 255 + half) // maxpixel).astype(np.uint8)
+            return apply_orientation(out, int(im.orientation))
 
         out = np.empty((h, w, 4), dtype=np.uint8)
         for i in range(4):

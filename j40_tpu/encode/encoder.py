@@ -107,6 +107,7 @@ class EncodeOptions:
     permute_toc: bool = False  # exercise the TOC permutation path
     lz77: bool = False  # RLE-style LZ77 emission in the token stream
     frame_extension_bits: int = 0  # emit a skippable frame-header extension
+    ycbcr: bool = False  # store YCbCr samples (do_ycbcr; near-lossless)
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -143,6 +144,17 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     _write_modular_frame_header(w, num_alpha=nec, opt=opt, im_size=(wd, h))
 
     channels = [image[:, :, c].astype(np.int32) for c in range(nc)]
+    if opt.ycbcr:
+        assert not grayscale and bpp == 8, "ycbcr: 8-bit color only"
+        r, g, b = (image[:, :, c].astype(np.float64) for c in range(3))
+        # full-range BT.601, channels centered, luma in slot 1 (render side:
+        # decode.py render_rgba8 YCbCr branch)
+        yv = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        channels[0] = np.round(cb).astype(np.int32)
+        channels[1] = (np.round(yv) - 128).astype(np.int32)
+        channels[2] = np.round(cr).astype(np.int32)
     channels += [np.asarray(p, dtype=np.int32) for _, p in extras]
     _write_frame_body(w, channels, wd, h, opt)
     return w.finish()
@@ -178,7 +190,9 @@ def _write_modular_frame_header(
     w.u(2, 0)  # type = regular
     w.u(1, 1)  # is_modular
     w.u64(0)  # flags
-    w.u(1, 0)  # do_ycbcr (xyb_encoded false)
+    w.u(1, 1 if opt.ycbcr else 0)  # do_ycbcr (xyb_encoded false)
+    if opt.ycbcr:
+        w.u(6, 0)  # jpeg_upsampling: no chroma subsampling
     w.u(2, 0)  # log_upsampling
     for _ in range(num_alpha):
         w.u(2, 0)  # per-extra-channel upsampling

@@ -261,3 +261,36 @@ def test_named_channels_ours():
     dec, rgba = decode_file(data)
     assert dec.image.ec_info[0].name == "dépth µap"
     np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+def test_ycbcr_roundtrip_ours():
+    # do_ycbcr frames render via BT.601 (the reference refuses: j40.h:7867)
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(32, 40, 3), dtype=np.uint8)
+    data = encode_modular(img, options=EncodeOptions(ycbcr=True))
+    dec, rgba = decode_file(data)
+    assert dec.frame.header.do_ycbcr
+    # forward+inverse rounding: within 2 levels of the source
+    assert np.abs(rgba[:, :, :3].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_ycbcr_reference_renders_unconverted(dj40, tmp_path):
+    # documents the boundary: the reference only rejects YCbCr for VarDCT
+    # frames (j40.h:7867 sits in the VarDCT combine driver); for modular
+    # frames it silently renders the raw (Cb, Y, Cr) planes as RGB.  We
+    # convert; it does not.
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+
+    rng = np.random.default_rng(20)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = encode_modular(img, options=EncodeOptions(ycbcr=True))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    # dj40's output is the stored centered channels, clamped to [0, 255]
+    r, g, b = (img[:, :, c].astype(np.float64) for c in range(3))
+    cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * b)
+    yv = np.round(0.299 * r + 0.587 * g + 0.114 * b) - 128
+    cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * b)
+    stored = np.stack([cb, yv, cr], axis=-1)
+    np.testing.assert_array_equal(ref, np.clip(stored, 0, 255).astype(np.uint8))
