@@ -29,6 +29,8 @@ def main(argv=None) -> int:
                     help="write every displayed animation frame")
     ap.add_argument("--time", action="store_true", help="print decode time")
     ap.add_argument("--stats", action="store_true", help="print stage timings")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a JAX profiler (xplane) trace of the decode")
     args = ap.parse_args(argv)
 
     from .decode import Decoder
@@ -40,16 +42,25 @@ def main(argv=None) -> int:
         print(f"Error: cannot open `{args.input}`: {e}", file=sys.stderr)
         return 1
 
+    import contextlib
+
+    prof: contextlib.AbstractContextManager = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+
     t0 = time.perf_counter()
-    frames = []  # (duration_ticks, rgba)
     try:
-        dec = Decoder(data, backend=args.backend, workers=args.workers,
-                      apply_filters=args.filters)
-        while not dec.done:
-            fr = dec.decode_frame()
-            if args.all_frames and (fr.header.duration > 0 or fr.header.is_last):
-                frames.append((fr.header.duration, dec.render_rgba8()))
-        rgba = frames[-1][1] if frames else dec.render_rgba8()
+        with prof:
+            dec = Decoder(data, backend=args.backend, workers=args.workers,
+                          apply_filters=args.filters)
+            frames = []  # (duration_ticks, rgba)
+            while not dec.done:
+                fr = dec.decode_frame()
+                if args.all_frames and (fr.header.duration > 0 or fr.header.is_last):
+                    frames.append((fr.header.duration, dec.render_rgba8()))
+            rgba = frames[-1][1] if frames else dec.render_rgba8()
     except J40Error as e:
         print(f"Error: failed to decode `{args.input}`: {e}", file=sys.stderr)
         return 1
