@@ -179,6 +179,8 @@ class Decoder:
         exact = (
             f.x0 == 0 and f.y0 == 0 and f.width == im.width and f.height == im.height
         )
+        if f.do_ycbcr and f.jpeg_upsampling and not exact:
+            raise Unsupported(message="blending of subsampled YCbCr frames")
         # clip the frame rect (origin may be negative) to the image rect
         sx0, sy0 = max(0, -f.x0), max(0, -f.y0)
         dx0, dy0 = max(0, f.x0), max(0, f.y0)
@@ -282,13 +284,22 @@ class Decoder:
 
         if f.header.do_ycbcr:
             # YCbCr frames (the reference parses do_ycbcr but refuses to
-            # render, j40.h:7867).  Channel order is (Cb, Y, Cr) with luma in
-            # slot 1, all channels centered; full-range BT.601 with the
-            # libjxl +128/255 luma offset.
-            check(f.header.jpeg_upsampling == 0, "TODO", "chroma subsampling")
-            cb = planes[0].astype(np.float64) / maxpixel
+            # render, j40.h:7867; and rejects subsampling at j40.h:6749).
+            # Channel order is (Cb, Y, Cr) with luma in slot 1, all channels
+            # centered; full-range BT.601 with the libjxl +128/255 luma
+            # offset.  Subsampled chroma upsamples by sample replication.
+            h, w = planes[1].shape  # Y is always full resolution
+
+            def up(p):
+                if p.shape[0] != h:
+                    p = np.repeat(p, 2, 0)[:h]
+                if p.shape[1] != w:
+                    p = np.repeat(p, 2, 1)[:, :w]
+                return p
+
+            cb = up(planes[0]).astype(np.float64) / maxpixel
             y = planes[1].astype(np.float64) / maxpixel + 128.0 / 255.0
-            cr = planes[2].astype(np.float64) / maxpixel
+            cr = up(planes[2]).astype(np.float64) / maxpixel
             planes = [
                 (y + 1.402 * cr) * 255.0,
                 (y - 0.344136 * cb - 0.714136 * cr) * 255.0,

@@ -108,6 +108,8 @@ class EncodeOptions:
     lz77: bool = False  # RLE-style LZ77 emission in the token stream
     frame_extension_bits: int = 0  # emit a skippable frame-header extension
     ycbcr: bool = False  # store YCbCr samples (do_ycbcr; near-lossless)
+    # per-channel (Cb, Y, Cr) subsampling codes: 0=full, 1=420, 2=422, 3=440
+    ycbcr_subsample: tuple = (0, 0, 0)
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -155,6 +157,16 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
         channels[0] = np.round(cb).astype(np.int32)
         channels[1] = (np.round(yv) - 128).astype(np.int32)
         channels[2] = np.round(cr).astype(np.int32)
+        if any(opt.ycbcr_subsample):
+            assert h <= 1 << opt.group_size_shift and wd <= 1 << opt.group_size_shift, \
+                "subsampled ycbcr: single-group only"
+            for i, code in enumerate(opt.ycbcr_subsample):
+                p = channels[i]
+                if code in (1, 2):
+                    p = p[:, ::2]
+                if code in (1, 3):
+                    p = p[::2, :]
+                channels[i] = np.ascontiguousarray(p)
     channels += [np.asarray(p, dtype=np.int32) for _, p in extras]
     _write_frame_body(w, channels, wd, h, opt)
     return w.finish()
@@ -192,7 +204,8 @@ def _write_modular_frame_header(
     w.u64(0)  # flags
     w.u(1, 1 if opt.ycbcr else 0)  # do_ycbcr (xyb_encoded false)
     if opt.ycbcr:
-        w.u(6, 0)  # jpeg_upsampling: no chroma subsampling
+        s0, s1, s2 = opt.ycbcr_subsample
+        w.u(6, s0 | (s1 << 2) | (s2 << 4))  # jpeg_upsampling
     w.u(2, 0)  # log_upsampling
     for _ in range(num_alpha):
         w.u(2, 0)  # per-extra-channel upsampling

@@ -64,13 +64,27 @@ class FrameState:
 
         # gmodular channel list (j40.h:3619-3654)
         num_channels = im.num_extra_channels
+        ncolor = 0
         if f.is_modular:
-            num_channels += (
+            ncolor = (
                 1
                 if (not f.do_ycbcr and not im.xyb_encoded and im.cspace is CSpace.GREY)
                 else 3
             )
-        channels = [Channel(f.width, f.height) for _ in range(num_channels)]
+            num_channels += ncolor
+        channels = []
+        for i in range(num_channels):
+            hs = vs = 0
+            if i < ncolor and f.do_ycbcr and f.jpeg_upsampling:
+                # chroma subsampling (the reference rejects this at
+                # j40.h:6749): per-channel 2-bit code, (Cb, Y, Cr) order
+                code = (f.jpeg_upsampling >> (2 * i)) & 3
+                hs = 1 if code in (1, 2) else 0
+                vs = 1 if code in (1, 3) else 0
+            channels.append(
+                Channel(ceil_div(f.width, 1 << hs), ceil_div(f.height, 1 << vs),
+                        hs, vs)
+            )
         self.gmodular = ModularImage(channels=channels)
 
         if r.u(1):  # global tree present

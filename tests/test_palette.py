@@ -294,3 +294,20 @@ def test_ycbcr_reference_renders_unconverted(dj40, tmp_path):
     cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * b)
     stored = np.stack([cb, yv, cr], axis=-1)
     np.testing.assert_array_equal(ref, np.clip(stored, 0, 255).astype(np.uint8))
+
+
+@pytest.mark.parametrize("codes", [(1, 0, 1), (2, 0, 2), (3, 0, 3)])
+def test_ycbcr_chroma_subsampling_ours(codes):
+    # 420/422/440 chroma (both rejected by the reference at j40.h:6749):
+    # block-constant chroma round-trips exactly through subsample+replicate
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+
+    rng = np.random.default_rng(21)
+    small = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(small, 2, 0), 2, 1)  # 2x2-constant blocks
+    opt = EncodeOptions(ycbcr=True, ycbcr_subsample=codes)
+    data = encode_modular(img, options=opt)
+    dec, rgba = decode_file(data)
+    assert dec.frame.header.jpeg_upsampling != 0
+    ref = decode_file(encode_modular(img, options=EncodeOptions(ycbcr=True)))[1]
+    np.testing.assert_array_equal(rgba, ref)
