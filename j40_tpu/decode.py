@@ -369,10 +369,11 @@ def _read_input(path_or_bytes) -> bytes:
     return open(path_or_bytes, "rb").read()
 
 
-def decode_file(path_or_bytes, backend: str = "numpy") -> tuple[Decoder, np.ndarray]:
+def decode_file(path_or_bytes, backend: str = "numpy",
+                limits: Limits = MAIN_LV5) -> tuple[Decoder, np.ndarray]:
     """Decode to the final displayed frame (all frames are processed so the
     blending chain is honored; single-frame files behave as before)."""
-    dec = Decoder(_read_input(path_or_bytes), backend=backend)
+    dec = Decoder(_read_input(path_or_bytes), backend=backend, limits=limits)
     while not dec.done:
         dec.decode_frame()
     rgba = dec.render_rgba8()

@@ -119,8 +119,10 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
                    extra_channels: list | None = None) -> bytes:
     """Encode (h, w, 3) RGB or (h, w, 4) RGBA losslessly.
 
-    Returns a bare JPEG XL codestream (FF 0A ...).  bpp up to 15 is supported
-    (the int16 sample-buffer limit shared with the reference, j40.h:4225).
+    Returns a bare JPEG XL codestream (FF 0A ...).  bpp up to 15 uses 16-bit
+    sample buffers (decodable by the reference, j40.h:4225); higher bpp (up
+    to 28) switches to 32-bit buffers, which need Level-10 limits to decode
+    (`decode_file(data, limits=MAIN_LV10)`; the reference rejects these).
     `orientation` stores the image with an EXIF-style display transform.
     `extra_channels` is a list of (declaration dict, (h, w) plane) pairs for
     explicitly-declared channels (depth, spot colour, named alpha, ...)."""
@@ -137,7 +139,8 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False,
                          num_alpha=num_alpha, grayscale=grayscale,
                          orientation=orientation, want_icc=icc is not None,
-                         extra_decls=[d for d, _ in extras])
+                         extra_decls=[d for d, _ in extras],
+                         modular_16bit=bpp <= 15)
     if icc is not None:
         from .headers import write_icc
 

@@ -85,7 +85,9 @@ class FrameState:
                 Channel(ceil_div(f.width, 1 << hs), ceil_div(f.height, 1 << vs),
                         hs, vs)
             )
-        self.gmodular = ModularImage(channels=channels)
+        self.gmodular = ModularImage(
+            channels=channels, wide=not im.modular_16bit_buffers
+        )
 
         if r.u(1):  # global tree present
             max_tree_size = min(
@@ -191,7 +193,8 @@ class FrameState:
             channels=[
                 Channel(w, h, gm.channels[i].hshift, gm.channels[i].vshift)
                 for (i, _, _, w, h) in picks
-            ]
+            ],
+            wide=gm.wide,
         )
         parse_modular_header(r, sub, self.global_tree, self.global_codespec, self.limits)
         direct = not sub.transforms

@@ -66,6 +66,7 @@ class ModularImage:
     nb_meta_channels: int = 0
     dist_mult: int = 0
     use_global_tree: bool = False
+    wide: bool = False  # 32-bit sample buffers (modular_16bit_buffers == 0)
     native: object = None  # NativeStream once the native core takes over
 
     @property
@@ -293,6 +294,7 @@ def _decode_channel_native(r: BitReader, m: ModularImage, cidx: int, sidx: int) 
     c.data = m.native.decode_modular_channel(
         m._tree_arr, m._wp_arr, m.dist_mult, cidx, sidx, c.width, c.height, refs,
         out=c.data,  # decode in place (may be a strided gmodular-plane view)
+        range_max=0x7FFFFFFF if m.wide else 32767,
     )
     # hand the bit position and ANS state back to the Python layer
     r.seek_bits(m.native.bitpos)
@@ -401,7 +403,8 @@ def decode_channel(
             val = unpack_signed(token) * node.multiplier + node.offset
             val += _predict(node.predictor, wp, int(w_), int(n_), int(nw),
                             int(ne), int(nn), int(nee), int(ww))
-            check(INT16_MIN <= val <= INT16_MAX, "povf")
+            if not m.wide:
+                check(INT16_MIN <= val <= INT16_MAX, "povf")
             row[x] = val
             if wp is not None:
                 wp.after_predict(x, y, val)

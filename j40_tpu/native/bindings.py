@@ -66,6 +66,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32,  # refs
         ctypes.POINTER(ctypes.c_int32),                   # out
         ctypes.c_int32, ctypes.c_int32,                   # out_stride, ref_stride
+        ctypes.c_int64,                                   # range_max
     ]
     lib.j40t_decode_hf_group.restype = ctypes.c_int32
     lib.j40t_decode_hf_group.argtypes = [
@@ -168,7 +169,8 @@ class NativeStream:
                                dist_mult: int, cidx: int, sidx: int,
                                width: int, height: int,
                                refs: list[np.ndarray],
-                               out: np.ndarray | None = None) -> np.ndarray:
+                               out: np.ndarray | None = None,
+                               range_max: int = 32767) -> np.ndarray:
         """Decode into `out` (int32, contiguous rows; may be a strided view
         such as a sub-rectangle of the gmodular plane) or a fresh array."""
         if (out is None or out.dtype != np.int32
@@ -194,7 +196,7 @@ class NativeStream:
             dist_mult, cidx, sidx, width, height,
             ref_ptrs, len(refs),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_stride, ref_stride,
+            out_stride, ref_stride, range_max,
         )
         if rc == 1:
             from ..errors import J40Error

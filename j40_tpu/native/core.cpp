@@ -595,7 +595,8 @@ J40T_API void j40t_decode_symbols(J40TStream* s, const int32_t* ctxs, int64_t n,
 template <int PRED>
 static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
                                      int32_t width, int32_t height,
-                                     int32_t* out, int32_t stride) {
+                                     int32_t* out, int32_t stride,
+                                     int64_t range_max) {
   const bool use_prefix = cs.spec->use_prefix;
   const int32_t log_alpha = cs.spec->log_alpha;
   auto decode_px = [&](int64_t pred, int32_t* dst) -> int32_t {
@@ -605,7 +606,7 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
     if (value < 0) { cs.error = true; return 3; }
     int64_t uv = (value & 1) ? -((value >> 1) + 1) : (value >> 1);
     int64_t val = uv + pred;
-    if (val < -32768 || val > 32767) return 1;
+    if (val < -range_max - 1 || val > range_max) return 1;
     *dst = (int32_t)val;
     return 0;
   };
@@ -650,7 +651,8 @@ J40T_API int32_t j40t_decode_modular_channel(
     const int32_t* const* refs, int32_t nrefs,  // previous same-shape channels
     int32_t* out,
     int32_t out_stride,     // row stride in elements (== width if contiguous)
-    int32_t ref_stride) {
+    int32_t ref_stride,
+    int64_t range_max) {    // 32767 for 16-bit buffers, INT32_MAX for wide
   const TreeNode* nodes = (const TreeNode*)tree;
 
   // does the tree need the weighted predictor?
@@ -672,9 +674,9 @@ J40T_API int32_t j40t_decode_modular_channel(
     const Cluster& cl = s->spec.clusters[s->spec.cluster_map[nodes[0].ctx]];
     return nodes[0].predictor == 5
                ? decode_channel_simple<5>(s->bits, s->state, cl, width, height,
-                                          out, out_stride)
+                                          out, out_stride, range_max)
                : decode_channel_simple<0>(s->bits, s->state, cl, width, height,
-                                          out, out_stride);
+                                          out, out_stride, range_max);
   }
 
   for (int32_t y = 0; y < height; ++y) {
@@ -749,7 +751,7 @@ J40T_API int32_t j40t_decode_modular_channel(
       int64_t val = uv * node->multiplier + node->offset;
       val += predict(node->predictor, use_wp ? &wp : nullptr, w_, n_, nw, ne, nn,
                      nee, ww);
-      if (val < -32768 || val > 32767) return 1;
+      if (val < -range_max - 1 || val > range_max) return 1;
       row[x] = (int32_t)val;
       if (use_wp) wp_after(wp, x, y, val);
     }

@@ -311,3 +311,26 @@ def test_ycbcr_chroma_subsampling_ours(codes):
     assert dec.frame.header.jpeg_upsampling != 0
     ref = decode_file(encode_modular(img, options=EncodeOptions(ycbcr=True)))[1]
     np.testing.assert_array_equal(rgba, ref)
+
+
+def test_high_bit_depth_32bit_buffers():
+    # bpp > 15 uses 32-bit modular buffers, gated by Level-10 limits (the
+    # reference's level-10 profile exists but is compiled out, j40.h:1177)
+    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.errors import J40Error
+    from j40_tpu.limits import MAIN_LV10
+
+    rng = np.random.default_rng(22)
+    img20 = rng.integers(0, 1 << 20, size=(24, 32, 3))
+    data = encode_modular(img20, bpp=20)
+    # level-5 limits reject 32-bit buffer streams ("fm32")
+    with pytest.raises(J40Error):
+        decode_file(data)
+    dec, rgba = decode_file(data, limits=MAIN_LV10)
+    # lossless in the decoded planes; rgba is the scaled 8-bit rendering
+    for c in range(3):
+        np.testing.assert_array_equal(dec.frame.gmodular.channels[c].data,
+                                      img20[:, :, c])
+    maxv = (1 << 20) - 1
+    expect = ((img20.astype(np.int64) * 255 + (1 << 19)) // maxv).astype(np.uint8)
+    np.testing.assert_array_equal(rgba[:, :, :3], expect)
