@@ -85,6 +85,36 @@ class BitWriter:
         (bits,) = struct.unpack("<H", struct.pack("<e", value))
         self.u(16, bits)
 
+    def u_array(self, nbits, values) -> None:
+        """Vectorized multi-field write, equivalent to sequential u() calls.
+
+        Fields are packed LSB-first with numpy: bit offsets by cumsum, each
+        shifted field scattered into bytes with np.add.at — carry-free since
+        distinct fields occupy disjoint bits.  Each nbits[i] must be <= 56."""
+        import numpy as np
+
+        nbits = np.asarray(nbits, dtype=np.int64)
+        vals = np.asarray(values, dtype=np.uint64)
+        total = int(nbits.sum())
+        if total == 0:
+            return
+        assert int(nbits.max()) <= 56
+        end = np.cumsum(nbits)
+        start = (end - nbits) + self.nbits
+        endbit = self.nbits + total
+        buf = np.zeros((endbit >> 3) + 9, dtype=np.uint8)
+        buf[0] = self.bits  # pending partial byte (nbits < 8 here)
+        byte0 = start >> 3
+        shifted = vals << (start & 7).astype(np.uint64)
+        for k in range(8):
+            np.add.at(
+                buf, byte0 + k,
+                ((shifted >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8),
+            )
+        self.out.extend(buf[: endbit >> 3].tobytes())
+        self.bits = int(buf[endbit >> 3]) if endbit & 7 else 0
+        self.nbits = endbit & 7
+
     def zero_pad_to_byte(self) -> None:
         if self.nbits:
             self.u((-self.nbits) % 8, 0)

@@ -27,6 +27,31 @@ def _predict_scalar(pred: int, w, n, nw, ne, nn, nee, ww):
     return _predict(pred, None, w, n, nw, ne, nn, nee, ww)
 
 
+def _channel_tokens_np(data: np.ndarray, predictor: int) -> np.ndarray | None:
+    """Vectorized residual tokens (predictors 0/5); None for others."""
+    a = data.astype(np.int64)
+    if predictor == 0:
+        res = a.ravel()
+    elif predictor == 5:
+        W = np.zeros_like(a)
+        W[:, 1:] = a[:, :-1]
+        W[1:, 0] = a[:-1, 0]
+        N = np.zeros_like(a)
+        N[1:, :] = a[:-1, :]
+        N[0, :] = W[0, :]
+        NW = np.zeros_like(a)
+        NW[1:, 1:] = a[:-1, :-1]
+        NW[0, :] = W[0, :]
+        NW[1:, 0] = W[1:, 0]
+        lo = np.minimum(W, N)
+        hi = np.maximum(W, N)
+        grad = np.minimum(np.maximum(lo, W + N - NW), hi)
+        res = (a - grad).ravel()
+    else:
+        return None
+    return np.where(res >= 0, res * 2, -res * 2 - 1)  # vectorized pack_signed
+
+
 def _channel_tokens(data: np.ndarray, predictor: int) -> list[int]:
     """Residual tokens for one channel in scan order (no WP, no tree)."""
     h, wd = data.shape
@@ -94,8 +119,12 @@ def _write_modular_stream(
     enc = EntropyEncoder(1, use_prefix=use_prefix, lz77=lz77,
                          dist_mult=dist_mult if lz77 else 0)
     for data in channels:
-        for t in _channel_tokens(data, predictor):
-            enc.add(0, t)
+        toks = _channel_tokens_np(data, predictor)
+        if toks is not None:
+            enc.add_array(0, toks)
+        else:
+            for t in _channel_tokens(data, predictor):
+                enc.add(0, t)
     enc.write(w)
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+
 from ..entropy.ans import ANS_INIT_STATE, AnsEncoder, DIST_BITS, DIST_SUM, init_alias_map
 from ..entropy.hybrid import HybridIntConfig, encode_hybrid_int
 from ..entropy.prefix import L0_LENGTHS, L1_ZIGZAG, PrefixCode, reverse_bits
@@ -333,6 +335,43 @@ class EntropyEncoder:
         assert 0 <= ctx < self.num_dist
         self.streams.setdefault(stream, []).append((ctx, value))
 
+    def add_array(self, ctx: int, values, stream: int = 0) -> None:
+        """Bulk add: one context, many values, vectorized through tokenize
+        and prefix emission (LZ77 emission is scalar-only)."""
+        assert 0 <= ctx < self.num_dist
+        vals = np.asarray(values, dtype=np.int64).ravel()
+        if self.lz77:
+            # LZ77 run detection is sequential; fall back to scalars
+            st = self.streams.setdefault(stream, [])
+            st.extend((ctx, int(v)) for v in vals)
+            return
+        self.streams.setdefault(stream, []).append(("A", ctx, vals))
+
+    @staticmethod
+    def _tokenize_array(vals: np.ndarray, cfg: HybridIntConfig):
+        """Vectorized encode_hybrid_int over an int64 array."""
+        split = 1 << cfg.split_exp
+        token = vals.copy()
+        midbits = np.zeros(vals.shape, np.int64)
+        mid = np.zeros(vals.shape, np.int64)
+        big_mask = vals >= split
+        if big_mask.any():
+            big = vals[big_mask]
+            # exact floor(log2) for < 2^53
+            n = (np.frexp(big.astype(np.float64))[1] - 1).astype(np.int64)
+            lsbm = (1 << cfg.lsb_in_token) - 1
+            msbm = (1 << cfg.msb_in_token) - 1
+            lsb = big & lsbm
+            msb = (big >> (n - cfg.msb_in_token)) & msbm
+            bit = cfg.msb_in_token + cfg.lsb_in_token
+            mb = n - bit
+            token[big_mask] = split + (
+                ((n - cfg.split_exp) << bit) | (msb << cfg.lsb_in_token) | lsb
+            )
+            midbits[big_mask] = mb
+            mid[big_mask] = (big >> cfg.lsb_in_token) & ((np.int64(1) << mb) - 1)
+        return token, midbits, mid
+
     def write(self, w: BitWriter) -> None:
         """Emit spec header followed immediately by the token stream."""
         self.write_spec(w)
@@ -349,7 +388,25 @@ class EntropyEncoder:
             if self.lz77:
                 self._tokenize_lz77(events, tokenized, hists)
             else:
-                for ctx, value in events:
+                for ev in events:
+                    if ev[0] == "A":
+                        _, ctx, vals = ev
+                        cl = self.cluster_map[ctx]
+                        t, mb, md = self._tokenize_array(vals, cfg)
+                        h = hists[cl]
+                        binc = np.bincount(t)
+                        for tok in np.nonzero(binc)[0]:
+                            h[int(tok)] = h.get(int(tok), 0) + int(binc[tok])
+                        if self.use_prefix:
+                            tokenized.append(("A", cl, t, mb, md))
+                        else:
+                            # ANS state threading is sequential; expand
+                            tokenized.extend(
+                                zip([cl] * len(t), t.tolist(), mb.tolist(),
+                                    md.tolist())
+                            )
+                        continue
+                    ctx, value = ev
                     cl = self.cluster_map[ctx]
                     token, midbits, mid = encode_hybrid_int(value, cfg)
                     tokenized.append((cl, token, midbits, mid))
@@ -494,7 +551,27 @@ class EntropyEncoder:
         tokenized = self._tokenized_streams[stream]
         if self.use_prefix:
             codes = self._codes
-            for cl, token, midbits, mid in tokenized:
+            for ev in tokenized:
+                if ev[0] == "A":
+                    _, cl, t, mb, md = ev
+                    cw = codes[cl]
+                    if cw is None:
+                        w.u_array(mb, md)
+                        continue
+                    maxt = int(t.max()) if len(t) else 0
+                    lens = np.zeros(maxt + 1, np.int64)
+                    pats = np.zeros(maxt + 1, np.int64)
+                    for sym, (ln, pat) in cw.items():
+                        if sym <= maxt:
+                            lens[sym] = ln
+                            pats[sym] = pat
+                    cl_ = lens[t]
+                    allv = pats[t].astype(np.uint64) | (
+                        md.astype(np.uint64) << cl_.astype(np.uint64)
+                    )
+                    w.u_array(cl_ + mb, allv)
+                    continue
+                cl, token, midbits, mid = ev
                 cw = codes[cl]
                 if cw is not None:
                     ln, pat = cw[token]
