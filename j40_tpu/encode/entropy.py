@@ -347,6 +347,17 @@ class EntropyEncoder:
             return
         self.streams.setdefault(stream, []).append(("A", ctx, vals))
 
+    def add_arrays(self, ctxs, values, stream: int = 0) -> None:
+        """Bulk add with per-token contexts (both arrays, same length)."""
+        assert not self.lz77, "array path excludes LZ77 emission"
+        ctxs = np.asarray(ctxs, dtype=np.int64).ravel()
+        vals = np.asarray(values, dtype=np.int64).ravel()
+        assert ctxs.shape == vals.shape
+        if len(ctxs) == 0:
+            return
+        assert 0 <= int(ctxs.min()) and int(ctxs.max()) < self.num_dist
+        self.streams.setdefault(stream, []).append(("M", ctxs, vals))
+
     @staticmethod
     def _tokenize_array(vals: np.ndarray, cfg: HybridIntConfig):
         """Vectorized encode_hybrid_int over an int64 array."""
@@ -388,6 +399,7 @@ class EntropyEncoder:
             if self.lz77:
                 self._tokenize_lz77(events, tokenized, hists)
             else:
+                cmap_arr = np.asarray(self.cluster_map, dtype=np.int64)
                 for ev in events:
                     if ev[0] == "A":
                         _, ctx, vals = ev
@@ -403,6 +415,23 @@ class EntropyEncoder:
                             # ANS state threading is sequential; expand
                             tokenized.extend(
                                 zip([cl] * len(t), t.tolist(), mb.tolist(),
+                                    md.tolist())
+                            )
+                        continue
+                    if ev[0] == "M":
+                        _, ctxs, vals = ev
+                        cls = cmap_arr[ctxs]
+                        t, mb, md = self._tokenize_array(vals, cfg)
+                        for c in np.unique(cls):
+                            h = hists[int(c)]
+                            binc = np.bincount(t[cls == c])
+                            for tok in np.nonzero(binc)[0]:
+                                h[int(tok)] = h.get(int(tok), 0) + int(binc[tok])
+                        if self.use_prefix:
+                            tokenized.append(("M", cls, t, mb, md))
+                        else:
+                            tokenized.extend(
+                                zip(cls.tolist(), t.tolist(), mb.tolist(),
                                     md.tolist())
                             )
                         continue
@@ -551,6 +580,24 @@ class EntropyEncoder:
         tokenized = self._tokenized_streams[stream]
         if self.use_prefix:
             codes = self._codes
+            lut_cache = {}
+
+            def _luts(maxt):
+                # (num_clusters, maxt+1) length/pattern LUTs; None cw = 0 bits
+                if maxt in lut_cache:
+                    return lut_cache[maxt]
+                lens = np.zeros((self.num_clusters, maxt + 1), np.int64)
+                pats = np.zeros((self.num_clusters, maxt + 1), np.int64)
+                for ci, cw in enumerate(codes):
+                    if cw is None:
+                        continue
+                    for sym, (ln, pat) in cw.items():
+                        if sym <= maxt:
+                            lens[ci, sym] = ln
+                            pats[ci, sym] = pat
+                lut_cache[maxt] = (lens, pats)
+                return lens, pats
+
             for ev in tokenized:
                 if ev[0] == "A":
                     _, cl, t, mb, md = ev
@@ -567,6 +614,15 @@ class EntropyEncoder:
                             pats[sym] = pat
                     cl_ = lens[t]
                     allv = pats[t].astype(np.uint64) | (
+                        md.astype(np.uint64) << cl_.astype(np.uint64)
+                    )
+                    w.u_array(cl_ + mb, allv)
+                    continue
+                if ev[0] == "M":
+                    _, cls, t, mb, md = ev
+                    lens, pats = _luts(int(t.max()) if len(t) else 0)
+                    cl_ = lens[cls, t]
+                    allv = pats[cls, t].astype(np.uint64) | (
                         md.astype(np.uint64) << cl_.astype(np.uint64)
                     )
                     w.u_array(cl_ + mb, allv)

@@ -425,48 +425,64 @@ def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8,
 
 
 def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8, ctxoff=0):
+    """Vectorized HF token emission for one 256x256 group (decoder dual of
+    j40.h:6888-7005): nonzero counts + ordered coefficients, all contexts and
+    the emission mask computed with numpy, interleaved block-major then YXB."""
     order = _effective_order(opt)
     nb_block_ctx = 15
     gw8 = min(w8 - gx8, 32)
     gh8 = min(h8 - gy8, 32)
-    nonzeros = np.zeros((gh8 * gw8, 3), dtype=np.int32)
-    for ly8 in range(gh8):
-        for lx8 in range(gw8):
-            y8, x8 = gy8 + ly8, gx8 + lx8
-            nzpos = ly8 * gw8 + lx8
-            bctx0 = 0  # order_idx=0, qfidx=0, lfidx=0
-            bctxc = 13
-            for c_yxb in range(3):
-                c = YXB2XYB[c_yxb]
-                q = hf_int[c, y8, x8]
-                bctx = DEFAULT_BLKCTX[bctx0 + bctxc * c_yxb]
-                nz_true = int(np.count_nonzero(q[[order[i] for i in range(1, 64)]]))
-                if lx8 > 0:
-                    if ly8 > 0:
-                        pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - gw8][c] + 1) >> 1
-                    else:
-                        pred = nonzeros[nzpos - 1][c]
-                else:
-                    pred = nonzeros[nzpos - gw8][c] if ly8 > 0 else 32
-                nzctx = ctxoff + bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
-                enc.add(nzctx, nz_true, stream)
-                nonzeros[nzpos][c] = nz_true  # qnz == nz for 8x8
-                cctx = ctxoff + 458 * bctx + 37 * nb_block_ctx
-                prev = 1 if nz_true <= 4 else 0  # 1 << (log_size - 4) = 4
-                nz = nz_true
-                i = 1
-                while nz > 0 and i < 64:
-                    ctx = (
-                        cctx
-                        + TWICE_COEFF_NNZ_CTX[nz]
-                        + TWICE_COEFF_FREQ_CTX[i]
-                        + prev
-                    )
-                    v = int(q[order[i]])
-                    enc.add(ctx, pack_signed(v), stream)
-                    prev = 1 if v != 0 else 0
-                    nz -= prev
-                    i += 1
+    nb = gh8 * gw8
+
+    oidx = np.asarray(order[1:64], dtype=np.int64)
+    # (nb, 3, 63) ordered coefficients in YXB channel order
+    Q = hf_int[:, gy8 : gy8 + gh8, gx8 : gx8 + gw8, :]  # (3, gh8, gw8, 64) XYB
+    V = Q.reshape(3, nb, 64)[:, :, oidx][list(YXB2XYB)].transpose(1, 0, 2)
+    V = np.ascontiguousarray(V.astype(np.int64))
+
+    nzmask = V != 0
+    nz_true = nzmask.sum(axis=2)  # (nb, 3)
+
+    # nonzero-count prediction from left/top group neighbors (j40.h:6959)
+    nzg = nz_true.reshape(gh8, gw8, 3)
+    left = np.roll(nzg, 1, axis=1)
+    top = np.roll(nzg, 1, axis=0)
+    pred = np.full_like(nzg, 32)
+    if gw8 > 1:
+        pred[0, 1:] = left[0, 1:]
+    if gh8 > 1:
+        pred[1:, 0] = top[1:, 0]
+    if gw8 > 1 and gh8 > 1:
+        pred[1:, 1:] = (left[1:, 1:] + top[1:, 1:] + 1) >> 1
+    pred = pred.reshape(nb, 3)
+
+    bctx = np.asarray([DEFAULT_BLKCTX[13 * cy] for cy in range(3)], np.int64)  # YXB
+    predctx = np.where(pred < 8, pred, 4 + pred // 2)
+    nzctx = ctxoff + bctx[None, :] + predctx * nb_block_ctx  # (nb, 3)
+
+    # coefficient contexts: remaining-nz before i, freq bucket, prev-nonzero
+    cum_excl = np.cumsum(nzmask, axis=2) - nzmask  # nonzeros strictly before i
+    nzrem = nz_true[:, :, None] - cum_excl  # (nb, 3, 63)
+    valid = nzrem > 0  # exactly the decoder's `while nz > 0` span
+    prev = np.empty((nb, 3, 63), np.int64)
+    prev[:, :, 0] = (nz_true <= 4).astype(np.int64)  # 1 << (log_size - 4) = 4
+    prev[:, :, 1:] = nzmask[:, :, :-1]
+    tw_nnz = np.asarray(TWICE_COEFF_NNZ_CTX, np.int64)
+    tw_freq = np.asarray(TWICE_COEFF_FREQ_CTX, np.int64)
+    cctx = ctxoff + 458 * bctx + 37 * nb_block_ctx  # (3,) per YXB channel
+    ctxs = (
+        cctx[None, :, None]
+        + tw_nnz[np.clip(nzrem, 0, 63)]
+        + tw_freq[np.arange(1, 64)][None, None, :]
+        + prev
+    )
+    vals = np.where(V >= 0, V * 2, -V * 2 - 1)  # pack_signed
+
+    # interleave: per block, per YXB channel: [nz token][coeff tokens...]
+    all_ctx = np.concatenate([nzctx[:, :, None], ctxs], axis=2)
+    all_val = np.concatenate([nz_true[:, :, None], vals], axis=2)
+    all_ok = np.concatenate([np.ones((nb, 3, 1), bool), valid], axis=2)
+    enc.add_arrays(all_ctx[all_ok], all_val[all_ok], stream)
 
 
 # -- raw-coefficient synthesis (differential test vectors) -------------------
