@@ -88,6 +88,46 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     multi-LF-group layout."""
     opt = options or VarDCTOptions()
     h, wd, nc = image.shape
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
+                         num_alpha=0 if nc != 4 else 1, opsin=opt.opsin,
+                         intensity_target=opt.intensity_target)
+    _encode_vardct_frame(w, image, opt)
+    return w.finish()
+
+
+def encode_vardct_animation(
+    frames,
+    options: VarDCTOptions | None = None,
+    tps: tuple[int, int] = (10, 1),
+    num_loops: int = 0,
+) -> bytes:
+    """Animated VarDCT codestream: full-frame REPLACE frames with durations.
+
+    `frames` is a list of (image, duration_ticks); all frames image-sized.
+    (The reference rejects any non-final frame, j40.h:5201.)"""
+    opt = options or VarDCTOptions()
+    imgs = [np.asarray(f[0]) for f in frames]
+    h, wd, nc = imgs[0].shape
+    w = BitWriter()
+    write_signature(w)
+    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
+                         num_alpha=0 if nc != 4 else 1, opsin=opt.opsin,
+                         intensity_target=opt.intensity_target,
+                         animation=(tps[0], tps[1], num_loops))
+    for i, (img, duration) in enumerate(frames):
+        img = np.asarray(img)
+        assert img.shape == (h, wd, nc), "frame shape mismatch"
+        _encode_vardct_frame(w, img, opt, is_last=(i == len(frames) - 1),
+                             duration=int(duration), have_anim=True)
+    return w.finish()
+
+
+def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
+                         opt: VarDCTOptions, *, is_last: bool = True,
+                         duration: int = 0, have_anim: bool = False) -> None:
+    h, wd, nc = image.shape
     alpha = image[:, :, 3] if nc == 4 else None
     if alpha is not None:
         assert h <= 256 and wd <= 256, "VarDCT alpha: single-group only (TODO)"
@@ -141,14 +181,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     # LLF position is not HF-coded
     hf_int[:, :, :, 0] = 0
 
-    # --- assemble bitstream
-    w = BitWriter()
-    write_signature(w)
-    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
-                         num_alpha=0 if alpha is None else 1, opsin=opt.opsin,
-                         intensity_target=opt.intensity_target)
-
-    # frame header (VarDCT)
+    # --- assemble bitstream: frame header (VarDCT)
     w.zero_pad_to_byte()
     w.u(1, 0)  # not all_default
     w.u(2, 0)  # regular
@@ -168,7 +201,13 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w.u(1, 0)  # have_crop
     for _ in range(1 + (0 if alpha is None else 1)):
         w.u32(((0, 0), (1, 0), (2, 0), (3, 2)), 0)  # blend replace
-    w.u(1, 1)  # is_last
+    if have_anim:
+        w.u32(((0, 0), (1, 0), (0, 8), (0, 32)), duration)
+    w.u(1, 1 if is_last else 0)
+    if not is_last:
+        w.u(2, 0)  # save_as_ref
+        if duration == 0:
+            w.u(1, 0)  # save_before_ct (full REPLACE, duration 0)
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
     if opt.custom_restoration:
         _write_custom_restoration(w)
@@ -213,7 +252,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
         w.u32(TOC_U32, len(section))
         w.zero_pad_to_byte()
         w.out.extend(section)
-        return w.finish()
+        return
 
     # multi-group/multi-pass:
     # LfGlobal + per-LF-group + HfGlobal + per-(pass, group) sections
@@ -249,7 +288,6 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     w.zero_pad_to_byte()
     for sct in sections:
         w.out.extend(sct)
-    return w.finish()
 
 
 def _write_custom_restoration(w: BitWriter) -> None:

@@ -194,3 +194,22 @@ def test_add_blend_mode():
     data = encode_animation([(base, 1), (top, 1, (0, 0), "add")])
     _, frames = decode_animation(data)
     np.testing.assert_array_equal(frames[1][1][:, :, :3], 80)
+
+
+def test_vardct_animation():
+    # animated VarDCT frames (full-frame REPLACE); decoder frame loop is
+    # mode-agnostic
+    from j40_tpu.encode.vardct_enc import encode_vardct, encode_vardct_animation
+
+    rng = np.random.default_rng(40)
+    imgs = [
+        (np.cumsum(np.cumsum(rng.integers(-2, 3, (48, 56, 3)), 0), 1) % 200
+         + 20).astype(np.uint8)
+        for _ in range(3)
+    ]
+    data = encode_vardct_animation([(im, 2) for im in imgs])
+    dec, frames = decode_animation(data)
+    assert len(frames) == 3 and all(d == 2 for d, _ in frames)
+    for im, (_, rgba) in zip(imgs, frames):
+        single = decode_file(encode_vardct(im))[1]
+        assert np.abs(rgba.astype(int) - single.astype(int)).max() <= 1
