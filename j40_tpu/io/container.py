@@ -122,3 +122,44 @@ def parse_container(data: bytes) -> Container:
     cont.codestream = b"".join(parts)
     check(cont.codestream[:2] == b"\xff\x0a", "!jxl")
     return cont
+
+
+def _box(type_: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + type_ + payload
+
+
+def wrap_container(
+    codestream: bytes,
+    *,
+    jxlp_parts: int = 0,
+    level: int | None = None,
+    extra_boxes: list[tuple[bytes, bytes]] | None = None,
+) -> bytes:
+    """Wrap a bare codestream in an ISOBMFF container (encoder dual of
+    parse_container; reference read side j40.h:1479-1604).
+
+    jxlp_parts > 0 splits the codestream across that many `jxlp` boxes (the
+    final one with the index top bit CLEAR, matching the reference's
+    final-part convention); otherwise a single `jxlc` box is used."""
+    out = bytearray()
+    out += JXL_BOX
+    out += FTYP_BOX
+    if level is not None:
+        out += _box(b"jxll", bytes([level]))
+    for type_, payload in extra_boxes or []:
+        out += _box(type_, payload)
+    if jxlp_parts <= 1:
+        out += _box(b"jxlc", codestream)
+    else:
+        n = jxlp_parts
+        step = max(1, len(codestream) // n)
+        for i in range(n):
+            part = (
+                codestream[i * step : (i + 1) * step]
+                if i < n - 1
+                else codestream[(n - 1) * step :]
+            )
+            # 4-byte big-endian index; top bit SET on non-final parts
+            idx = i | (0x80000000 if i < n - 1 else 0)
+            out += _box(b"jxlp", struct.pack(">I", idx) + part)
+    return bytes(out)

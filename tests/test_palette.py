@@ -334,3 +334,27 @@ def test_high_bit_depth_32bit_buffers():
     maxv = (1 << 20) - 1
     expect = ((img20.astype(np.int64) * 255 + (1 << 19)) // maxv).astype(np.uint8)
     np.testing.assert_array_equal(rgba[:, :, :3], expect)
+
+
+def test_container_wrapping_vs_dj40(dj40, tmp_path):
+    # jxlc, split jxlp, jxll, and unknown boxes all round-trip through both
+    # decoders (container write side: io/container.py::wrap_container)
+    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.io.container import wrap_container
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    cs = encode_modular(img)
+    for kwargs in (
+        {},
+        {"jxlp_parts": 3},
+        {"level": 5},
+        {"extra_boxes": [(b"Exif", b"\x00" * 32), (b"xml ", b"<x/>")]},
+        {"jxlp_parts": 2, "level": 5, "extra_boxes": [(b"joke", b"hi")]},
+    ):
+        data = wrap_container(cs, **kwargs)
+        ref = _dj40_decode(dj40, data, tmp_path)
+        np.testing.assert_array_equal(ref, img)
+        dec, rgba = decode_file(data)
+        np.testing.assert_array_equal(rgba[:, :, :3], img)
+        assert not dec.container.is_bare
