@@ -599,10 +599,34 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
                                      int64_t range_max) {
   const bool use_prefix = cs.spec->use_prefix;
   const int32_t log_alpha = cs.spec->log_alpha;
+  // register-local bit reader + ANS state: the struct references would
+  // otherwise round-trip through memory every symbol (aliasing with out)
+  Bits b = br;
+  uint32_t ans_state = cs.ans_state;
+  auto restore = [&]() { br = b; cs.ans_state = ans_state; };
   auto decode_px = [&](int64_t pred, int32_t* dst) -> int32_t {
-    int32_t token = use_prefix ? cl.prefix.decode(br)
-                               : ans_code(br, cs, cl, log_alpha);
-    int64_t value = hybrid_int(br, token, cl.cfg);
+    int32_t token;
+    if (use_prefix) {
+      token = cl.prefix.decode(b);
+    } else {
+      uint32_t state = ans_state;
+      if (state == 0) {
+        state = b.u(16);
+        state |= (uint32_t)b.u(16) << 16;
+      }
+      int32_t log_bucket = 12 - log_alpha;
+      int32_t index = (int32_t)(state & 0xfff);
+      int32_t i = index >> log_bucket;
+      int32_t pos = index & ((1 << log_bucket) - 1);
+      const AliasBucket& bk = cl.alias[i];
+      int32_t offset;
+      if (pos < bk.cutoff) { token = i; offset = 0; }
+      else { token = bk.symbol; offset = bk.offset; }
+      state = (uint32_t)cl.D[token] * (state >> 12) + (uint32_t)offset + (uint32_t)pos;
+      if (state < (1u << 16)) state = (state << 16) | b.u(16);
+      ans_state = state;
+    }
+    int64_t value = hybrid_int(b, token, cl.cfg);
     if (value < 0) { cs.error = true; return 3; }
     int64_t uv = (value & 1) ? -((value >> 1) + 1) : (value >> 1);
     int64_t val = uv + pred;
@@ -616,26 +640,29 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
     int32_t r;
     if (PRED == 0) {
       for (int32_t x = 0; x < width; ++x)
-        if ((r = decode_px(0, row + x)) != 0) return r;
+        if ((r = decode_px(0, row + x)) != 0) { restore(); return r; }
     } else if (y == 0) {
       // edge substitution collapses the gradient to W on the first row
       int64_t prev = 0;
       for (int32_t x = 0; x < width; ++x) {
-        if ((r = decode_px(prev, row + x)) != 0) return r;
+        if ((r = decode_px(prev, row + x)) != 0) { restore(); return r; }
         prev = row[x];
       }
     } else {
-      if ((r = decode_px(prow[0], row)) != 0) return r;  // x==0: W=N=NW=N
+      if ((r = decode_px(prow[0], row)) != 0) { restore(); return r; }
       for (int32_t x = 1; x < width; ++x) {
         int64_t w_ = row[x - 1], n_ = prow[x], nw = prow[x - 1];
         int64_t lo = w_ < n_ ? w_ : n_;
         int64_t hi = w_ < n_ ? n_ : w_;
         int64_t g = w_ + n_ - nw;
-        if ((r = decode_px(g < lo ? lo : (g > hi ? hi : g), row + x)) != 0)
+        if ((r = decode_px(g < lo ? lo : (g > hi ? hi : g), row + x)) != 0) {
+          restore();
           return r;
+        }
       }
     }
   }
+  restore();
   return (br.overrun || cs.error) ? 3 : 0;
 }
 
