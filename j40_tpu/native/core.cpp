@@ -821,44 +821,6 @@ J40T_API int32_t j40t_decode_hf_group(
 
   std::vector<int8_t> nonzeros((size_t)gw8 * gh8 * 3, 0);
 
-  // register-local symbol fetch for the (typical) non-LZ77 coefficient
-  // spec; falls back to the generic decoder when LZ77 is enabled
-  const CodeSpec& sp = s->spec;
-  const bool lean = !sp.lz77;
-  Bits lb = s->bits;
-  uint32_t last = s->state.ans_state;
-  auto sync = [&]() {
-    if (lean) { s->bits = lb; s->state.ans_state = last; }
-  };
-  auto sym = [&](int32_t ctx) -> int32_t {
-    if (!lean) return code_one(s->bits, s->state, ctx, 0);
-    const Cluster& cl = sp.clusters[sp.cluster_map[ctx]];
-    int32_t token;
-    if (sp.use_prefix) {
-      token = cl.prefix.decode(lb);
-    } else {
-      uint32_t state = last;
-      if (state == 0) {
-        state = lb.u(16);
-        state |= (uint32_t)lb.u(16) << 16;
-      }
-      int32_t log_bucket = 12 - sp.log_alpha;
-      int32_t index = (int32_t)(state & 0xfff);
-      int32_t i = index >> log_bucket;
-      int32_t pos = index & ((1 << log_bucket) - 1);
-      const AliasBucket& bk = cl.alias[i];
-      int32_t offset;
-      if (pos < bk.cutoff) { token = i; offset = 0; }
-      else { token = bk.symbol; offset = bk.offset; }
-      state = (uint32_t)cl.D[token] * (state >> 12) + (uint32_t)offset + (uint32_t)pos;
-      if (state < (1u << 16)) state = (state << 16) | lb.u(16);
-      last = state;
-    }
-    int64_t value = hybrid_int(lb, token, cl.cfg);
-    if (value < 0) { s->state.error = true; return 0; }
-    return (int32_t)value;
-  };
-
   for (int32_t y8 = 0; y8 < gh8; ++y8) {
     for (int32_t x8 = 0; x8 < gw8; ++x8) {
       int32_t ggx8 = x8 + gx8_in_gg, ggy8 = y8 + gy8_in_gg;
@@ -892,7 +854,7 @@ J40T_API int32_t j40t_decode_hf_group(
           nz = y8 > 0 ? nonzeros[(size_t)(nzpos - gw8) * 3 + c] : 32;
         }
         int32_t nzctx = ctxoff + bctx + (nz < 8 ? nz : 4 + nz / 2) * nb_block_ctx;
-        nz = sym(nzctx);
+        nz = code_one(s->bits, s->state, nzctx, 0);
         if (nz > (63 << (log_size - 6))) return 1;
         int32_t llf = 1 << (log_size - 6);
         int32_t qnz = (nz + llf - 1) >> (log_size - 6);
@@ -904,16 +866,15 @@ J40T_API int32_t j40t_decode_hf_group(
         for (int32_t i = llf; nz > 0 && i < (1 << log_size); ++i) {
           int32_t ctx = cctx + TWICE_NNZ[(nz + llf - 1) >> (log_size - 6)] +
                         TWICE_FREQ[i >> (log_size - 6)] + prev;
-          int32_t ucoeff = sym(ctx);
+          int32_t ucoeff = code_one(s->bits, s->state, ctx, 0);
           int32_t sv = (ucoeff & 1) ? -((ucoeff >> 1) + 1) : (ucoeff >> 1);
           cf[order[i]] += (float)sv;
           prev = ucoeff != 0 ? 1 : 0;
           nz -= prev;
         }
-        if (nz != 0) { sync(); return 1; }
+        if (nz != 0) return 1;
       }
     }
   }
-  sync();
-  return ((lean ? lb.overrun : s->bits.overrun) || s->state.error) ? 3 : 0;
+  return (s->bits.overrun || s->state.error) ? 3 : 0;
 }
