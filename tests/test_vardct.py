@@ -293,3 +293,25 @@ def test_custom_block_contexts(dj40, tmp_path):
     _, rgba = decode_file(cs)
     ref = _dj40(dj40, cs, tmp_path)
     assert np.abs(ref.astype(int) - rgba.astype(int)).max() <= 1
+
+
+def test_quality_knob_monotonic_psnr():
+    # larger HfMul = finer quantization = higher PSNR
+    import numpy as np
+
+    from j40_tpu.decode import decode_file
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(60)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (64, 64, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+
+    def psnr(hf_mul):
+        data = encode_vardct(img, VarDCTOptions(hf_mul=hf_mul))
+        _, rgba = decode_file(data)
+        mse = np.mean((rgba[:, :, :3].astype(float) - img) ** 2)
+        return 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+    p32, p8, p2 = psnr(32), psnr(8), psnr(2)
+    assert p32 >= p8 - 0.1 >= p2 - 0.2
+    assert p8 > 30  # default quality is visually good
