@@ -225,18 +225,38 @@ def _epf_step_jax(
     elementwise kernel (mirror pads are static-shape gathers)."""
     import jax.numpy as jnp
 
+    # half-sample mirror == numpy/jnp "symmetric" padding (ops.filters
+    # _mirror_index for pads <= size, which holds for >=8px planes)
+    rows = jnp.pad(channels, ((0, 0), (3, 3), (0, 0)), mode="symmetric")
+    return _epf_step_jax_rows(rows, channels, rs_px, 0, sigma_scale, kernels,
+                              dist_uses_cross, channel_scale, border_sad_mul)
+
+
+def _epf_step_jax_rows(
+    rows,            # (3, H+6, W): channels with 3 halo rows on each side
+    channels,        # (3, H, W) = rows[:, 3:-3]
+    rs_px,           # (H, W)
+    y0,              # global row index of row 0 (for the 8x8 border mask)
+    sigma_scale: float,
+    kernels,
+    dist_uses_cross: bool,
+    channel_scale,
+    border_sad_mul: float,
+):
+    """EPF pass given pre-exchanged row halos (used by the sharded variant,
+    where the halos ride ppermute instead of a local mirror pad)."""
+    import jax.numpy as jnp
+
     _, H, W = channels.shape
     sigma_scale = jnp.float32(sigma_scale * POS_MULT)
     border_scale = sigma_scale * jnp.float32(border_sad_mul)
 
-    ys = jnp.arange(H)
+    ys = y0 + jnp.arange(H)
     xs = jnp.arange(W)
     border = ((((xs[None, :] + 1) | (ys[:, None] + 1)) & 7) < 2)
     inv_sigma_pos = jnp.where(border, rs_px * border_scale, rs_px * sigma_scale)
 
-    # half-sample mirror == numpy/jnp "symmetric" padding (ops.filters
-    # _mirror_index for pads <= size, which holds for >=8px planes)
-    pad3 = jnp.pad(channels, ((0, 0), (3, 3), (3, 3)), mode="symmetric")
+    pad3 = jnp.pad(rows, ((0, 0), (0, 0), (3, 3)), mode="symmetric")
 
     D = []
     for (k0, k1) in kernels:

@@ -65,3 +65,64 @@ def sharded_gaborish(channels: np.ndarray, weights, mesh: Mesh, axis: str = "row
         step, mesh=mesh, in_specs=P(None, axis, None), out_specs=P(None, axis, None)
     )
     return jax.jit(fn)(jnp.asarray(channels))
+
+
+def sharded_epf(channels: np.ndarray, rs_px: np.ndarray, mesh: Mesh,
+                *, iters: int = 2, channel_scale=(40.0, 5.0, 3.5),
+                border_sad_mul: float = 2.0 / 3.0,
+                p0_scale: float = 0.9, p2_scale: float = 6.5,
+                axis: str = "rows"):
+    """Whole-image EPF row-sharded over a device mesh.
+
+    Each of the up-to-3 steps exchanges 3-row halos with mesh neighbors via
+    `jax.lax.ppermute` before filtering its shard; outer borders use the
+    half-sample mirror like the unsharded path.  `rs_px` is the per-pixel
+    reciprocal-sigma plane (see ops.filters.epf_recip_sigmas, expanded to
+    pixels).  Shard heights must be multiples of 8 so the 8x8 border/sigma
+    blocks stay shard-local."""
+    from .filters import KERNELS4, KERNELS12, _epf_step_jax_rows
+
+    n = mesh.devices.size
+    H = channels.shape[1]
+    assert H % n == 0 and (H // n) % 8 == 0, "shard rows must be 8-aligned"
+    shard_h = H // n
+
+    def exchange(x):
+        # 3-row halos from mesh neighbors; outer shards mirror their own edge
+        idx = jax.lax.axis_index(axis)
+        top_own = x[:, 2::-1, :]      # symmetric mirror of rows 0..2
+        bot_own = x[:, :-4:-1, :]     # symmetric mirror of last 3 rows
+        from_above = jax.lax.ppermute(
+            x[:, -3:, :], axis, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_below = jax.lax.ppermute(
+            x[:, :3, :], axis, [(i + 1, i) for i in range(n - 1)]
+        )
+        top = jnp.where(idx == 0, top_own, from_above)
+        bottom = jnp.where(idx == n - 1, bot_own, from_below)
+        return jnp.concatenate([top, x, bottom], axis=1)
+
+    def step_fn(x, rs):
+        idx = jax.lax.axis_index(axis)
+        y0 = idx * shard_h
+        kw = dict(channel_scale=tuple(channel_scale),
+                  border_sad_mul=border_sad_mul)
+        if iters >= 3:
+            x = _epf_step_jax_rows(exchange(x), x, rs, y0, p0_scale,
+                                   KERNELS12, True, **kw)
+        if iters >= 1:
+            x = _epf_step_jax_rows(exchange(x), x, rs, y0, 1.0,
+                                   KERNELS4, True, **kw)
+        if iters >= 2:
+            x = _epf_step_jax_rows(exchange(x), x, rs, y0, p2_scale,
+                                   KERNELS4, False, **kw)
+        return x
+
+    fn = jax.shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None)),
+        out_specs=P(None, axis, None),
+    )
+    return jax.jit(fn)(
+        jnp.asarray(channels, jnp.float32), jnp.asarray(rs_px, jnp.float32)
+    )

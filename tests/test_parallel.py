@@ -71,3 +71,25 @@ def test_sharded_gaborish_matches_unsharded():
     mesh = Mesh(devices, ("rows",))
     out = np.asarray(sharded_gaborish(img, weights, mesh))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sharded_epf_matches_unsharded():
+    # 3-step whole-image EPF with 3-row ppermute halos == single-device EPF
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.ops.filters import _epf_steps_jit
+    from j40_tpu.ops.sharded_filters import sharded_epf
+
+    rng = np.random.default_rng(45)
+    img = (rng.normal(size=(3, 64, 48)) * 0.1).astype(np.float32)
+    rs = rng.uniform(0.5, 2.5, size=(8, 6)).astype(np.float32)
+    rs[3, 2] = -1.0  # a skipped block
+    rs_px = np.repeat(np.repeat(rs, 8, 0), 8, 1)
+    ref = np.asarray(_epf_steps_jit()(
+        img, rs_px, iters=3, channel_scale=(40.0, 5.0, 3.5),
+        p0_scale=0.9, p2_scale=6.5, border_sad_mul=2 / 3,
+    ))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    out = np.asarray(sharded_epf(img, rs_px, mesh, iters=3))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
