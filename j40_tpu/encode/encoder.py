@@ -15,7 +15,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..mathutil import ceil_div, pack_signed
-from ..modular.decode import _gradient, _predict, _trunc_half_sum
+from ..modular.decode import _predict
 from .bitwriter import BitWriter
 from .entropy import EntropyEncoder
 from .headers import write_image_metadata, write_signature

@@ -13,9 +13,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..entropy.ans import ANS_INIT_STATE, AnsEncoder, DIST_BITS, DIST_SUM, init_alias_map
+from ..entropy.ans import ANS_INIT_STATE, AnsEncoder, DIST_BITS, DIST_SUM
 from ..entropy.hybrid import HybridIntConfig, encode_hybrid_int
-from ..entropy.prefix import L0_LENGTHS, L1_ZIGZAG, PrefixCode, reverse_bits
+from ..entropy.prefix import L0_LENGTHS, L1_ZIGZAG, PrefixCode
 from .bitwriter import BitWriter
 
 

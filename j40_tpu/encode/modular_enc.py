@@ -8,12 +8,10 @@ path differentially against dj40 (trees/WP/RCT) or by self-roundtrip
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
-from ..mathutil import pack_signed, unpack_signed
-from ..modular.decode import _gradient, _predict, ModularImage, Channel
+from ..mathutil import pack_signed
+from ..modular.decode import _gradient, _predict, ModularImage
 from ..modular.tree import TreeNode
 from ..modular.wp import WPParams, WPState
 from .bitwriter import BitWriter

@@ -8,11 +8,11 @@ what makes group decode embarrassingly parallel for the TPU pipeline.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from ..errors import J40Error, check
+from ..errors import check
 from ..io.bits import BitReader
-from .ans import ANS_INIT_STATE, AliasBucket, AnsDecoder, DIST_BITS, DIST_SUM, init_alias_map
+from .ans import AliasBucket, AnsDecoder, DIST_BITS, DIST_SUM, init_alias_map
 from .hybrid import HybridIntConfig, read_hybrid_int, read_hybrid_int_config
 from .prefix import PrefixCode, read_prefix_code
 

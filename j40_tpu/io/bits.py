@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 
-from ..errors import J40Error, ShortInput, check
+from ..errors import ShortInput, check
 
 
 def ceil_lg(x: int) -> int:

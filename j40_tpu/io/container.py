@@ -15,7 +15,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-from ..errors import J40Error, ShortInput, check
+from ..errors import ShortInput, check
 
 JXL_BOX = bytes.fromhex("0000000c4a584c200d0a870a")
 FTYP_BOX = bytes.fromhex("00000014667479706a786c20000000006a786c20")

@@ -17,7 +17,7 @@ from ..errors import J40Error, check
 from ..io.bits import BitReader
 from ..limits import MAIN_LV5, Limits
 from ..mathutil import unpack_signed
-from ..entropy.code import CodeSpec, CodeState, MAX_DIST_MULT, read_code_spec
+from ..entropy.code import CodeSpec, CodeState, MAX_DIST_MULT
 from .tree import NUM_PRED, TreeNode, read_tree
 from .wp import WPParams, WPState
 

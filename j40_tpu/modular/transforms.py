@@ -20,7 +20,6 @@ from .decode import (
     TR_SQUEEZE,
     Transform,
     _predict,
-    _trunc_half_sum,
 )
 from .wp import WPState
 

@@ -9,7 +9,6 @@ that fails, callers fall back to the pure-Python path.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -170,7 +170,7 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
 
         full_dct8 = ds == 0 and n == ggh8 * ggw8
         if full_dct8:
-            from .pallas_kernels import pallas_available, reconstruct_dct8_pallas
+            from .pallas_kernels import pallas_available
 
             if pallas_available() and not getattr(vs.fs, "apply_filters", False):
                 # single-dispatch fused path: dequant+CfL+IDCT (Pallas) + XYB

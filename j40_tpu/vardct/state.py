@@ -8,11 +8,11 @@ the JAX/TPU path in j40_tpu.ops.reconstruct.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..errors import J40Error, Unsupported, check
+from ..errors import check
 from ..io.bits import BitReader, ceil_lg
 from ..mathutil import ceil_div, unpack_signed
 from ..entropy.code import CodeSpec, CodeState, read_cluster_map, read_code_spec
