@@ -102,6 +102,14 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
 
     Matches VarDCTState.dequant_hf + _combine_lf_group (numpy oracle) within
     float tolerance."""
+    dev, ggh, ggw = combine_lf_group_jax_async(vs, gg, im)
+    return np.asarray(dev)[:, :ggh, :ggw].astype(np.int32)
+
+
+def combine_lf_group_jax_async(vs, gg, im):
+    """Dispatch one LF group's reconstruction; returns (device_array, ggh,
+    ggw) WITHOUT fetching — callers with several LF groups dispatch them all
+    so uploads/compute/fetches pipeline through the runtime's async queue."""
     f = vs.fs.f
     ggw, ggh = gg.width, gg.height
     ggw8, ggh8 = gg.width8, gg.height8
@@ -224,7 +232,7 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
                     _cached_device(("pc22",), pconsts),
                     ggh8, ggw8, im.bpp == 8,
                 )
-                return np.asarray(out)[:, :ggh, :ggw].astype(np.int32)
+                return out, ggh, ggw
 
         samples = _class_pipeline(
             jnp.asarray(coeffs), jnp.asarray(llf), jnp.asarray(llf_idx),
@@ -271,4 +279,4 @@ def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
         # clamp on device and fetch uint8: 4x less device->host traffic (the
         # render stage clips to [0, 255] anyway)
         out = jnp.clip(out, 0, 255).astype(jnp.uint8)
-    return np.asarray(out)[:, :ggh, :ggw].astype(np.int32)
+    return out, ggh, ggw

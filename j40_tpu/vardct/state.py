@@ -633,21 +633,29 @@ class VarDCTState:
         gmodular.nb_meta_channels = 0
 
         use_jax = getattr(self.fs, "backend", "numpy") == "jax"
-        for ggidx in sorted(self.lf_groups.keys()):
-            gg = self.lf_groups[ggidx]
-            if use_jax:
-                from ..ops.combine_jax import combine_lf_group_jax
+        if use_jax:
+            # dispatch every LF group first: the runtime's async queue
+            # pipelines uploads/compute/fetches across groups (matters for
+            # >2048px images with several LF groups)
+            from ..ops.combine_jax import combine_lf_group_jax_async
 
-                planes = combine_lf_group_jax(self, gg, im)
+            pending = []
+            for ggidx in sorted(self.lf_groups.keys()):
+                gg = self.lf_groups[ggidx]
+                pending.append((gg, combine_lf_group_jax_async(self, gg, im)))
+            for gg, (dev, ggh, ggw) in pending:
+                planes = np.asarray(dev)[:, :ggh, :ggw].astype(np.int32)
                 for c in range(3):
                     gmodular.channels[c].data[
                         gg.top : gg.top + gg.height, gg.left : gg.left + gg.width
                     ] = np.clip(
                         planes[c], np.iinfo(np.int16).min, np.iinfo(np.int16).max
                     )
-            else:
-                self.dequant_hf(gg)
-                self._combine_lf_group(gg, gmodular)
+            return
+        for ggidx in sorted(self.lf_groups.keys()):
+            gg = self.lf_groups[ggidx]
+            self.dequant_hf(gg)
+            self._combine_lf_group(gg, gmodular)
 
     def _combine_lf_group(self, gg: LfGroup, gmodular) -> None:
         f, im = self.fs.f, self.fs.im
