@@ -315,3 +315,29 @@ def test_quality_knob_monotonic_psnr():
     p32, p8, p2 = psnr(32), psnr(8), psnr(2)
     assert p32 >= p8 - 0.1 >= p2 - 0.2
     assert p8 > 30  # default quality is visually good
+
+
+def test_vardct_ans_coding_vs_dj40(dj40, tmp_path):
+    # ANS (rANS alias) coding for the VarDCT coefficient streams — the
+    # modular suite covers ANS elsewhere; this covers the 495-context
+    # coefficient spec with ANS distributions
+    import subprocess
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from j40_tpu.decode import decode_file
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(61)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (48, 56, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    data = encode_vardct(img, VarDCTOptions(use_prefix=False))
+    jxl = tmp_path / "a.jxl"
+    jxl.write_bytes(data)
+    png = tmp_path / "a.png"
+    r = subprocess.run([str(dj40), str(jxl), str(png)], capture_output=True, text=True)
+    assert r.returncode == 0, f"dj40 failed: {r.stderr}"
+    ref = np.asarray(PILImage.open(png).convert("RGB"))
+    _, rgba = decode_file(data)
+    assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
