@@ -38,10 +38,15 @@ class Decoder:
     """Decodes a JPEG XL codestream (Modular and VarDCT frames)."""
 
     def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy",
-                 apply_filters: bool = False, workers: int = 1):
+                 apply_filters: bool = False, workers: int = 1,
+                 max_passes: int | None = None):
         self.backend = backend
         self.apply_filters = apply_filters
         self.workers = workers
+        #: progressive decode: only the first `max_passes` passes of each
+        #: frame are decoded (coarser but complete image; the TOC's per-pass
+        #: sections make the rest skippable — spec §9.4)
+        self.max_passes = max_passes
         #: per-stage wall times and stream facts, filled by decode_frame
         self.stats: dict = {}
         self.container = parse_container(data)
@@ -90,6 +95,11 @@ class Decoder:
         state.backend = self.backend
         state.apply_filters = self.apply_filters
 
+        npasses = (
+            f.num_passes
+            if self.max_passes is None
+            else min(self.max_passes, f.num_passes)
+        )
         if toc.single_size:
             # everything decoded inline from the main reader (j40.h:8194-8200)
             state.lf_global(r)
@@ -110,7 +120,7 @@ class Decoder:
                     self._section_reader(toc.hf_global_codeoff, toc.hf_global_size)
                 )
             lf_sections = [s for s in toc.sections if s.pass_ < 0]
-            pg_sections = [s for s in toc.sections if s.pass_ >= 0]
+            pg_sections = [s for s in toc.sections if 0 <= s.pass_ < npasses]
             for s in lf_sections:
                 sr = self._section_reader(s.codeoff, s.size)
                 state.lf_group(sr, s.idx)

@@ -341,3 +341,33 @@ def test_vardct_ans_coding_vs_dj40(dj40, tmp_path):
     ref = np.asarray(PILImage.open(png).convert("RGB"))
     _, rgba = decode_file(data)
     assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_progressive_partial_decode():
+    # decoding only pass 1 of a 2-pass stream == decoding the coarse
+    # coefficients alone (the TOC's per-pass sections are skippable)
+    import numpy as np
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(62)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (64, 72, 3)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    data = encode_vardct(img, VarDCTOptions(num_passes=2))
+
+    full = Decoder(data)
+    full.decode_frame()
+    rgba_full = full.render_rgba8()
+
+    part = Decoder(data, max_passes=1)
+    part.decode_frame()
+    rgba_part = part.render_rgba8()
+
+    # partial decode is a valid coarser image: differs from the full decode
+    # but is close to it (pass 2 carries only |q|<=1 refinements)
+    assert not np.array_equal(rgba_part, rgba_full)
+    diff = np.abs(rgba_part[:, :, :3].astype(float) - rgba_full[:, :, :3])
+    assert diff.mean() < 8.0
+    mse = np.mean((rgba_part[:, :, :3].astype(float) - img) ** 2)
+    assert 10 * np.log10(255.0 ** 2 / mse) > 25  # still a good preview
