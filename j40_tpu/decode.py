@@ -328,7 +328,8 @@ class Decoder:
             return apply_orientation(out, int(im.orientation))
 
         out = np.empty((h, w, 4), dtype=np.uint8)
-        for i in range(4):
+
+        def _one(i):
             src = planes[i] if i < 3 else alpha
             if src is None:
                 out[:, :, i] = 255
@@ -338,6 +339,17 @@ class Decoder:
             else:
                 p = np.clip(src, 0, maxpixel).astype(np.int64)
                 out[:, :, i] = ((p * 255 + half) // maxpixel).astype(np.uint8)
+
+        if self.workers > 1:
+            # numpy releases the GIL on large array ops; channels are
+            # independent writes into disjoint slices
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(4) as ex:
+                list(ex.map(_one, range(4)))
+        else:
+            for i in range(4):
+                _one(i)
         # EXIF-style orientation (the reference parses but never applies it,
         # j40.h:3152; we honor it like libjxl's default un-orientation)
         return apply_orientation(out, int(im.orientation))
