@@ -84,6 +84,7 @@ class Image:
         self._format_set = False
         self._dec = None
         self._frames_emitted = 0
+        self._ckpt = None  # (bit offset of next frame, ref_frames) snapshot
 
     # -- constructors (j40_from_file / j40_from_memory) -------------------
 
@@ -127,8 +128,9 @@ class Image:
         """Decode the next frame; False on error (check .error).
 
         A 'shrt' error means more input is needed: push() and retry, matching
-        the reference's resumable coroutine semantics (re-entry is from the
-        start here; section-level checkpointing is an optimization TODO).
+        the reference's resumable coroutine semantics.  Re-entry resumes at
+        the last completed frame boundary via a saved checkpoint (bit offset
+        + reference-frame slots); only the interrupted frame is re-decoded.
         """
         if self._err is not None and self._err != "shrt":
             return False
@@ -137,8 +139,15 @@ class Image:
         try:
             if self._dec is None:
                 self._dec = Decoder(bytes(self._buf), backend=self._backend)
-                for _ in range(self._frames_emitted):  # replay after push()
-                    self._dec.decode_frame()
+                if self._frames_emitted and self._ckpt is not None:
+                    # checkpoint resume (the reference's buffer-checkpoint
+                    # analog, j40.h:1662): the codestream prefix is immutable,
+                    # so re-enter at the saved frame boundary instead of
+                    # re-decoding already-emitted frames
+                    off, refs, done = self._ckpt
+                    self._dec.r.seek_bits(off)
+                    self._dec.ref_frames = refs
+                    self._dec.done = done
             if self._dec.done:
                 return False  # no more frames; error stays clear
             fr = self._dec.decode_frame()
@@ -154,6 +163,8 @@ class Image:
             return False
         self._err = None
         self._frames_emitted += 1
+        self._ckpt = (self._dec.r.bits_consumed, list(self._dec.ref_frames),
+                      self._dec.done)
         self._frame = Frame(rgba, duration=fr.header.duration)
         return True
 

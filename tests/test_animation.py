@@ -213,3 +213,29 @@ def test_vardct_animation():
     for im, (_, rgba) in zip(imgs, frames):
         single = decode_file(encode_vardct(im))[1]
         assert np.abs(rgba.astype(int) - single.astype(int)).max() <= 1
+
+
+def test_streaming_checkpoint_resume_skips_decoded_frames():
+    # after push(), already-emitted frames are not re-decoded: the decoder
+    # re-enters at the saved frame boundary (buffer-checkpoint analog)
+    from j40_tpu.api import Image
+    import j40_tpu.decode as jd
+
+    a, b, c = _img(60), _img(61), _img(62)
+    data = encode_animation([(a, 1), (b, 1), (c, 1)])
+    # cut inside frame 3
+    cut = len(data) - 40
+    im = Image.from_memory(data[:cut])
+    assert im.next_frame() and im.next_frame()
+    assert not im.next_frame() and im.error == "shrt"
+
+    calls = []
+    orig = jd.Decoder.decode_frame
+    jd.Decoder.decode_frame = lambda self: calls.append(1) or orig(self)
+    try:
+        im.push(data[cut:])
+        assert im.next_frame()
+    finally:
+        jd.Decoder.decode_frame = orig
+    assert len(calls) == 1  # only the new frame was decoded
+    np.testing.assert_array_equal(im.current_frame().pixels_u8x4()[:, :, :3], c)
