@@ -130,7 +130,7 @@ def _write_modular_stream(
 
 @dataclass
 class EncodeOptions:
-    predictor: int = 5  # gradient
+    predictor: int = 5  # gradient; NOT 6 (WP needs the advanced encoder)
     use_prefix: bool = True  # prefix vs ANS coding
     group_size_shift: int = 8
     permute_toc: bool = False  # exercise the TOC permutation path
@@ -156,6 +156,7 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     `extra_channels` is a list of (declaration dict, (h, w) plane) pairs for
     explicitly-declared channels (depth, spot colour, named alpha, ...)."""
     opt = options or EncodeOptions()
+    assert opt.predictor != 6, "weighted predictor needs encode_modular_advanced"
     assert image.ndim == 3 and image.shape[2] in (1, 2, 3, 4), "need (h,w,1..4)"
     h, wd, nc = image.shape
     grayscale = nc <= 2

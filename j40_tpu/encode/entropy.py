@@ -461,18 +461,23 @@ class EntropyEncoder:
         # raw token 0 decodes to distance dist_mult when dist_mult != 0
         # (one image row for modular streams, j40.h:2834-2851)
         vdist = self.dist_mult
+        # cap per-emission run length so the length token stays inside the
+        # ANS alphabet (lz_min_symbol 224 + token < 256); longer runs simply
+        # emit as consecutive copy pairs.  token<=31 covers lengths < 2^12.
+        MAXRUN = (1 << 11) + self.lz_min_length - 1
         i = 0
         n = len(events)
         while i < n:
             ctx, value = events[i]
             run = 0
             if i > 0 and events[i - 1][1] == value:
-                while i + run < n and events[i + run][1] == value:
+                while i + run < n and run < MAXRUN and events[i + run][1] == value:
                     run += 1
             vrun = 0
             if vdist and i >= vdist:
                 while (
                     i + vrun < n
+                    and vrun < MAXRUN
                     and events[i + vrun][1] == events[i + vrun - vdist][1]
                 ):
                     vrun += 1

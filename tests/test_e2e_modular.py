@@ -195,3 +195,14 @@ def test_grayscale_with_alpha():
     _, rgba = decode_file(cs)
     np.testing.assert_array_equal(rgba[:, :, 0], g[:, :, 0])
     np.testing.assert_array_equal(rgba[:, :, 3], g[:, :, 1])
+
+
+def test_lz77_long_runs_ans(dj40, tmp_path):
+    # runs longer than the ANS alphabet's token range must split into
+    # multiple copy pairs (regression: length token 224+lt overflowed the
+    # 256-entry ANS table on large uniform images)
+    img = np.full((180, 190, 3), 77, np.uint8)
+    img[90:, :] = 200
+    for use_prefix in (False, True):
+        opt = EncodeOptions(use_prefix=use_prefix, lz77=True, predictor=0)
+        _roundtrip(dj40, tmp_path, img, opt)
