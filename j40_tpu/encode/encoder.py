@@ -283,10 +283,16 @@ def _write_modular_frame_header(
     # restoration extensions are NOT read when restoration_all_default is set
     if opt.frame_extension_bits:
         # extensions bitmask + per-extension payload length, then the payload
-        # bits the decoder must skip (read side: image.py:181-187)
+        # bits the decoder must skip (read side: image.py:181-187).
+        # NOTE: the reference's j40__skip (j40.h:1895-1901) double-skips when
+        # its bit accumulator already holds >= n bits (the byte-skip half is
+        # not in the else branch); payloads of >= 64 bits always take the
+        # correct path since the accumulator holds at most 63, so we round
+        # the payload up to stay decodable by dj40.
+        nbits = max(64, opt.frame_extension_bits)
         w.u64(1)
-        w.u64(opt.frame_extension_bits)
-        for _ in range(opt.frame_extension_bits):
+        w.u64(nbits)
+        for _ in range(nbits):
             w.u(1, 0)
     else:
         w.u64(0)  # extensions (frame header)

@@ -556,8 +556,18 @@ class EntropyEncoder:
                 freqs = [hists[cl].get(t, 0) for t in range(count)]
                 lengths = huffman_lengths(freqs, 15)
                 write_prefix_code_header(w, lengths, count)
-                pc = PrefixCode.from_lengths(lengths) if sum(
-                    1 for x in lengths if x) > 1 else PrefixCode(
+                # derive the emission codewords by reading the header back —
+                # guarantees the patterns match the decoder's table exactly
+                # (simple flat-4 codes are NOT canonical, prefix.py:~115)
+                if sum(1 for x in lengths if x) > 1:
+                    from ..io.bits import BitReader
+                    from ..entropy.prefix import read_prefix_code
+
+                    hw = BitWriter()
+                    write_prefix_code_header(hw, lengths, count)
+                    pc = read_prefix_code(BitReader(hw.finish()), count)
+                else:
+                    pc = PrefixCode(
                         max_len=0, by_len=[],
                         single_symbol=next((s for s, x in enumerate(lengths) if x), 0))
                 codes.append(prefix_codewords(pc) if pc.single_symbol is None else None)

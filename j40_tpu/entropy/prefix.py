@@ -120,6 +120,13 @@ def read_prefix_code(r: BitReader, alphabet_size: int) -> PrefixCode:
             lengths[s] = l
         if nsym == 1:
             return PrefixCode(max_len=0, by_len=[], single_symbol=syms[0])
+        if key == 4:
+            # flat 4-symbol code: the reference assigns sorted symbol i the
+            # LSB-first pattern i (j40.h:2091 NSYM=4 template), which is NOT
+            # the canonical bit-reversed assignment
+            ssyms = sorted(syms)
+            return PrefixCode(max_len=2,
+                              by_len=[{}, {}, {i: ssyms[i] for i in range(4)}])
         return PrefixCode.from_lengths(lengths)
 
     # complex code: layer-1 lengths via the fixed layer-0 code, zigzag order

@@ -183,6 +183,10 @@ def read_customxy(r: BitReader) -> tuple[float, float]:
 
 
 def read_extensions(r: BitReader) -> None:
+    """Skip extension payloads (j40.h:3088-3102).  NOTE: the reference's
+    j40__skip double-skips payloads of < 64 bits whenever its accumulator
+    already holds the whole payload (j40.h:1895-1901 falls through to the
+    byte-skip); we skip exactly per spec."""
     extensions = r.u64()
     nbits = 0
     for i in range(64):

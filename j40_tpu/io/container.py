@@ -140,7 +140,14 @@ def wrap_container(
 
     jxlp_parts > 0 splits the codestream across that many `jxlp` boxes (the
     final one with the index top bit CLEAR, matching the reference's
-    final-part convention); otherwise a single `jxlc` box is used."""
+    final-part convention); otherwise a single `jxlc` box is used.
+
+    NOTE: the reference decoder can fail ("shrt") on permuted-TOC streams
+    split across jxlp parts — its incremental codeoff->fileoff map cannot
+    always seek out-of-order sections across box boundaries (the
+    "TODO honor containers" at j40.h:1905; whether it fails depends on where
+    the part boundaries land).  Our contiguous-codestream design decodes
+    these fine."""
     out = bytearray()
     out += JXL_BOX
     out += FTYP_BOX

@@ -106,22 +106,24 @@ def serialize_spec(spec: CodeSpec) -> np.ndarray | None:
     for cl in spec.clusters:
         out += [cl.config.split_exp, cl.config.msb_in_token, cl.config.lsb_in_token]
         if spec.use_prefix_code:
+            # entries are len | (LSB-first pattern << 4): simple flat-4 codes
+            # are not canonical, so exact patterns must travel with the spec
             pc = cl.prefix
             if pc.single_symbol is not None:
                 alpha = pc.single_symbol + 1
-                lengths = [0] * alpha
-                lengths[pc.single_symbol] = 1
+                entries = [0] * alpha
+                entries[pc.single_symbol] = 1
                 if alpha == 1:
-                    lengths = [1]
+                    entries = [1]
             else:
-                lengths_map = {}
+                emap = {}
                 for l in range(1, pc.max_len + 1):
-                    for _, sym in pc.by_len[l].items():
-                        lengths_map[sym] = l
-                alpha = max(lengths_map) + 1
-                lengths = [lengths_map.get(s, 0) for s in range(alpha)]
+                    for pat, sym in pc.by_len[l].items():
+                        emap[sym] = l | (pat << 4)
+                alpha = max(emap) + 1
+                entries = [emap.get(s, 0) for s in range(alpha)]
             out.append(alpha)
-            out += lengths
+            out += entries
         else:
             out += list(cl.D)
     return np.asarray(out, dtype=np.int32)

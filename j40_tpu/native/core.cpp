@@ -121,8 +121,13 @@ static uint32_t rev_bits(uint32_t code, int32_t len) {
   return out;
 }
 
-// build from per-symbol lengths; returns false on invalid code
-static bool build_prefix(const int32_t* lengths, int32_t n, PrefixTable* out) {
+// build from per-symbol entries (len | LSB-first pattern << 4); returns
+// false on invalid code.  Patterns travel explicitly because simple flat-4
+// codes are not canonical (j40.h:2091).
+static bool build_prefix(const int32_t* entries, int32_t n, PrefixTable* out) {
+  std::vector<int32_t> lengths_v((size_t)n);
+  for (int32_t i = 0; i < n; ++i) lengths_v[(size_t)i] = entries[i] & 15;
+  const int32_t* lengths = lengths_v.data();
   int32_t max_len = 0, nonzero = 0, only = -1;
   for (int32_t i = 0; i < n; ++i) {
     if (lengths[i] > 0) { ++nonzero; only = i; if (lengths[i] > max_len) max_len = lengths[i]; }
@@ -172,7 +177,8 @@ static bool build_prefix(const int32_t* lengths, int32_t n, PrefixTable* out) {
     if (!len) continue;
     int32_t start = starts[len];
     starts[len] += (1 << max_len) >> len;
-    uint32_t code = rev_bits((uint32_t)start >> (max_len - len), len);
+    uint32_t code = (uint32_t)(entries[i] >> 4);
+    (void)start;
     if (len <= fast_len) {
       for (int32_t c = (int32_t)code; c < (1 << fast_len); c += 1 << len)
         out->table[c] = (i << 16) | len;
@@ -372,7 +378,7 @@ static int32_t code_one(Bits& br, CodeState& cs, int32_t ctx, int32_t dist_mult)
 // [0] use_prefix [1] lz77 [2] min_symbol [3] min_length
 // [4..6] lz_cfg  [7] num_dist [8] num_clusters [9] log_alpha
 // [10..10+num_dist) cluster_map
-// per cluster: [3] cfg; if prefix: [1] alphabet_size, [alphabet] lengths
+// per cluster: [3] cfg; if prefix: [1] alphabet_size, [alphabet] len|pat<<4
 //              else: [1<<log_alpha] D
 static bool parse_spec(const int32_t* blob, int64_t blob_len, CodeSpec* out) {
   int64_t i = 0;

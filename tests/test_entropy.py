@@ -52,7 +52,11 @@ def test_huffman_length_limited():
 def _roundtrip_prefix(lengths, alphabet_size, symbols):
     w = BitWriter()
     write_prefix_code_header(w, lengths, alphabet_size)
-    pc = PrefixCode.from_lengths(lengths)
+    # derive codewords from the header itself (simple flat-4 codes are not
+    # canonical — reference j40.h:2091 template)
+    hw = BitWriter()
+    write_prefix_code_header(hw, lengths, alphabet_size)
+    pc = read_prefix_code(BitReader(hw.finish()), alphabet_size)
     cw = prefix_codewords(pc)
     for s in symbols:
         l, pat = cw[s]
@@ -236,3 +240,14 @@ def test_code_large_values():
     events = [(0, v) for v in [0, 1, 1 << 10, 1 << 20, (1 << 29)]]
     assert _roundtrip_code(1, True, events) == [v for _, v in events]
     assert _roundtrip_code(1, False, events) == [v for _, v in events]
+
+
+def test_simple_flat4_code_vs_dj40_mapping():
+    # the reference maps sorted symbol i of a flat 4-symbol simple code to
+    # LSB-first pattern i (j40.h:2091), NOT the canonical reversed order;
+    # regression for an ICC stream dj40 rejected with pad0
+    w = BitWriter()
+    write_prefix_code_header(w, [0, 0, 0, 2, 2, 0, 2, 2], 8)
+    r = BitReader(w.finish())
+    pc = read_prefix_code(r, 8)
+    assert pc.by_len[2] == {0: 3, 1: 4, 2: 6, 3: 7}

@@ -358,3 +358,48 @@ def test_container_wrapping_vs_dj40(dj40, tmp_path):
         dec, rgba = decode_file(data)
         np.testing.assert_array_equal(rgba[:, :, :3], img)
         assert not dec.container.is_bare
+
+
+def test_permuted_toc_across_jxlp_parts(dj40, tmp_path):
+    # documents a reference limitation: dj40 cannot seek a permuted TOC
+    # across >= 3 jxlp parts (j40.h:1905 "TODO honor containers"); our
+    # contiguous-codestream container design decodes these
+    import subprocess
+
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+    from j40_tpu.io.container import wrap_container
+
+    # this specific stream/part-count combination makes dj40 fail (whether it
+    # does depends on where the part boundaries land relative to the permuted
+    # section offsets)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 1 << 12, (127, 183, 3)).astype(np.int32)
+    cs = encode_modular(img, bpp=12, options=EncodeOptions(group_size_shift=7,
+                                                           permute_toc=True))
+    ok2 = wrap_container(cs, jxlp_parts=2)
+    ref = _dj40_decode(dj40, ok2, tmp_path)
+    maxv = (1 << 12) - 1
+    expect = ((img.astype(np.int64) * 255 + (1 << 11)) // maxv).astype(np.uint8)
+    np.testing.assert_array_equal(ref, expect)
+
+    broken3 = wrap_container(cs, jxlp_parts=3)
+    jxl = tmp_path / "p3.jxl"
+    jxl.write_bytes(broken3)
+    r = subprocess.run([str(dj40), str(jxl), str(tmp_path / "p3.png")],
+                       capture_output=True, text=True)
+    assert r.returncode != 0  # the reference cannot
+    _, rgba = decode_file(broken3)  # we can
+    np.testing.assert_array_equal(rgba[:, :, :3], expect)
+
+
+def test_alpha_high_bpp_beyond_reference():
+    # dj40 TODO-rejects alpha with bpp > 8; we decode it
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 1 << 12, (20, 24, 4)).astype(np.int32)
+    data = encode_modular(img, bpp=12)
+    dec, rgba = decode_file(data)
+    maxv = (1 << 12) - 1
+    expect = ((img.astype(np.int64) * 255 + (1 << 11)) // maxv).astype(np.uint8)
+    np.testing.assert_array_equal(rgba, expect)

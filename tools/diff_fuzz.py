@@ -15,6 +15,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
+_INV_ORIENT = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
 DJ40 = Path("/tmp/j40ref/dj40")
 
 
@@ -55,6 +57,8 @@ def main(budget_s: float) -> int:
     from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
     from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
 
+    from j40_tpu.io.container import wrap_container
+
     rng = np.random.default_rng(int(os.environ.get("SEED", time.time_ns() % 2**31)))
     t_end = time.time() + budget_s
     it = bad = 0
@@ -62,6 +66,8 @@ def main(budget_s: float) -> int:
     while time.time() < t_end:
         img = random_image(rng)
         mode = int(rng.integers(0, 3))
+        orient = 1
+        cfg_desc = ""
         try:
             if mode == 0:
                 opt = EncodeOptions(
@@ -71,17 +77,45 @@ def main(budget_s: float) -> int:
                     group_size_shift=int(rng.integers(7, 9)),
                     permute_toc=bool(rng.integers(0, 2)),
                     lz77=bool(rng.integers(0, 2)),
+                    frame_extension_bits=int(rng.choice([0, 0, 0, 77])),
                 )
-                data = encode_modular(img, options=opt,
-                                      orientation=int(rng.integers(1, 9)))
+                nc = int(rng.choice([3, 3, 3, 4]))  # dj40 rejects grayscale
+                if nc == 4:
+                    img = np.dstack([img, rng.integers(0, 256, img.shape[:2],
+                                                       dtype=np.uint8)])
+                elif nc == 1:
+                    img = img[:, :, :1]
+                bpp = (int(rng.choice([8, 8, 8, 10, 12, 15]))
+                       if nc == 3 else 8)  # dj40 TODO: alpha needs bpp 8
+                if bpp > 8:
+                    img = (img.astype(np.int32) << (bpp - 8)).astype(np.int32)
+                icc = (bytes(rng.integers(0, 256, int(rng.integers(1, 400)),
+                                          dtype=np.uint8))
+                       if rng.integers(0, 4) == 0 else None)
+                orient = int(rng.integers(1, 9))
+                cfg_desc = f"nc={nc} bpp={bpp} icc={icc is not None} o={orient} {opt}"
+                data = encode_modular(img, bpp=bpp, options=opt,
+                                      orientation=orient, icc=icc)
+                if rng.integers(0, 4) == 0:
+                    # dj40's container seek breaks on permuted TOCs split
+                    # into jxlp parts (boundary-position dependent) — only
+                    # wrap unpermuted streams for the differential
+                    maxp = 1 if opt.permute_toc else 4
+                    data = wrap_container(
+                        data, jxlp_parts=int(rng.integers(0, maxp)),
+                        level=5 if rng.integers(0, 2) else None)
                 exact = True
             elif mode == 1:
                 opt = AdvancedOptions(
                     use_prefix=bool(rng.integers(0, 2)),
                     rct_type=(int(rng.integers(0, 42))
                               if rng.integers(0, 2) else None),
+                    squeeze=bool(rng.integers(0, 2)) and False,  # dj40 rejects
                     palette=False,
                 )
+                if rng.integers(0, 3) == 0 and opt.rct_type is None:
+                    opt.palette = True
+                    opt.max_colours = 1 << 14
                 data = encode_modular_advanced(img, options=opt)
                 exact = True
             else:
@@ -92,6 +126,10 @@ def main(budget_s: float) -> int:
                     custom_order=bool(rng.integers(0, 2)),
                     custom_dq=bool(rng.integers(0, 2)),
                     num_hf_presets=int(rng.integers(1, 4)),
+                    sharpness=int(rng.integers(0, 8)),
+                    custom_restoration=bool(rng.integers(0, 4) == 0),
+                    m_lf_scaled=((1 / 2048.0, 1 / 512.0, 1 / 128.0)
+                                 if rng.integers(0, 4) == 0 else None),
                 )
                 data = encode_vardct(img, opt)
                 exact = False
@@ -99,23 +137,20 @@ def main(budget_s: float) -> int:
             continue  # unsupported combination for this size
         ref, err = dj40_decode(data, tmp)
         if ref is None:
-            print(f"iter {it}: dj40 REJECTED mode={mode}: {err}")
+            print(f"iter {it}: dj40 REJECTED mode={mode}: {err} cfg={cfg_desc}")
+            Path(f"/tmp/difffuzz_fail_{it}.jxl").write_bytes(data)
             bad += 1
             it += 1
             continue
+        from j40_tpu.decode import apply_orientation
+
         _, rgba = decode_file(data)
         ours = rgba[:, :, :3]
+        if mode == 0 and orient != 1:
+            # dj40 ignores orientation: undo ours before comparing
+            ours = apply_orientation(ours, _INV_ORIENT[orient])
         if exact:
-            # dj40 ignores orientation; compare against our pre-orientation
-            if ours.shape != ref.shape or not np.array_equal(
-                np.sort(ours.ravel()), np.sort(ref.ravel())
-            ) if False else False:
-                pass
             diff_ok = (ours.shape == ref.shape and np.array_equal(ours, ref))
-            if not diff_ok and mode == 0:
-                # orientation != 1: dj40 output is unoriented; accept if our
-                # unoriented decode matches (check via multiset as a fallback)
-                diff_ok = np.array_equal(np.sort(ours.ravel()), np.sort(ref.ravel()))
             if not diff_ok:
                 print(f"iter {it}: MISMATCH mode={mode} shape={img.shape}")
                 bad += 1
