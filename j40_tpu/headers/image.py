@@ -227,7 +227,12 @@ def read_image_metadata(r: BitReader, limits: Limits = MAIN_LV5) -> ImageMetadat
             if r.u(1):  # d_alpha: default alpha channel
                 pass
             else:
-                ec.type = ECType(r.enum())
+                t = r.enum()
+                # unknown types are a decode error, not a crash (j40.h:3206)
+                try:
+                    ec.type = ECType(t)
+                except ValueError:
+                    check(False, "ect?", f"unknown extra channel type {t}")
                 ec.bpp, ec.exp_bits = read_bit_depth(r)
                 ec.dim_shift = r.u32(0, 0, 3, 0, 4, 0, 1, 3)
                 ec.name = read_name(r)

@@ -63,7 +63,12 @@ def main(budget_s: float = 60.0) -> int:
         except J40Error:
             pass
         except Exception as e:  # noqa: BLE001 - escaped exception = finding
+            import traceback
+
             print(f"ESCAPED at iter {it}: {type(e).__name__}: {e}")
+            traceback.print_exc()
+            with open(f"/tmp/fuzz_escape_{it}.bin", "wb") as fh:
+                fh.write(bytes(b2))
             bad += 1
         it += 1
     print(f"{it} iterations, {bad} escapes")
