@@ -202,6 +202,8 @@ class Decoder:
         def _frame_alpha(bi):
             """Normalized frame alpha sub-rect for alpha-weighted modes."""
             aci = ncolor + bi.alpha_chan
+            check(aci < gm.num_channels, "blnd",
+                  "blend alpha channel out of range")
             a = gm.channels[aci].data[sy0 : sy0 + h, sx0 : sx0 + w]
             a = a.astype(np.float64) / maxval
             return np.clip(a, 0.0, 1.0) if bi.clamp else a
