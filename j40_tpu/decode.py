@@ -39,7 +39,7 @@ class Decoder:
 
     def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy",
                  apply_filters: bool = False, workers: int = 1,
-                 max_passes: int | None = None):
+                 max_passes: int | None = None, render_spot: bool = False):
         self.backend = backend
         self.apply_filters = apply_filters
         self.workers = workers
@@ -47,6 +47,9 @@ class Decoder:
         #: frame are decoded (coarser but complete image; the TOC's per-pass
         #: sections make the rest skippable — spec §9.4)
         self.max_passes = max_passes
+        #: opt-in spot-colour compositing at render (the reference ignores
+        #: spot channels; keeping the default off preserves render parity)
+        self.render_spot = render_spot
         #: per-stage wall times and stream facts, filled by decode_frame
         self.stats: dict = {}
         self.container = parse_container(data)
@@ -288,11 +291,25 @@ class Decoder:
         ncolor = self._ncolor()
         planes = [canvas[min(i, ncolor - 1)] for i in range(3)]
         alpha = None
+        spots = []  # (ec, plane)
         for i in range(ncolor, len(canvas)):
             ec = im.ec_info[i - ncolor]
-            if ec.type == 0:  # alpha
+            if ec.type == 0 and alpha is None:  # alpha
                 alpha = canvas[i]
-                break
+            elif ec.type == 2:  # spot colour
+                spots.append((ec, canvas[i]))
+
+        if spots and self.render_spot and not f.header.do_ycbcr:
+            # render spot colours (the reference ignores them): mix the spot
+            # RGB over the color planes weighted by solidity x channel value
+            # (libjxl-style "over"); values here are integer samples
+            planes = [p.astype(np.float64) for p in planes]
+            for ec, sp in spots:
+                r_, g_, b_, solidity = ec.spot
+                mix = np.clip(sp.astype(np.float64) / maxpixel, 0.0, 1.0) * solidity
+                for ci, comp in enumerate((r_, g_, b_)):
+                    planes[ci] = (comp * maxpixel) * mix + planes[ci] * (1.0 - mix)
+            planes = [np.round(p).astype(np.int64) for p in planes]
 
         if f.header.do_ycbcr:
             # YCbCr frames (the reference parses do_ycbcr but refuses to

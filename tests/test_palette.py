@@ -403,3 +403,27 @@ def test_alpha_high_bpp_beyond_reference():
     maxv = (1 << 12) - 1
     expect = ((img.astype(np.int64) * 255 + (1 << 11)) // maxv).astype(np.uint8)
     np.testing.assert_array_equal(rgba, expect)
+
+
+def test_spot_colour_rendering():
+    # opt-in spot colour compositing: channels mix over the color planes
+    # weighted by solidity x value (default off = dj40 render parity)
+    from j40_tpu.encode.encoder import encode_modular
+
+    img = np.full((8, 8, 3), 100, np.uint8)
+    spot = np.zeros((8, 8), np.uint8)
+    spot[2:6, 2:6] = 255  # full-strength square
+    from j40_tpu.decode import Decoder
+
+    data = encode_modular(img, extra_channels=[
+        ({"type": 2, "spot": (1.0, 0.0, 0.0, 0.5)}, spot),
+    ])
+    dec = Decoder(data, render_spot=True)
+    dec.decode_frame()
+    rgba = dec.render_rgba8()
+    # outside the square: untouched
+    assert (rgba[0, 0, :3] == [100, 100, 100]).all()
+    # inside: 50% mix toward pure red (solidity 0.5 at value 1.0)
+    px = rgba[3, 3, :3].astype(float)
+    assert abs(px[0] - (255 * 0.5 + 100 * 0.5)) <= 1
+    assert abs(px[1] - 50) <= 1 and abs(px[2] - 50) <= 1
