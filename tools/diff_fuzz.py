@@ -154,6 +154,16 @@ def main(budget_s: float) -> int:
             if not diff_ok:
                 print(f"iter {it}: MISMATCH mode={mode} shape={img.shape}")
                 bad += 1
+            # second differential: native C++ core vs pure-Python oracle
+            if it % 7 == 0:
+                os.environ["J40T_NATIVE"] = "0"
+                try:
+                    _, rgba_py = decode_file(data)
+                finally:
+                    os.environ.pop("J40T_NATIVE", None)
+                if not np.array_equal(rgba_py, rgba):
+                    print(f"iter {it}: NATIVE!=PYTHON mode={mode}")
+                    bad += 1
         else:
             if ours.shape != ref.shape or np.abs(
                 ours.astype(int) - ref.astype(int)
