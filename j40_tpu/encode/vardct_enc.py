@@ -129,8 +129,8 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
                          duration: int = 0, have_anim: bool = False) -> None:
     h, wd, nc = image.shape
     alpha = image[:, :, 3] if nc == 4 else None
-    if alpha is not None:
-        assert h <= 256 and wd <= 256, "VarDCT alpha: single-group only (TODO)"
+    if alpha is not None and (h > 256 or wd > 256):
+        assert opt.num_passes == 1, "multi-group VarDCT alpha: single pass only"
     image = image[:, :, :3]
     h8, w8 = ceil_div(h, 8), ceil_div(wd, 8)
 
@@ -259,7 +259,7 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
     gg_cols, gg_rows = ceil_div(wd, 2048), ceil_div(h, 2048)
     sections: list[bytes] = []
     sw = BitWriter()
-    _write_lf_global(sw, opt)
+    _write_lf_global(sw, opt, alpha=alpha, multi_group=True)
     sections.append(sw.finish())
     for ggr in range(gg_rows):
         for ggc in range(gg_cols):
@@ -274,11 +274,24 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
     sw = BitWriter()
     _write_hf_global(sw, opt, num_groups=num_groups, coeff_encs=coeff_encs)
     sections.append(sw.finish())
+    from .encoder import _write_modular_stream
+
     for p_i in range(opt.num_passes):
         for g in range(num_groups):
             sw = BitWriter()
             sw.u(ceil_lg(opt.num_hf_presets), g % opt.num_hf_presets)
             coeff_encs[p_i].write_tokens(sw, g)
+            if alpha is not None:
+                # the group's slice of each extra channel decodes as a
+                # modular sub-stream after the HF tokens (frame_state
+                # pass_group -> _modular_group)
+                row, col = divmod(g, gcols)
+                y0, x0 = row * 256, col * 256
+                sl = np.asarray(
+                    alpha[y0 : y0 + 256, x0 : x0 + 256], np.int32
+                )
+                _write_modular_stream(sw, [sl], predictor=5,
+                                      use_prefix=opt.use_prefix)
             sections.append(sw.finish())
 
     w.u(1, 0)  # TOC not permuted
@@ -313,8 +326,9 @@ def _write_custom_restoration(w: BitWriter) -> None:
     w.u64(0)
 
 
-def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None) -> None:
-    from .encoder import _write_modular_stream
+def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None,
+                     multi_group: bool = False) -> None:
+    from .encoder import _write_modular_stream, _write_single_leaf_tree
 
     if opt.m_lf_scaled is not None:
         w.u(1, 0)  # LfChannelDequantization not all_default
@@ -350,10 +364,20 @@ def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None) -> None:
     w.u(1, 1)  # LfChannelCorrelation all_default
     w.u(1, 0)  # no global tree
     if alpha is not None:
-        # gmodular holds the extra channels of a VarDCT frame; in the
-        # single-group layout they decode right here in LfGlobal
-        _write_modular_stream(w, [np.asarray(alpha, np.int32)], predictor=5,
-                              use_prefix=opt.use_prefix)
+        if multi_group:
+            # gmodular header only: the channels decode in their pass-group
+            # sections (same shape as the modular encoder's multi-group
+            # LfGlobal; the leaf code spec is read even with no global
+            # channels)
+            w.u(1, 0)  # use_global_tree = false
+            w.u(1, 1)  # default WP
+            w.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms
+            _write_single_leaf_tree(w, 5, opt.use_prefix)
+            EntropyEncoder(1, use_prefix=opt.use_prefix).write(w)
+        else:
+            # single-group layout: the extra channels decode right here
+            _write_modular_stream(w, [np.asarray(alpha, np.int32)],
+                                  predictor=5, use_prefix=opt.use_prefix)
 
 
 def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,

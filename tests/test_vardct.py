@@ -371,3 +371,31 @@ def test_progressive_partial_decode():
     assert diff.mean() < 8.0
     mse = np.mean((rgba_part[:, :, :3].astype(float) - img) ** 2)
     assert 10 * np.log10(255.0 ** 2 / mse) > 25  # still a good preview
+
+
+def test_vardct_alpha_multigroup_vs_dj40(dj40, tmp_path):
+    # alpha in a multi-group VarDCT frame: extra channels route through the
+    # pass-group modular sub-streams (the 256px restriction is lifted)
+    import subprocess
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from j40_tpu.decode import decode_file
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    rng = np.random.default_rng(63)
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, (300, 280, 4)), 0), 1) % 200
+           + 20).astype(np.uint8)
+    data = encode_vardct(img)
+    _, rgba = decode_file(data)
+    # alpha round-trips losslessly; color within VarDCT tolerance
+    np.testing.assert_array_equal(rgba[:, :, 3], img[:, :, 3])
+    # dj40 decodes the color (it drops extra channels at render)
+    jxl = tmp_path / "a.jxl"
+    jxl.write_bytes(data)
+    png = tmp_path / "a.png"
+    r = subprocess.run([str(dj40), str(jxl), str(png)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ref = np.asarray(PILImage.open(png).convert("RGB"))
+    assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
