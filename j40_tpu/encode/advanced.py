@@ -64,8 +64,21 @@ def _build_modular(image: np.ndarray, opt: AdvancedOptions) -> ModularImage:
         ch.data = d
 
     if opt.palette:
-        assert opt.rct_type is None and not opt.squeeze, "palette-only for now"
-        flat = image.reshape(-1, nc).astype(np.int32)
+        assert not opt.squeeze, "palette+squeeze chain not supported"
+        samples = image.astype(np.int32)
+        if opt.rct_type is not None:
+            # transform chain: forward RCT first, then palettize the RCT'd
+            # samples — the decoder inverts in reverse order (palette then
+            # RCT), transforms listed in parse order [RCT, PALETTE]
+            assert nc == 3
+            rct_planes = forward_rct(
+                [samples[:, :, c] for c in range(nc)], opt.rct_type
+            )
+            samples = np.stack(rct_planes, axis=-1)
+            m.transforms.append(
+                Transform(TR_RCT, begin_c=0, rct_type=opt.rct_type)
+            )
+        flat = samples.reshape(-1, nc)
         colors, inv = np.unique(flat, axis=0, return_inverse=True)
         assert len(colors) <= opt.max_colours, "too many colors for palette"
         # channel-list effect mirrors the decoder (decode.py:189-195):

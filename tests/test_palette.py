@@ -427,3 +427,16 @@ def test_spot_colour_rendering():
     px = rgba[3, 3, :3].astype(float)
     assert abs(px[0] - (255 * 0.5 + 100 * 0.5)) <= 1
     assert abs(px[1] - 50) <= 1 and abs(px[2] - 50) <= 1
+
+
+@pytest.mark.parametrize("rct_type", [6, 0, 13])
+def test_palette_after_rct_chain_vs_dj40(dj40, tmp_path, rct_type):
+    # transform chain [RCT, Palette]: the decoder inverts palette first,
+    # then RCT — bit-exact against dj40
+    img = _paletted_image(30 + rct_type, ncolors=12)
+    data = encode_modular_advanced(
+        img, options=AdvancedOptions(palette=True, rct_type=rct_type))
+    ref = _dj40_decode(dj40, data, tmp_path)
+    np.testing.assert_array_equal(ref, img)
+    _, rgba = decode_file(data)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
