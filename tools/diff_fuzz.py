@@ -113,8 +113,8 @@ def main(budget_s: float) -> int:
                     squeeze=bool(rng.integers(0, 2)) and False,  # dj40 rejects
                     palette=False,
                 )
-                if rng.integers(0, 3) == 0 and opt.rct_type is None:
-                    opt.palette = True
+                if rng.integers(0, 3) == 0:
+                    opt.palette = True  # possibly chained after RCT
                     opt.max_colours = 1 << 14
                 data = encode_modular_advanced(img, options=opt)
                 exact = True
