@@ -22,6 +22,19 @@ from .io.container import parse_container
 from .limits import MAIN_LV5, Limits
 from .modular.decode import ModularImage
 
+_POOL = None
+
+
+def _pool():
+    """Shared decode thread pool (spawning one per frame costs ~1ms)."""
+    global _POOL
+    if _POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _POOL = ThreadPoolExecutor(max(4, os.cpu_count() or 4))
+    return _POOL
+
 
 @dataclass
 class Frame:
@@ -138,10 +151,7 @@ class Decoder:
                 # per-section isolation (independent entropy streams, disjoint
                 # output regions; j40.h:7752-7776) makes group decode
                 # embarrassingly parallel; the native core releases the GIL
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(self.workers) as ex:
-                    list(ex.map(_one_pass_group, pg_sections))
+                list(_pool().map(_one_pass_group, pg_sections))
             else:
                 for s in pg_sections:
                     _one_pass_group(s)
@@ -362,10 +372,7 @@ class Decoder:
         if self.workers > 1:
             # numpy releases the GIL on large array ops; channels are
             # independent writes into disjoint slices
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(4) as ex:
-                list(ex.map(_one, range(4)))
+            list(_pool().map(_one, range(4)))
         else:
             for i in range(4):
                 _one(i)
