@@ -2,16 +2,26 @@ import os
 
 # Device-mesh tests run on a virtual 8-device CPU topology.  The axon
 # sitecustomize overrides JAX_PLATFORMS, so force the platform through
-# jax.config (must happen before the backend initializes).
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-try:
-    import jax
+# jax.config (must happen before the backend initializes).  Set
+# J40_TESTS_TPU=1 to run the device-path tests on the real chip instead
+# (single-device: the mesh tests will then be skipped or fail).
+if os.environ.get("J40_TESTS_TPU") != "1":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    try:
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")
-except ImportError:
-    pass
+        jax.config.update("jax_platforms", "cpu")
+    except ImportError:
+        pass
+else:
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    except ImportError:
+        pass
 
 import subprocess
 from pathlib import Path
