@@ -171,7 +171,13 @@ class FrameState:
         maxshift: int,
     ) -> None:
         """Decode the modular sub-stream covering `region` for channels whose
-        min(hshift, vshift) is within [minshift, maxshift) (j40.h:3656-3715)."""
+        min(hshift, vshift) is within [minshift, maxshift) (j40.h:3656-3715).
+
+        NOTE: the reference sizes shifted sub-channels with a FLOOR shift
+        (`gw >> hshift`, flagged "should be ceil?" at j40.h:3676); we use
+        ceil per spec/libjxl.  The difference is unobservable in the
+        reference since every shifted-channel feature it would apply to
+        (squeeze, chroma subsampling) is rejected before reaching here."""
         gm = self.gmodular
         gx, gy, gw, gh = region
         picks = []  # (gm channel index, sub-rect)
