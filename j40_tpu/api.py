@@ -21,9 +21,11 @@ import numpy as np
 
 from .errors import J40Error, ShortInput
 
-# output formats (j40.h:175-199)
+# output formats (j40.h:175-205)
 RGBA = 4
-U8X4 = 0x0F
+U8X4 = 0x0F33
+U16X4 = 0x0F35  # reserved in the reference; we support it (16-bit output)
+_LEGACY_U8X4 = 0x0F  # early alias kept for compatibility
 
 # "error pixels": 21x7 dark-red placeholder returned on API misuse
 # (j40.h:8429-8441)
@@ -55,6 +57,12 @@ class Frame:
 
     def pixels_u8x4(self) -> np.ndarray:
         """(h, w, 4) uint8 RGBA (j40_frame_pixels_u8x4)."""
+        assert self._rgba.dtype == np.uint8, "frame was decoded as U16X4"
+        return self._rgba
+
+    def pixels_u16x4(self) -> np.ndarray:
+        """(h, w, 4) uint16 RGBA (J40_U16X4, reserved in the reference)."""
+        assert self._rgba.dtype == np.uint16, "frame was decoded as U8X4"
         return self._rgba
 
     def row_u8x4(self, y: int) -> np.ndarray:
@@ -85,6 +93,7 @@ class Image:
         self._dec = None
         self._frames_emitted = 0
         self._ckpt = None  # (bit offset of next frame, ref_frames) snapshot
+        self._bit_format = U8X4
 
     # -- constructors (j40_from_file / j40_from_memory) -------------------
 
@@ -106,10 +115,12 @@ class Image:
     # -- configuration -----------------------------------------------------
 
     def output_format(self, pixel_format: int = RGBA, bit_format: int = U8X4) -> bool:
-        """Only RGBA/U8X4 is accepted, like the reference (j40.h:8369-8372)."""
-        if pixel_format != RGBA or bit_format != U8X4:
+        """RGBA with U8X4 (like the reference, j40.h:8369-8372) or U16X4
+        (reserved there, supported here)."""
+        if pixel_format != RGBA or bit_format not in (U8X4, U16X4, _LEGACY_U8X4):
             self._err = "fmt?"
             return False
+        self._bit_format = U16X4 if bit_format == U16X4 else U8X4
         self._format_set = True
         return True
 
@@ -151,7 +162,8 @@ class Image:
             if self._dec.done:
                 return False  # no more frames; error stays clear
             fr = self._dec.decode_frame()
-            rgba = self._dec.render_rgba8()
+            rgba = (self._dec.render_rgba16()
+                    if self._bit_format == U16X4 else self._dec.render_rgba8())
         except ShortInput as e:
             self._err = "shrt"
             self._err_msg = e.message

@@ -283,9 +283,17 @@ class Decoder:
 
     # -- rendering ---------------------------------------------------------
 
+    def render_rgba16(self) -> np.ndarray:
+        """Render to (h, w, 4) uint16 RGBA (the reference reserves J40_U16X4
+        at j40.h:203 but rejects it; useful with bpp > 8 content)."""
+        return self._render(16)
+
     def render_rgba8(self) -> np.ndarray:
         """Render the decoded frame to (h, w, 4) uint8 RGBA, matching the
         reference's clamp+scale semantics (j40.h:7910-7962)."""
+        return self._render(8)
+
+    def _render(self, depth: int) -> np.ndarray:
         im = self.image
         f = self.frame
         assert f is not None and f.canvas is not None
@@ -339,35 +347,38 @@ class Decoder:
             cb = up(planes[0]).astype(np.float64) / maxpixel
             y = planes[1].astype(np.float64) / maxpixel + 128.0 / 255.0
             cr = up(planes[2]).astype(np.float64) / maxpixel
+            omax = (1 << depth) - 1
+            odt = np.uint8 if depth == 8 else np.uint16
             planes = [
-                (y + 1.402 * cr) * 255.0,
-                (y - 0.344136 * cb - 0.714136 * cr) * 255.0,
-                (y + 1.772 * cb) * 255.0,
+                (y + 1.402 * cr) * omax,
+                (y - 0.344136 * cb - 0.714136 * cr) * omax,
+                (y + 1.772 * cb) * omax,
             ]
-            out = np.empty((h, w, 4), dtype=np.uint8)
+            out = np.empty((h, w, 4), dtype=odt)
             for i in range(3):
-                out[:, :, i] = np.clip(np.round(planes[i]), 0, 255).astype(np.uint8)
+                out[:, :, i] = np.clip(np.round(planes[i]), 0, omax).astype(odt)
             if alpha is None:
-                out[:, :, 3] = 255
-            elif im.bpp == 8:
-                out[:, :, 3] = np.clip(alpha, 0, 255).astype(np.uint8)
+                out[:, :, 3] = omax
+            elif im.bpp == depth:
+                out[:, :, 3] = np.clip(alpha, 0, omax).astype(odt)
             else:
                 p = np.clip(alpha, 0, maxpixel).astype(np.int64)
-                out[:, :, 3] = ((p * 255 + half) // maxpixel).astype(np.uint8)
+                out[:, :, 3] = ((p * omax + half) // maxpixel).astype(odt)
             return apply_orientation(out, int(im.orientation))
 
-        out = np.empty((h, w, 4), dtype=np.uint8)
+        omax = (1 << depth) - 1
+        odt = np.uint8 if depth == 8 else np.uint16
+        out = np.empty((h, w, 4), dtype=odt)
 
         def _one(i):
             src = planes[i] if i < 3 else alpha
             if src is None:
-                out[:, :, i] = 255
-            elif im.bpp == 8:
-                # (p*255 + 128) // 255 == p for p in [0, 255]
-                out[:, :, i] = np.clip(src, 0, 255).astype(np.uint8)
+                out[:, :, i] = omax
+            elif im.bpp == depth:
+                out[:, :, i] = np.clip(src, 0, omax).astype(odt)
             else:
                 p = np.clip(src, 0, maxpixel).astype(np.int64)
-                out[:, :, i] = ((p * 255 + half) // maxpixel).astype(np.uint8)
+                out[:, :, i] = ((p * omax + half) // maxpixel).astype(odt)
 
         if self.workers > 1:
             # numpy releases the GIL on large array ops; channels are

@@ -76,3 +76,21 @@ def test_open_missing_file():
     im = Image.from_file("/nonexistent/file.jxl")
     assert not im.next_frame()
     assert im.error == "open"
+
+
+def test_u16x4_output_format():
+    # 16-bit output (J40_U16X4 is reserved-but-rejected in the reference)
+    import numpy as np
+
+    from j40_tpu.api import RGBA, U16X4, Image
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(80)
+    img = rng.integers(0, 1 << 12, (12, 16, 3)).astype(np.int32)
+    im = Image.from_memory(encode_modular(img, bpp=12))
+    assert im.output_format(RGBA, U16X4)
+    assert im.next_frame()
+    px = im.current_frame().pixels_u16x4()
+    assert px.dtype == np.uint16
+    expect = ((img.astype(np.int64) * 65535 + (1 << 11)) // 4095).astype(np.uint16)
+    np.testing.assert_array_equal(px[:, :, :3], expect)
