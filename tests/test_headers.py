@@ -104,3 +104,42 @@ def test_container_skips_unknown_boxes():
     c = parse_container(data)
     assert c.codestream == cs
     assert c.other_boxes == [(b"Exif", b"junk")]
+
+
+def test_brob_wrapped_jxl_box_rejected():
+    # a brob box whose inner type is jxl* or brob must be rejected ("brot",
+    # j40.h:1565); other brob payloads are skipped
+    import struct
+
+    import pytest
+
+    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.errors import J40Error
+    from j40_tpu.io.container import JXL_BOX, FTYP_BOX, parse_container
+
+    import numpy as np
+    cs = encode_modular(np.zeros((8, 8, 3), np.uint8))
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    ok = JXL_BOX + FTYP_BOX + box(b"brob", b"Exif" + b"x" * 10) + box(b"jxlc", cs)
+    assert parse_container(ok).codestream == cs
+
+    for inner in (b"jxlc", b"brob", b"jxll"):
+        bad = JXL_BOX + FTYP_BOX + box(b"brob", inner + b"x" * 10) + box(b"jxlc", cs)
+        with pytest.raises(J40Error):
+            parse_container(bad)
+
+
+def test_u64_long_values_roundtrip():
+    from j40_tpu.encode.bitwriter import BitWriter
+    from j40_tpu.io.bits import BitReader
+
+    values = [0, 1, 16, 17, 272, 273, 4095, 4096, 1 << 20, (1 << 40) + 12345,
+              (1 << 63) + 7]
+    w = BitWriter()
+    for v in values:
+        w.u64(v)
+    r = BitReader(w.finish())
+    assert [r.u64() for _ in values] == values
