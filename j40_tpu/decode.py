@@ -137,24 +137,42 @@ class Decoder:
                 )
             lf_sections = [s for s in toc.sections if s.pass_ < 0]
             pg_sections = [s for s in toc.sections if 0 <= s.pass_ < npasses]
-            for s in lf_sections:
+
+            def _one_lf_group(s):
                 sr = self._section_reader(s.codeoff, s.size)
                 state.lf_group(sr, s.idx)
                 sr.no_more_bytes()
 
-            def _one_pass_group(s):
-                sr = self._section_reader(s.codeoff, s.size)
-                state.pass_group(sr, s.pass_, s.idx)
-                sr.no_more_bytes()
-
-            if self.workers > 1 and len(pg_sections) > 1:
-                # per-section isolation (independent entropy streams, disjoint
-                # output regions; j40.h:7752-7776) makes group decode
-                # embarrassingly parallel; the native core releases the GIL
-                list(_pool().map(_one_pass_group, pg_sections))
+            if self.workers > 1 and len(lf_sections) > 1:
+                # LF groups are mutually independent (each covers a disjoint
+                # 2048x2048 region with its own entropy streams); the lazy
+                # dq-matrix/order materialization they trigger is serialized
+                # inside VarDCTState (j40.h:7694-7732 analog)
+                list(_pool().map(_one_lf_group, lf_sections))
             else:
-                for s in pg_sections:
-                    _one_pass_group(s)
+                for s in lf_sections:
+                    _one_lf_group(s)
+
+            # Group the pass sections into per-group chains ordered by pass:
+            # two passes of the SAME group accumulate (+=) into the same
+            # coefficient planes, so they must run on one thread; distinct
+            # groups touch disjoint planes/regions (j40.h:7752-7776) and are
+            # embarrassingly parallel (the native core releases the GIL).
+            chains: dict[int, list] = {}
+            for s in pg_sections:
+                chains.setdefault(s.idx, []).append(s)
+
+            def _one_group_chain(chain):
+                for s in sorted(chain, key=lambda s: s.pass_):
+                    sr = self._section_reader(s.codeoff, s.size)
+                    state.pass_group(sr, s.pass_, s.idx)
+                    sr.no_more_bytes()
+
+            if self.workers > 1 and len(chains) > 1:
+                list(_pool().map(_one_group_chain, chains.values()))
+            else:
+                for chain in chains.values():
+                    _one_group_chain(chain)
 
         self.stats["sections_s"] = time.perf_counter() - t_sections
         t_finish = time.perf_counter()

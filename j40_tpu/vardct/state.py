@@ -114,6 +114,11 @@ class VarDCTState:
         self.orders = [[[None] * 3 for _ in range(NUM_ORDERS)] for _ in range(f.num_passes)]
         self.coeff_codespec: list[CodeSpec | None] = [None] * f.num_passes
         self.lf_groups: dict[int, LfGroup] = {}
+        # serializes the shared lazy materialization (dq weights, orders,
+        # used-bitsets) when LF-group sections decode on parallel threads
+        import threading
+
+        self._lock = threading.Lock()
 
     # -- LfGlobal (VarDCT part, j40.h:6271-6313) ---------------------------
 
@@ -244,8 +249,9 @@ class VarDCTState:
         self._hf_metadata(nb_varblocks, m, lfquant, gg)
         gg.loaded = True
         self.lf_groups[ggidx] = gg
-        self._prepare_dq_matrices()
-        self._prepare_orders()
+        with self._lock:
+            self._prepare_dq_matrices()
+            self._prepare_orders()
 
     def _lf_quant(self, extra_prec: int, m, gg: LfGroup):
         """Dequantize LF, build lfindices, smooth (j40.h:6492-6583)."""
@@ -334,8 +340,9 @@ class VarDCTState:
             nb_varblocks == ggw8 * ggh8
             and not dctsel_arr.any()
         ):
-            self.dct_select_used |= 1
-            self.order_used |= 1
+            with self._lock:
+                self.dct_select_used |= 1
+                self.order_used |= 1
             blocks[:] = (2 << 20) | np.arange(nb_varblocks, dtype=np.int32).reshape(
                 ggh8, ggw8
             )
@@ -351,6 +358,7 @@ class VarDCTState:
 
         voff = 0
         coeffoff = 0
+        used_dct = used_order = 0  # merged under the lock below (int |= races)
         for y0 in range(ggh8):
             for x0 in range(ggw8):
                 if blocks[y0, x0]:
@@ -359,8 +367,8 @@ class VarDCTState:
                 dctsel = int(dctsel_arr[voff])
                 check(0 <= dctsel < NUM_DCT_SELECT, "dct?")
                 log_vh, log_vw, param_idx, order_idx = DCT_SELECT[dctsel]
-                self.dct_select_used |= 1 << dctsel
-                self.order_used |= 1 << order_idx
+                used_dct |= 1 << dctsel
+                used_order |= 1 << order_idx
                 coeffoff_arr[voff] = coeffoff
                 vb_dctsel[voff] = dctsel
                 vw8, vh8 = 1 << (log_vw - 3), 1 << (log_vh - 3)
@@ -383,6 +391,9 @@ class VarDCTState:
                 coeffoff += 1 << (log_vw + log_vh)
                 voff += 1
         check(voff == nb_varblocks, "vblk")
+        with self._lock:
+            self.dct_select_used |= used_dct
+            self.order_used |= used_order
         self._finish_hf_metadata(
             nb_varblocks, m, gg, blocks, coeffoff_arr, vb_dctsel, hfmul_m1,
             llfcoeffs, coeffs,

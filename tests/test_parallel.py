@@ -41,6 +41,50 @@ def test_decode_batch_vardct_jax_multidevice():
         assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
 
 
+def test_multipass_workers_bit_stable():
+    # regression: two passes of one group accumulate (+=) into the same
+    # coefficient planes; with a naive section-level thread map they race
+    # (lost updates). Per-group chains must make workers>1 bit-stable.
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    rng = np.random.default_rng(77)
+    img = (
+        np.cumsum(rng.integers(-2, 3, size=(600, 520, 3)), axis=0) % 180 + 30
+    ).astype(np.uint8)
+    blob = encode_vardct(img, VarDCTOptions(num_passes=3))
+
+    dec = Decoder(blob, workers=1)
+    dec.decode_frame()
+    assert dec.stats["num_passes"] == 3 and dec.stats["num_groups"] > 1
+    ref = dec.render_rgba8()
+    for _ in range(20):
+        d = Decoder(blob, workers=8)
+        d.decode_frame()
+        np.testing.assert_array_equal(d.render_rgba8(), ref)
+
+
+def test_parallel_lf_groups_bit_stable():
+    # multi-LF-group image: LF sections decode on parallel threads; the
+    # shared lazy dq-matrix/order materialization is lock-serialized
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    rng = np.random.default_rng(78)
+    img = (
+        np.cumsum(rng.integers(-2, 3, size=(96, 2560, 3)), axis=1) % 180 + 30
+    ).astype(np.uint8)
+    blob = encode_vardct(img)
+    dec = Decoder(blob, workers=1)
+    dec.decode_frame()
+    assert dec.stats["num_lf_groups"] == 2
+    ref = dec.render_rgba8()
+    for _ in range(6):
+        d = Decoder(blob, workers=8)
+        d.decode_frame()
+        np.testing.assert_array_equal(d.render_rgba8(), ref)
+
+
 def test_dryrun_multichip():
     import sys
     from pathlib import Path
