@@ -90,9 +90,8 @@ class Image:
         self._err_msg = ""
         self._frame: Frame | None = None
         self._format_set = False
-        self._dec = None
+        self._dec = None  # persistent streaming Decoder (section resume)
         self._frames_emitted = 0
-        self._ckpt = None  # (bit offset of next frame, ref_frames) snapshot
         self._bit_format = U8X4
 
     # -- constructors (j40_from_file / j40_from_memory) -------------------
@@ -127,9 +126,21 @@ class Image:
     # -- streaming ---------------------------------------------------------
 
     def push(self, data: bytes) -> None:
-        """Append more input bytes; clears a retryable 'shrt' error."""
+        """Append more input bytes; clears a retryable 'shrt' error.
+
+        The live decoder (and any mid-frame section progress) is kept:
+        re-entry resumes at the first incomplete section, so each section of
+        a chunked stream is decoded exactly once (the reference's buffer
+        checkpoint + coroutine analog, j40.h:1662, 8146-8169)."""
         self._buf.extend(data)
-        self._dec = None  # re-entry replays from the start over the new buffer
+        if self._dec is not None:
+            try:
+                self._dec.push(data)
+            except J40Error as e:
+                self._err = e.code
+                self._err_msg = e.message
+                self._dec = None
+                return
         if self._err == "shrt":
             self._err = None
 
@@ -149,16 +160,10 @@ class Image:
 
         try:
             if self._dec is None:
-                self._dec = Decoder(bytes(self._buf), backend=self._backend)
-                if self._frames_emitted and self._ckpt is not None:
-                    # checkpoint resume (the reference's buffer-checkpoint
-                    # analog, j40.h:1662): the codestream prefix is immutable,
-                    # so re-enter at the saved frame boundary instead of
-                    # re-decoding already-emitted frames
-                    off, refs, done = self._ckpt
-                    self._dec.r.seek_bits(off)
-                    self._dec.ref_frames = refs
-                    self._dec.done = done
+                # creation itself can fail with 'shrt' (headers not yet
+                # pushed); we then retry creation on the next call
+                self._dec = Decoder(bytes(self._buf), backend=self._backend,
+                                    streaming=True)
             if self._dec.done:
                 return False  # no more frames; error stays clear
             fr = self._dec.decode_frame()
@@ -167,7 +172,6 @@ class Image:
         except ShortInput as e:
             self._err = "shrt"
             self._err_msg = e.message
-            self._dec = None
             return False
         except J40Error as e:
             self._err = e.code
@@ -175,8 +179,6 @@ class Image:
             return False
         self._err = None
         self._frames_emitted += 1
-        self._ckpt = (self._dec.r.bits_consumed, list(self._dec.ref_frames),
-                      self._dec.done)
         self._frame = Frame(rgba, duration=fr.header.duration)
         return True
 

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .errors import Unsupported, check
+from .errors import ShortInput, Unsupported, check
 from .headers.frame import FRAME_REGULAR, FrameHeader, read_frame_header, read_toc
 from .headers.image import CSpace, read_image_metadata, read_signature
 from .headers.icc import read_icc
@@ -36,6 +36,29 @@ def _pool():
     return _POOL
 
 
+class _FrameProgress:
+    """Mid-frame resume state (the reference's coroutine + buffer-checkpoint
+    analog, j40.h:8146-8169, at section granularity): parsed header/TOC,
+    the live FrameState, and the set of completed sections survive a 'shrt'
+    so a retry after push() decodes each section exactly once."""
+
+    __slots__ = (
+        "header_bits", "body_bits", "f", "toc", "state", "lf_global_done",
+        "hf_global_done", "done_sections", "t0",
+    )
+
+    def __init__(self, header_bits: int, t0: float):
+        self.header_bits = header_bits
+        self.body_bits = 0  # bit offset just past the TOC (single-size frames)
+        self.t0 = t0
+        self.f = None
+        self.toc = None
+        self.state = None
+        self.lf_global_done = False
+        self.hf_global_done = False
+        self.done_sections: set[tuple[int, int]] = set()  # (pass_, idx)
+
+
 @dataclass
 class Frame:
     header: FrameHeader
@@ -52,7 +75,8 @@ class Decoder:
 
     def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy",
                  apply_filters: bool = False, workers: int = 1,
-                 max_passes: int | None = None, render_spot: bool = False):
+                 max_passes: int | None = None, render_spot: bool = False,
+                 streaming: bool = False):
         self.backend = backend
         self.apply_filters = apply_filters
         self.workers = workers
@@ -65,7 +89,11 @@ class Decoder:
         self.render_spot = render_spot
         #: per-stage wall times and stream facts, filled by decode_frame
         self.stats: dict = {}
-        self.container = parse_container(data)
+        #: streaming mode: tolerate a truncated container and keep mid-frame
+        #: progress across push() (section-granular resume)
+        self.streaming = streaming
+        self._filebuf = bytearray(data)
+        self.container = parse_container(bytes(self._filebuf), allow_partial=streaming)
         self.codestream = self.container.codestream
         self.limits = limits
         r = BitReader(self.codestream)
@@ -74,6 +102,7 @@ class Decoder:
         if self.image.want_icc:
             self.image.icc = read_icc(r)
         self.r = r
+        self._prog: _FrameProgress | None = None
         self.frame: Frame | None = None
         #: reference-frame slots for animation blending (spec §5.3; the
         #: reference rejects non-final frames outright, j40.h:5201)
@@ -82,34 +111,51 @@ class Decoder:
 
     # -- frame decoding ----------------------------------------------------
 
+    def push(self, data: bytes) -> None:
+        """Streaming: append file bytes; mid-frame progress is preserved and
+        the next decode_frame() resumes at the first incomplete section
+        (the reference's buffer checkpoint analog, j40.h:1662)."""
+        self._filebuf.extend(data)
+        self.container = parse_container(bytes(self._filebuf),
+                                         allow_partial=self.streaming)
+        cs = self.container.codestream
+        assert cs[: len(self.codestream)] == self.codestream, \
+            "codestream prefix changed on push"
+        self.codestream = cs
+        self.r.extend_data(cs)
+
     def decode_frame(self) -> Frame:
         import time
 
         check(not self.done, "excs", "no more frames in the codestream")
-        t0 = time.perf_counter()
         im = self.image
         r = self.r
-        f = read_frame_header(r, im, self.limits)
-        if f.type != FRAME_REGULAR:
-            raise Unsupported(message="only regular frames supported")
-        toc = read_toc(r, f)
-        self.stats.update(
-            headers_s=time.perf_counter() - t0,
-            codestream_bytes=len(self.codestream),
-            frame=f"{f.width}x{f.height}",
-            mode="modular" if f.is_modular else "vardct",
-            num_groups=f.num_groups,
-            num_lf_groups=f.num_lf_groups,
-            num_passes=f.num_passes,
-            sections=len(toc.sections),
-        )
+        if self._prog is None:
+            self._prog = _FrameProgress(r.bits_consumed, time.perf_counter())
+        prog = self._prog
+        if prog.f is None:
+            # a previously-interrupted header parse left r mid-way: rewind
+            r.seek_bits(prog.header_bits)
+            f = read_frame_header(r, im, self.limits)
+            if f.type != FRAME_REGULAR:
+                raise Unsupported(message="only regular frames supported")
+            toc = read_toc(r, f)
+            prog.f, prog.toc = f, toc
+            prog.body_bits = r.bits_consumed
+            self.stats.update(
+                headers_s=time.perf_counter() - prog.t0,
+                frame=f"{f.width}x{f.height}",
+                mode="modular" if f.is_modular else "vardct",
+                num_groups=f.num_groups,
+                num_lf_groups=f.num_lf_groups,
+                num_passes=f.num_passes,
+                sections=len(toc.sections),
+            )
+        f, toc = prog.f, prog.toc
+        self.stats["codestream_bytes"] = len(self.codestream)
         t_sections = time.perf_counter()
 
         from .frame_state import FrameState
-
-        state = FrameState(im, f, self.limits)
-        state.backend = self.backend
-        state.apply_filters = self.apply_filters
 
         npasses = (
             f.num_passes
@@ -117,7 +163,15 @@ class Decoder:
             else min(self.max_passes, f.num_passes)
         )
         if toc.single_size:
-            # everything decoded inline from the main reader (j40.h:8194-8200)
+            # one section == the whole frame, decoded inline from the main
+            # reader (j40.h:8194-8200). Availability is checked up front so a
+            # retry never re-enters partially-decoded state; each attempt
+            # gets a fresh FrameState.
+            check(toc.end_codeoff <= len(self.codestream), "shrt")
+            r.seek_bits(prog.body_bits)
+            state = FrameState(im, f, self.limits)
+            state.backend = self.backend
+            state.apply_filters = self.apply_filters
             state.lf_global(r)
             if not f.is_modular:
                 state.hf_global(r)
@@ -128,59 +182,116 @@ class Decoder:
             codeoff = r.bits_consumed // 8
             check(codeoff == toc.end_codeoff, "shrt" if codeoff < toc.end_codeoff else "excs")
         else:
-            state.lf_global(self._section_reader(toc.lf_global_codeoff, toc.lf_global_size))
-            if f.is_modular:
-                check(toc.hf_global_size == 0, "excs")
-            else:
-                state.hf_global(
-                    self._section_reader(toc.hf_global_codeoff, toc.hf_global_size)
+            if prog.state is None:
+                prog.state = FrameState(im, f, self.limits)
+                prog.state.backend = self.backend
+                prog.state.apply_filters = self.apply_filters
+            state = prog.state
+
+            if not prog.lf_global_done:
+                state.lf_global(
+                    self._section_reader(toc.lf_global_codeoff, toc.lf_global_size)
                 )
-            lf_sections = [s for s in toc.sections if s.pass_ < 0]
-            pg_sections = [s for s in toc.sections if 0 <= s.pass_ < npasses]
+                prog.lf_global_done = True
+            if not prog.hf_global_done:
+                if f.is_modular:
+                    check(toc.hf_global_size == 0, "excs")
+                else:
+                    state.hf_global(
+                        self._section_reader(toc.hf_global_codeoff, toc.hf_global_size)
+                    )
+                prog.hf_global_done = True
+
+            def _avail(s):
+                return s.codeoff + s.size <= len(self.codestream)
+
+            done = prog.done_sections
+            lf_todo = [
+                s for s in toc.sections
+                if s.pass_ < 0 and (s.pass_, s.idx) not in done
+            ]
+            pg_todo = [
+                s for s in toc.sections
+                if 0 <= s.pass_ < npasses and (s.pass_, s.idx) not in done
+            ]
+            lf_run = [s for s in lf_todo if _avail(s)]
 
             def _one_lf_group(s):
                 sr = self._section_reader(s.codeoff, s.size)
                 state.lf_group(sr, s.idx)
                 sr.no_more_bytes()
+                done.add((s.pass_, s.idx))
 
-            if self.workers > 1 and len(lf_sections) > 1:
+            if self.workers > 1 and len(lf_run) > 1:
                 # LF groups are mutually independent (each covers a disjoint
                 # 2048x2048 region with its own entropy streams); the lazy
                 # dq-matrix/order materialization they trigger is serialized
                 # inside VarDCTState (j40.h:7694-7732 analog)
-                list(_pool().map(_one_lf_group, lf_sections))
+                list(_pool().map(_one_lf_group, lf_run))
             else:
-                for s in lf_sections:
+                for s in lf_run:
                     _one_lf_group(s)
 
-            # Group the pass sections into per-group chains ordered by pass:
-            # two passes of the SAME group accumulate (+=) into the same
-            # coefficient planes, so they must run on one thread; distinct
-            # groups touch disjoint planes/regions (j40.h:7752-7776) and are
-            # embarrassingly parallel (the native core releases the GIL).
+            def _lf_ready(s):
+                # a VarDCT pass group needs its LF group's varblock map first
+                if f.is_modular:
+                    return True
+                row, col = divmod(s.idx, f.gcolumns)
+                ggidx = (row // 8) * f.ggcolumns + (col // 8)
+                return ggidx in state.vardct.lf_groups
+
+            # Group the runnable pass sections into per-group chains ordered
+            # by pass: two passes of the SAME group accumulate (+=) into the
+            # same coefficient planes, so they must run on one thread;
+            # distinct groups touch disjoint planes/regions (j40.h:7752-7776)
+            # and are embarrassingly parallel (the native core releases the
+            # GIL). A chain stops at its first unavailable pass so later
+            # passes never run before earlier ones.
             chains: dict[int, list] = {}
-            for s in pg_sections:
+            for s in pg_todo:
                 chains.setdefault(s.idx, []).append(s)
+            run_chains = []
+            for idx, chain in chains.items():
+                chain.sort(key=lambda s: s.pass_)
+                run = []
+                for s in chain:
+                    if not (_avail(s) and _lf_ready(s)):
+                        break
+                    run.append(s)
+                if run:
+                    run_chains.append(run)
 
             def _one_group_chain(chain):
-                for s in sorted(chain, key=lambda s: s.pass_):
+                for s in chain:
                     sr = self._section_reader(s.codeoff, s.size)
                     state.pass_group(sr, s.pass_, s.idx)
                     sr.no_more_bytes()
+                    done.add((s.pass_, s.idx))
 
-            if self.workers > 1 and len(chains) > 1:
-                list(_pool().map(_one_group_chain, chains.values()))
+            if self.workers > 1 and len(run_chains) > 1:
+                list(_pool().map(_one_group_chain, run_chains))
             else:
-                for chain in chains.values():
+                for chain in run_chains:
                     _one_group_chain(chain)
+
+            missing = (len(lf_todo) - len(lf_run)) + sum(
+                1 for s in pg_todo if (s.pass_, s.idx) not in done
+            )
+            if missing:
+                raise ShortInput(
+                    f"{missing} section(s) await more input "
+                    f"({len(done)}/{len(toc.sections)} decoded)"
+                )
+            check(toc.end_codeoff <= len(self.codestream), "shrt")
 
         self.stats["sections_s"] = time.perf_counter() - t_sections
         t_finish = time.perf_counter()
         state.finish()
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
-        self.stats["total_s"] = time.perf_counter() - t0
+        self.stats["total_s"] = time.perf_counter() - prog.t0
         # position the main reader at the next frame's byte boundary
         r.seek_bits(toc.end_codeoff * 8)
+        self._prog = None
         canvas = self._composite(f, state.gmodular)
         if f.is_last:
             self.done = True

@@ -41,6 +41,12 @@ class BitReader:
 
     # -- position ---------------------------------------------------------
 
+    def extend_data(self, data: bytes | bytearray | memoryview) -> None:
+        """Swap in a longer buffer whose prefix equals the current one
+        (streaming: more codestream bytes arrived). Position is preserved."""
+        assert len(data) >= len(self.data)
+        self.data = memoryview(data)
+
     @property
     def bits_consumed(self) -> int:
         """Total bits consumed from the start of the buffer."""

@@ -30,6 +30,9 @@ class Container:
     level: int | None = None  # from jxll
     frame_index_box: bytes | None = None  # from jxli (unparsed)
     other_boxes: list[tuple[bytes, bytes]] = field(default_factory=list)
+    #: False when parsed with allow_partial and the input ended mid-box; the
+    #: codestream then holds every byte recoverable so far (streaming decode)
+    complete: bool = True
 
 
 def _read_box_header(data: bytes, pos: int) -> tuple[bytes, int, int] | None:
@@ -55,13 +58,21 @@ def _read_box_header(data: bytes, pos: int) -> tuple[bytes, int, int] | None:
     return type_, pos + 8, pos + size32
 
 
-def parse_container(data: bytes) -> Container:
-    """Detect bare codestream vs box container and extract the codestream."""
+def parse_container(data: bytes, allow_partial: bool = False) -> Container:
+    """Detect bare codestream vs box container and extract the codestream.
+
+    With ``allow_partial`` (streaming), a truncated box does not raise: the
+    available prefix of a truncated codestream box is still recovered (a large
+    `jxlc` payload arriving in chunks is usable immediately) and the returned
+    container is marked ``complete=False``."""
     if len(data) < 2:
         raise ShortInput("container signature needs 2 bytes")
     if data[0] == 0xFF and data[1] == 0x0A:
         return Container(codestream=data, is_bare=True)
     check(data[:2] == JXL_BOX[:2], "!jxl")
+    if allow_partial and len(data) < len(JXL_BOX) + len(FTYP_BOX):
+        if (JXL_BOX + FTYP_BOX).startswith(data):
+            raise ShortInput("truncated container signature")
     check(data[: len(JXL_BOX)] == JXL_BOX, "!jxl")
     off = len(JXL_BOX)
     check(data[off : off + len(FTYP_BOX)] == FTYP_BOX, "ftyp")
@@ -73,13 +84,30 @@ def parse_container(data: bytes) -> Container:
     cont = Container(codestream=b"")
 
     while True:
-        hdr = _read_box_header(data, pos)
+        try:
+            hdr = _read_box_header(data, pos)
+        except ShortInput:
+            if not allow_partial:
+                raise
+            cont.complete = False
+            break
         if hdr is None:
             break
         type_, start, end = hdr
         payload = data[start:] if end == -1 else data[start:end]
         if end != -1 and end > len(data):
-            raise ShortInput("truncated box payload")
+            if not allow_partial:
+                raise ShortInput("truncated box payload")
+            # recover the available prefix of a truncated codestream box
+            cont.complete = False
+            if type_ == b"jxlc" and not (seen_jxlp or seen_jxlc or no_more_codestream):
+                parts.append(data[start:])
+                seen_jxlc = True
+            elif type_ == b"jxlp" and not (seen_jxlc or no_more_codestream):
+                if len(data) - start >= 4:
+                    parts.append(data[start + 4 :])
+                    seen_jxlp = True
+            break
 
         if type_ == b"jxll":
             check(not seen_jxll, "box?")
@@ -120,6 +148,8 @@ def parse_container(data: bytes) -> Container:
 
     check(seen_jxlc or seen_jxlp, "shrt" if not parts else "box?")
     cont.codestream = b"".join(parts)
+    if allow_partial and len(cont.codestream) < 2:
+        raise ShortInput("codestream signature not yet available")
     check(cont.codestream[:2] == b"\xff\x0a", "!jxl")
     return cont
 

@@ -51,6 +51,83 @@ def test_byte_by_byte_streaming():
     np.testing.assert_array_equal(im.current_frame().pixels_u8x4()[:, :, :3], img)
 
 
+def test_sections_decoded_exactly_once_while_streaming():
+    # section-granular resume: a multi-group file fed in chunks must decode
+    # each section exactly once (no re-parse of completed sections on push)
+    from collections import Counter
+
+    import j40_tpu.frame_state as fs_mod
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    rng = np.random.default_rng(91)
+    img = (
+        np.cumsum(rng.integers(-2, 3, size=(520, 600, 3)), axis=0) % 180 + 30
+    ).astype(np.uint8)
+    cs = encode_vardct(img)
+
+    calls = Counter()
+    orig_lf, orig_pg = fs_mod.FrameState.lf_group, fs_mod.FrameState.pass_group
+
+    def lf_spy(self, r, ggidx):
+        calls[("lf", ggidx)] += 1
+        return orig_lf(self, r, ggidx)
+
+    def pg_spy(self, r, pass_, gidx):
+        calls[("pg", pass_, gidx)] += 1
+        return orig_pg(self, r, pass_, gidx)
+
+    fs_mod.FrameState.lf_group, fs_mod.FrameState.pass_group = lf_spy, pg_spy
+    try:
+        im = Image.from_memory(b"")
+        pos, step = 0, max(1, len(cs) // 23)
+        while not im.next_frame():
+            assert im.error == "shrt", im.error_string()
+            assert pos < len(cs), "decoder claimed shrt at full input"
+            im.push(cs[pos : pos + step])
+            pos += step
+    finally:
+        fs_mod.FrameState.lf_group, fs_mod.FrameState.pass_group = orig_lf, orig_pg
+
+    assert calls and max(calls.values()) == 1, f"re-decoded sections: {calls}"
+    assert sum(1 for k in calls if k[0] == "pg") == 9  # 3x3 groups of 256px
+    from j40_tpu.decode import decode_file
+
+    _, ref = decode_file(cs)
+    np.testing.assert_array_equal(im.current_frame().pixels_u8x4(), ref)
+
+
+def test_streaming_multiframe_animation_chunks():
+    # frames spanning chunk boundaries: completed frames stay emitted-once,
+    # the in-flight frame resumes, blending chain preserved
+    from j40_tpu.decode import decode_animation
+    from j40_tpu.encode.encoder import encode_animation
+
+    rng = np.random.default_rng(92)
+    frames = [
+        ((rng.integers(0, 255, (40, 48, 3))).astype(np.uint8), 1) for _ in range(3)
+    ]
+    cs = encode_animation(frames)
+    _, ref_frames = decode_animation(cs)
+
+    im = Image.from_memory(b"")
+    got = []
+    pos, step = 0, max(1, len(cs) // 11)
+    while True:
+        if im.next_frame():
+            got.append(im.current_frame().pixels_u8x4().copy())
+            continue
+        if im.error is None:
+            break  # done: all frames emitted
+        assert im.error == "shrt", im.error_string()
+        if pos >= len(cs):
+            raise AssertionError("shrt at full input")
+        im.push(cs[pos : pos + step])
+        pos += step
+    assert len(got) == len(ref_frames)
+    for (dur, ref), ours in zip(ref_frames, got):
+        np.testing.assert_array_equal(ours, ref)
+
+
 def test_bad_signature_not_retryable():
     im = Image.from_memory(b"\x00\x01\x02\x03" * 10)
     assert not im.next_frame()
