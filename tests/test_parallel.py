@@ -137,3 +137,72 @@ def test_sharded_epf_matches_unsharded():
     mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
     out = np.asarray(sharded_epf(img, rs_px, mesh, iters=3))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_sharded_decode_real_bitstream_multi_lf_group():
+    # the full multi-chip path on a REAL bitstream: TOC byte ranges scattered
+    # over owner workers, block rows striped over an 8-device mesh, parity
+    # against the single-device Decoder (filters off: the single-device path
+    # filters per LF group, the sharded path whole-image)
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.vardct_enc import encode_vardct
+    from j40_tpu.parallel.sharded_decode import decode_sharded
+
+    rng = np.random.default_rng(60)
+    img = (
+        np.cumsum(rng.integers(-2, 3, size=(128, 2560, 3)), axis=1) % 180 + 30
+    ).astype(np.uint8)
+    cs = encode_vardct(img)
+    _, ref = decode_file(cs)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    out = decode_sharded(cs, mesh=mesh, apply_filters=False)
+    assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
+
+
+def test_sharded_decode_with_halo_filters_ragged_height():
+    # gaborish + 2-step EPF with ppermute halo exchange, ragged height (not a
+    # multiple of 8*n): pad rows maintain the half-sample mirror so output
+    # matches the single-device filtered decode
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+    from j40_tpu.parallel.sharded_decode import decode_sharded
+
+    rng = np.random.default_rng(61)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(237, 520, 3)), axis=0),
+                  axis=1) % 200 + 20
+    ).astype(np.uint8)
+    cs = encode_vardct(img, VarDCTOptions(sharpness=7))
+    d = Decoder(cs, apply_filters=True)
+    d.decode_frame()
+    ref = d.render_rgba8()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    out = decode_sharded(cs, mesh=mesh, apply_filters=True)
+    assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
+
+
+def test_sharded_decode_batch_2d_mesh():
+    # (img, rows) 2-D mesh: 2 images data-parallel x 4-way row-striped
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.vardct_enc import encode_vardct
+    from j40_tpu.parallel.sharded_decode import decode_sharded_batch
+
+    rng = np.random.default_rng(62)
+    imgs = [
+        (np.cumsum(rng.integers(-2, 3, size=(96, 320, 3)), axis=1) % 180 + 30)
+        .astype(np.uint8)
+        for _ in range(2)
+    ]
+    blobs = [encode_vardct(im) for im in imgs]
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("img", "rows"))
+    outs = decode_sharded_batch(blobs, mesh, apply_filters=False)
+    for blob, out in zip(blobs, outs):
+        _, ref = decode_file(blob)
+        assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
