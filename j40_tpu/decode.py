@@ -240,6 +240,20 @@ class Decoder:
                 ggidx = (row // 8) * f.ggcolumns + (col // 8)
                 return ggidx in state.vardct.lf_groups
 
+            if self.backend == "device" and f.is_modular:
+                # TPU lossless path: decode eligible pass-group sections in
+                # SIMD lockstep on the device (one lane per section,
+                # j40.h:7749-7776 isolation); ineligible sections fall
+                # through to the host chains below.
+                from .ops.device_modular import try_device_pass_groups
+
+                dev_run = [s for s in pg_todo if _avail(s)]
+                for s in try_device_pass_groups(self, state, f, dev_run):
+                    done.add((s.pass_, s.idx))
+                pg_todo = [
+                    s for s in pg_todo if (s.pass_, s.idx) not in done
+                ]
+
             # Group the runnable pass sections into per-group chains ordered
             # by pass: two passes of the SAME group accumulate (+=) into the
             # same coefficient planes, so they must run on one thread;

@@ -162,16 +162,11 @@ class FrameState:
         y0 = row * ggsize
         return (x0, y0, min(f.width - x0, ggsize), min(f.height - y0, ggsize))
 
-    def _modular_group(
-        self,
-        r: BitReader,
-        sidx: int,
-        region: tuple[int, int, int, int],
-        minshift: int,
-        maxshift: int,
-    ) -> None:
-        """Decode the modular sub-stream covering `region` for channels whose
-        min(hshift, vshift) is within [minshift, maxshift) (j40.h:3656-3715).
+    def modular_picks(
+        self, region: tuple[int, int, int, int], minshift: int, maxshift: int
+    ) -> list[tuple[int, int, int, int, int]]:
+        """Channels of `region`'s modular sub-stream as (gm channel index,
+        x0, y0, w, h) sub-rects (j40.h:3656-3715 channel split).
 
         NOTE: the reference sizes shifted sub-channels with a FLOOR shift
         (`gw >> hshift`, flagged "should be ceil?" at j40.h:3676); we use
@@ -193,6 +188,19 @@ class FrameState:
             if w <= 0 or h <= 0:
                 continue
             picks.append((i, x0, y0, w, h))
+        return picks
+
+    def _modular_group(
+        self,
+        r: BitReader,
+        sidx: int,
+        region: tuple[int, int, int, int],
+        minshift: int,
+        maxshift: int,
+    ) -> None:
+        """Decode the modular sub-stream covering `region` (j40.h:3656-3715)."""
+        gm = self.gmodular
+        picks = self.modular_picks(region, minshift, maxshift)
         if not picks:
             return
         sub = ModularImage(

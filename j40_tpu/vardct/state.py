@@ -643,7 +643,7 @@ class VarDCTState:
         gmodular.channels = color + gmodular.channels
         gmodular.nb_meta_channels = 0
 
-        use_jax = getattr(self.fs, "backend", "numpy") == "jax"
+        use_jax = getattr(self.fs, "backend", "numpy") in ("jax", "device")
         if use_jax:
             # dispatch every LF group first: the runtime's async queue
             # pipelines uploads/compute/fetches across groups (matters for

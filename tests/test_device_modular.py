@@ -1,0 +1,116 @@
+"""End-to-end device-backend modular decode: backend="device" routes pass
+groups through the lockstep device entropy + wavefront kernels and must stay
+bit-exact vs the host path and the dj40 oracle (VERDICT r1 item 1)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from j40_tpu.decode import Decoder, decode_file
+from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+
+
+def _img(h, w, nc=3, seed=7):
+    rng = np.random.default_rng(seed)
+    return (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(h, w, nc)), axis=0), axis=1)
+        % 256
+    ).astype(np.uint8)
+
+
+def _device_decode(cs):
+    dec = Decoder(cs, backend="device")
+    while not dec.done:
+        dec.decode_frame()
+    return dec, dec.render_rgba8()
+
+
+def _assert_device_matches_host(cs, expect_device=True):
+    dec, rgba = _device_decode(cs)
+    _, ref = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref, err_msg="device != host backend")
+    dm = dec.stats.get("device_modular")
+    if expect_device:
+        assert dm and dm["lanes"] > 0, "device path never ran"
+    else:
+        assert dm is None, "device path ran on an ineligible stream"
+    return dec, rgba
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_multi_group_device_vs_dj40(dj40, tmp_path, use_prefix):
+    # 3x2 ragged group grid (128-px groups; 44-px right edge, 72-px bottom)
+    img = _img(200, 300)
+    cs = encode_modular(
+        img, options=EncodeOptions(use_prefix=use_prefix, group_size_shift=7)
+    )
+    dec, rgba = _assert_device_matches_host(cs)
+    assert dec.stats["device_modular"]["lanes"] == 6
+
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run(
+        [str(dj40), str(jxl), str(png)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, f"dj40 failed: {r.stderr} {r.stdout}"
+    ref = np.asarray(Image.open(png).convert("RGBA"))
+    np.testing.assert_array_equal(rgba, ref, err_msg="device != dj40 oracle")
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+@pytest.mark.parametrize("predictor", [0, 1, 2, 5])
+def test_device_predictors(predictor):
+    img = _img(150, 260, seed=predictor)
+    cs = encode_modular(
+        img,
+        options=EncodeOptions(predictor=predictor, group_size_shift=7),
+    )
+    _assert_device_matches_host(cs)
+
+
+def test_device_rgba_alpha():
+    img = _img(140, 200, nc=4, seed=3)
+    cs = encode_modular(img, options=EncodeOptions(group_size_shift=7))
+    dec, rgba = _assert_device_matches_host(cs)
+    np.testing.assert_array_equal(rgba, img)
+
+
+def test_device_falls_back_on_lz77():
+    # LZ77 streams are host-only; backend="device" must still decode right
+    img = np.tile(np.arange(16, dtype=np.uint8), (130, 10))[:, :150]
+    img = np.stack([img, img[::-1], img], axis=-1)
+    cs = encode_modular(
+        img, options=EncodeOptions(lz77=True, group_size_shift=7)
+    )
+    _assert_device_matches_host(cs, expect_device=False)
+
+
+def test_device_falls_back_on_unsupported_predictor():
+    img = _img(140, 200, seed=9)
+    cs = encode_modular(
+        img, options=EncodeOptions(predictor=4, group_size_shift=7)
+    )
+    _assert_device_matches_host(cs, expect_device=False)
+
+
+def test_device_streaming_resume_parity():
+    # the device path must respect section-granular resume bookkeeping
+    img = _img(150, 260, seed=11)
+    cs = encode_modular(img, options=EncodeOptions(group_size_shift=7))
+    dec = Decoder(cs[: len(cs) // 2], backend="device", streaming=True)
+    from j40_tpu.errors import ShortInput
+
+    got_short = False
+    try:
+        dec.decode_frame()
+    except ShortInput:
+        got_short = True
+    dec.push(cs[len(cs) // 2 :])
+    dec.decode_frame()
+    rgba = dec.render_rgba8()
+    _, ref = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref)
+    assert got_short  # the split point really was mid-frame
