@@ -1,12 +1,25 @@
 """Benchmark: decode throughput (Mpix/s) vs the reference dj40.
 
 Measures the BASELINE.json metric — "decode Mpix/s/chip (Modular lossless +
-VarDCT d1.0)" — as the geometric mean over the two modes, each compared
-against a locally built dj40 on the same files (the reference publishes no
-absolute numbers; see BASELINE.md).  dj40 is timed without PNG writing.
+VarDCT d1.0)" — over the BASELINE.md measurement-matrix configs, each
+compared against a locally built dj40 on the same files (the reference
+publishes no absolute numbers; see BASELINE.md).  dj40 is timed without PNG
+writing.
+
+Configs (BASELINE.md rows):
+  modular      row 1 analog: fast-path lossless stream, 1024^2
+  modular_e3   row 2 analog: MA tree + weighted-predictor stream, 1024^2
+               (dj40 decodes it; the Squeeze part of row 2 is covered by
+               tests, not timed, since dj40 rejects Squeeze)
+  vardct       row 3: VarDCT 1024^2, device reconstruction
+  vardct_12mp  row 4 analog: VarDCT 4096x3072 (12.6 MP)
+  batch64      row 5 analog: 64 x 512^2 VarDCT decoded concurrently
+               (aggregate Mpix/s + efficiency vs one stream)
 
 Prints exactly one JSON line on stdout:
-  {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": R}
+  {"metric": "...", "value": N, "unit": "Mpix/s", "vs_baseline": R,
+   "configs": {...}, "batch64": {...}, "stages": {...}}
+value / vs_baseline are geomeans over the four dj40-comparable configs.
 """
 
 from __future__ import annotations
@@ -26,6 +39,7 @@ CACHE = Path("/tmp/j40_tpu_bench")
 SIZE = int(os.environ.get("BENCH_SIZE", "1024"))
 ITERS = int(os.environ.get("BENCH_ITERS", "5"))
 WORKERS = int(os.environ.get("BENCH_WORKERS", str(os.cpu_count() or 4)))
+ONLY = [s for s in os.environ.get("BENCH_CONFIGS", "").split(",") if s]
 
 
 def _ensure_dj40() -> Path | None:
@@ -65,33 +79,36 @@ def _device_available(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def _test_image(size: int) -> np.ndarray:
-    rng = np.random.default_rng(12345)
-    img = np.cumsum(np.cumsum(rng.integers(-2, 3, size=(size, size, 3)), 0), 1)
+def _test_image(w: int, h: int, seed: int = 12345) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = np.cumsum(np.cumsum(rng.integers(-2, 3, size=(h, w, 3)), 0), 1)
     return (img % 200 + 20).astype(np.uint8)
 
 
-def _time_ours(data: bytes, backend: str) -> float:
+def _time_ours(data: bytes, backend: str) -> tuple[float, dict]:
     from j40_tpu.decode import Decoder
 
     def once():
         d = Decoder(data, backend=backend, workers=WORKERS)
         d.decode_frame()
-        return d.render_rgba8()
+        return d, d.render_rgba8()
 
-    rgba = once()  # warmup (includes jit compile on device backends)
+    dec, rgba = once()  # warmup (includes jit compile on device backends)
     # best-of-N: the dev host's TPU tunnel bandwidth swings ~2x with ambient
     # load, so the minimum is the honest hardware-capability number; device
     # backends sample inside a time budget to ride out congestion windows
     dt = float("inf")
+    stats: dict = {}
     budget = time.perf_counter() + (90.0 if backend != "numpy" else 15.0)
     iters = 0
     while iters < ITERS or (time.perf_counter() < budget and iters < 4 * ITERS):
         t0 = time.perf_counter()
-        once()
-        dt = min(dt, time.perf_counter() - t0)
+        dec, _ = once()
+        t = time.perf_counter() - t0
+        if t < dt:
+            dt, stats = t, dict(dec.stats)
         iters += 1
-    return rgba.shape[0] * rgba.shape[1] / dt / 1e6
+    return rgba.shape[0] * rgba.shape[1] / dt / 1e6, stats
 
 
 def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
@@ -104,6 +121,35 @@ def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
     return pixels / dt / 1e6
 
 
+def _bench_batch64(backend: str, n: int = 64, size: int = 512) -> dict:
+    """BASELINE row-5 analog: aggregate throughput over a 64-image batch vs
+    the same decoder run on one stream (scaling efficiency)."""
+    from j40_tpu.encode.vardct_enc import encode_vardct
+    from j40_tpu.parallel.batch import decode_batch
+
+    blobs = []
+    for i in range(n):
+        p = CACHE / f"batch_{size}_{i}.jxl"
+        if not p.exists():
+            p.write_bytes(encode_vardct(_test_image(size, size, seed=1000 + i)))
+        blobs.append(p.read_bytes())
+    pixels = n * size * size
+
+    decode_batch(blobs[:4], workers=WORKERS, backend=backend)  # warmup
+    t0 = time.perf_counter()
+    decode_batch(blobs, workers=WORKERS, backend=backend)
+    agg = pixels / (time.perf_counter() - t0) / 1e6
+
+    one, _ = _time_ours(blobs[0], backend)
+    return {
+        "aggregate_mpixps": round(agg, 3),
+        "single_stream_mpixps": round(one, 3),
+        "efficiency_vs_1stream": round(agg / one, 3) if one else 0.0,
+        "images": n,
+        "image_px": size,
+    }
+
+
 def main() -> None:
     sys.path.insert(0, str(REPO))
     try:
@@ -113,64 +159,97 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
     from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.encode.modular_enc import branch, leaf
     from j40_tpu.encode.vardct_enc import encode_vardct
 
     CACHE.mkdir(exist_ok=True)
-    img = _test_image(SIZE)
-    pixels = SIZE * SIZE
+    img = _test_image(SIZE, SIZE)
 
-    cases = {}
-    mod_path = CACHE / f"modular_{SIZE}.jxl"
-    if not mod_path.exists():
-        mod_path.write_bytes(encode_modular(img))
-    cases["modular"] = (mod_path, "numpy")
-
-    vd_size = min(SIZE, 2048)
-    vd_path = CACHE / f"vardct_{vd_size}.jxl"
-    if not vd_path.exists():
-        vd_path.write_bytes(encode_vardct(img[:vd_size, :vd_size]))
-    backend = os.environ.get("BENCH_BACKEND", "jax")
-    if backend == "jax" and not _device_available():
+    device_backend = os.environ.get("BENCH_BACKEND", "jax")
+    if device_backend == "jax" and not _device_available():
         print("# TPU unreachable; vardct falls back to the numpy backend",
               file=sys.stderr)
-        backend = "numpy"
-    cases["vardct"] = (vd_path, backend)
+        device_backend = "numpy"
+
+    # name -> (path, encode fn, backend, (w, h))
+    def mod_simple():
+        return encode_modular(img)
+
+    def mod_e3():
+        # MA-tree stream exercising the weighted predictor: WP-error-gated
+        # split, WP and gradient leaves (cjxl -e3 shape; no single-leaf
+        # fast path on either side)
+        tree = [branch(15, 0, 1, 2), leaf(6), leaf(5)]
+        return encode_modular_advanced(img, options=AdvancedOptions(tree=tree))
+
+    def vd_1mp():
+        return encode_vardct(img)
+
+    def vd_12mp():
+        return encode_vardct(_test_image(4096, 3072, seed=777))
+
+    specs = {
+        "modular": ("modular", mod_simple, "numpy", (SIZE, SIZE)),
+        "modular_e3": ("modular_e3", mod_e3, "numpy", (SIZE, SIZE)),
+        "vardct": (f"vardct", vd_1mp, device_backend, (SIZE, SIZE)),
+        "vardct_12mp": ("vardct_12mp", vd_12mp, device_backend, (4096, 3072)),
+    }
+    if ONLY:
+        specs = {k: v for k, v in specs.items() if k in ONLY}
 
     dj40 = _ensure_dj40()
-    ours = {}
-    refs = {}
-    for name, (path, backend) in cases.items():
+    configs: dict[str, dict] = {}
+    stages: dict[str, dict] = {}
+    for name, (stem, enc, backend, (w, h)) in specs.items():
+        path = CACHE / f"{stem}_{w}x{h}.jxl"
+        if not path.exists():
+            path.write_bytes(enc())
         data = path.read_bytes()
-        ours[name] = _time_ours(data, backend)
+        pixels = w * h
+        ours, stats = _time_ours(data, backend)
+        entry = {"ours_mpixps": round(ours, 3), "backend": backend}
         if dj40 is not None:
-            refs[name] = _time_dj40(dj40, path, pixels)
-        print(
-            f"# {name}: ours {ours[name]:.2f} Mpix/s, dj40 "
-            f"{refs.get(name, float('nan')):.2f} Mpix/s",
-            file=sys.stderr,
-        )
+            ref = _time_dj40(dj40, path, pixels)
+            entry["dj40_mpixps"] = round(ref, 3)
+            entry["ratio"] = round(ours / ref, 3)
+        configs[name] = entry
+        stage_keys = ("headers_s", "sections_s", "reconstruct_s", "render_s",
+                      "total_s")
+        stages[name] = {
+            k: round(v, 4) for k, v in stats.items()
+            if k in stage_keys or k.endswith("_s")
+        }
+        print(f"# {name}: ours {ours:.2f} Mpix/s ({backend}), dj40 "
+              f"{entry.get('dj40_mpixps', float('nan'))} Mpix/s", file=sys.stderr)
 
-    value = math.sqrt(ours["modular"] * ours["vardct"])
-    vs_baseline = 0.0
-    if refs:
-        vs_baseline = math.sqrt(
-            (ours["modular"] / refs["modular"]) * (ours["vardct"] / refs["vardct"])
-        )
+    out: dict = {}
+    if not ONLY or "batch64" in ONLY:
+        out["batch64"] = _bench_batch64(device_backend)
+        print(f"# batch64: {out['batch64']}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"decode Mpix/s/chip, geomean of Modular lossless + VarDCT "
-                    f"({SIZE}x{SIZE}, {WORKERS} host threads)"
-                ),
-                "value": round(value, 3),
-                "unit": "Mpix/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    rated = [c for c in configs.values() if "ratio" in c]
+    value = math.exp(
+        sum(math.log(c["ours_mpixps"]) for c in configs.values()) / len(configs)
+    ) if configs else 0.0
+    vs_baseline = math.exp(
+        sum(math.log(c["ratio"]) for c in rated) / len(rated)
+    ) if rated else 0.0
+
+    out = {
+        "metric": (
+            "decode Mpix/s/chip, geomean over BASELINE configs "
+            f"{sorted(configs)} ({WORKERS} host threads)"
+        ),
+        "value": round(value, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "configs": configs,
+        "stages": stages,
+        **out,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
