@@ -166,7 +166,9 @@ def pack_streams(streams: list[tuple[bytes, int]]) -> tuple[np.ndarray, np.ndarr
         words = w[:, 0].astype(np.uint32) | (w[:, 1].astype(np.uint32) << 8)
         rows.append(words)
         maxw = max(maxw, len(words))
-    out = np.zeros((L, maxw + 4), np.uint32)  # +4 pad: refills past stream end
+    # +16 pad: refills and the per-block hoisted window may read past the
+    # stream end once a lane has finished (inactive lanes keep refilling)
+    out = np.zeros((L, maxw + 16), np.uint32)
     for l, words in enumerate(rows):
         out[l, : len(words)] = words
     return out, skips
@@ -175,10 +177,15 @@ def pack_streams(streams: list[tuple[bytes, int]]) -> tuple[np.ndarray, np.ndarr
 # ---------------------------------------------------------------- symbol scan
 
 
-def _refill(words, buf, cnt, pos):
-    """One conditional 16-bit refill (j40 bit reader order, LSB-first)."""
+def _refill(words, buf, cnt, pos, base=None):
+    """One conditional 16-bit refill (j40 bit reader order, LSB-first).
+
+    With `base`, `words` is a per-lane window whose column 0 is stream word
+    `base[l]` (the per-block hoisted gather); without, it is the full
+    stream-word matrix."""
     need = cnt <= 16
-    w = jnp.take_along_axis(words, pos[:, None], axis=1)[:, 0]
+    idx = pos if base is None else pos - base
+    w = jnp.take_along_axis(words, idx[:, None], axis=1)[:, 0]
     buf = jnp.where(need, buf | (w << cnt.astype(jnp.uint32)), buf)
     pos = jnp.where(need, pos + 1, pos)
     cnt = jnp.where(need, cnt + 16, cnt)
@@ -235,11 +242,11 @@ def decode_tokens(
         buf, cnt = _consume(buf, cnt, jnp.full(L, 16, jnp.int32))
         state = lo16 | (hi16 << 16)
 
-    def one_symbol(carry, t):
+    def one_symbol(carry, t, src, base):
         buf, cnt, pos, state = carry
         active = t < nsym
-        buf, cnt, pos = _refill(words, buf, cnt, pos)
-        buf, cnt, pos = _refill(words, buf, cnt, pos)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
 
         if use_prefix:
             pat = (buf & 0x7FFF).astype(jnp.int32)
@@ -252,8 +259,8 @@ def decode_tokens(
             fb = jnp.take_along_axis(fb_lut, idx[:, None], axis=1)[:, 0]
             tok = jnp.take_along_axis(sym_lut, idx[:, None], axis=1)[:, 0]
             freq = (fb >> 12).astype(u32)
-            base = (fb & 0xFFF).astype(u32)
-            nstate = freq * (state >> 12) + base
+            fbase = (fb & 0xFFF).astype(u32)
+            nstate = freq * (state >> 12) + fbase
             renorm = active & (nstate < (1 << 16))
             w16 = buf & 0xFFFF
             nstate = jnp.where(renorm, (nstate << 16) | w16, nstate)
@@ -261,8 +268,8 @@ def decode_tokens(
                 buf, cnt, jnp.where(renorm, 16, 0).astype(jnp.int32)
             )
             state = jnp.where(active, nstate, state)
-        buf, cnt, pos = _refill(words, buf, cnt, pos)
-        buf, cnt, pos = _refill(words, buf, cnt, pos)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
 
         tok = jnp.where(active, tok, 0)
         mb = jnp.take_along_axis(mb_lut, tok[:, None], axis=1)[:, 0]
@@ -274,10 +281,25 @@ def decode_tokens(
         value = (A << mb) | (mid << lsb) | lo
         return (buf, cnt, pos, state), jnp.where(active, value, 0)
 
+    # One symbol consumes at most ~33 bits (prefix <= 15 / ANS renorm 16,
+    # plus <= MAX_MIDBITS extra bits) and the bit buffer holds < 48 bits, so
+    # an `unroll`-symbol block advances `pos` by at most
+    # ceil(33*unroll/16) + 3 words.  Hoisting ONE windowed gather of that
+    # many contiguous words per block replaces the 6*unroll full-width
+    # stream gathers whose cost scales with the stream length — those
+    # dominated the scan (measured ~26 us/token-step at 64 lanes on v5e
+    # before this change; see SCALING.md).
+    win_w = -(-(33 * unroll) // 16) + 4
+    woff = jnp.arange(win_w, dtype=jnp.int32)[None, :]
+
     def body(carry, ts):
+        buf, cnt, pos, state = carry
+        base = pos
+        win = jnp.take_along_axis(words, base[:, None] + woff, axis=1)
         vals = []
+        carry = (buf, cnt, pos, state)
         for j in range(unroll):
-            carry, v = one_symbol(carry, ts[j])
+            carry, v = one_symbol(carry, ts[j], win, base)
             vals.append(v)
         return carry, jnp.stack(vals)
 
