@@ -188,7 +188,16 @@ def main() -> None:
         return encode_vardct(img)
 
     def vd_12mp():
-        return encode_vardct(_test_image(4096, 3072, seed=777))
+        # mixed DctSelect layout (config-4 "variable blocks"): flat regions
+        # merge into 16x16/32x32/16x8/8x16 varblocks
+        from j40_tpu.encode.vardct_enc import encode_vardct_mixed
+
+        img12 = _test_image(4096, 3072, seed=777)
+        img12[:768, :1024] = img12[10, 10]  # flat band -> large varblocks
+        stats: dict = {}
+        data = encode_vardct_mixed(img12, stats_out=stats)
+        print(f"# vardct_12mp mix: {stats['dctsel_counts']}", file=sys.stderr)
+        return data
 
     specs = {
         "modular": ("modular", mod_simple, "numpy", (SIZE, SIZE)),

@@ -547,6 +547,140 @@ def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8, ctxoff=0):
     enc.add_arrays(all_ctx[all_ok], all_val[all_ok], stream)
 
 
+def encode_vardct_mixed(image: np.ndarray,
+                        options: VarDCTOptions | None = None,
+                        t16: float = 1e-3, t32: float = 5e-4,
+                        stats_out: dict | None = None) -> bytes:
+    """Encode (h, w, 3) RGB with a MIXED varblock layout: flat regions (by
+    per-8px-block HF energy of the Y channel) merge into DCT16X16 /
+    DCT32X32 / DCT16X8 / DCT8X16 varblocks, detailed regions stay DCT8x8.
+
+    This is the BASELINE config-4 stream shape ("variable blocks") — the
+    decode path it exercises is the reference's j40.h:7178-7191 transform
+    dispatch over mixed DctSelect classes.  The quantized coefficients come
+    from true forward DCTs of each varblock (LLF region left to the
+    decoder's LF forward-DCT, j40.h:6669-6683), so content is realistic;
+    correctness is gated decoder-vs-decoder (dj40 differential), as
+    everywhere else."""
+    from ..vardct.dct import forward_matrix
+    from ..vardct.dequant import DqMatrix, load_dq_matrix
+    from ..vardct.tables import DCT_SELECT
+
+    opt = options or VarDCTOptions()
+    h, wd, nc = image.shape
+    assert nc == 3, "mixed encoder: RGB only"
+    h8, w8 = ceil_div(h, 8), ceil_div(wd, 8)
+    pad = np.pad(image, ((0, h8 * 8 - h), (0, w8 * 8 - wd), (0, 0)), mode="edge")
+    xyb = srgb_to_xyb(pad).astype(np.float64)
+
+    # per-8x8-cell DC (for LF) and Y-channel HF energy (for the block chooser)
+    F8 = forward_matrix(8).astype(np.float64)
+    blocks8 = xyb.reshape(3, h8, 8, w8, 8).transpose(0, 1, 3, 2, 4)
+    C8 = np.einsum("ij,chwjk,lk->chwil", F8, blocks8, F8) / 64.0
+    Wc8 = C8.transpose(0, 1, 2, 4, 3).reshape(3, h8, w8, 64)
+    energy = (Wc8[1] ** 2).sum(-1) - Wc8[1][..., 0] ** 2  # (h8, w8)
+
+    # LF quantization with B-channel CfL (kb_lf = 1), as in encode_vardct
+    m_lf_scaled = opt.m_lf_scaled or (1.0 / 4096.0, 1.0 / 512.0, 1.0 / 256.0)
+    mult_lf = [
+        m_lf_scaled[c] / (opt.global_scale * opt.quant_lf) * 65536 for c in range(3)
+    ]
+    dc = Wc8[:, :, :, 0]
+    lf_int = np.zeros((3, h8, w8), dtype=np.int64)
+    lf_int[1] = np.round(dc[1] / mult_lf[1])
+    lf_int[0] = np.round(dc[0] / mult_lf[0])
+    lf_int[2] = np.round((dc[2] - lf_int[1] * mult_lf[1]) / mult_lf[2])
+
+    # block chooser: greedy merge of aligned low-energy regions (within
+    # image, LF-group and 256px-group bounds — j40.h:6645-6650)
+    grid = np.zeros((h8, w8), np.int64)
+    covered = np.zeros((h8, w8), bool)
+
+    def fits(y, x, vh8, vw8):
+        return (
+            y + vh8 <= h8 and x + vw8 <= w8
+            and not covered[y : y + vh8, x : x + vw8].any()
+            and (x % 256) + vw8 <= 256 and (y % 256) + vh8 <= 256
+            and ((x % 256) >> 5) == (((x % 256) + vw8 - 1) >> 5)
+            and ((y % 256) >> 5) == (((y % 256) + vh8 - 1) >> 5)
+        )
+
+    for (sel, vh8, vw8, thr) in ((5, 4, 4, t32), (4, 2, 2, t16),
+                                 (6, 2, 1, t16), (7, 1, 2, t16)):
+        for y in range(0, h8 - vh8 + 1, vh8):
+            for x in range(0, w8 - vw8 + 1, vw8):
+                if fits(y, x, vh8, vw8) and \
+                        energy[y : y + vh8, x : x + vw8].max() < thr:
+                    covered[y : y + vh8, x : x + vw8] = True
+                    grid[y, x] = sel
+    covered[:] = False
+
+    mult1 = 65536.0 / opt.global_scale / opt.hf_mul
+    mults = (mult1 * QM_SCALE[3], mult1, mult1 * QM_SCALE[2])
+    qbias = np.array(QUANT_BIAS)
+
+    def _quantize(flat, wgt):
+        """CfL-aware quantization of (3, size) canonical coefficients
+        (kx_hf = 0, kb_hf = 1, decoder-exact Y dequant for B)."""
+        q = np.zeros(flat.shape, dtype=np.int64)
+        q[1] = np.round(flat[1] * wgt[..., 1] / mults[1])
+        qf = q[1].astype(np.float64)
+        small = np.abs(qf) <= 1.0
+        y_deq = np.where(small, qf * qbias[1],
+                         qf - QUANT_BIAS_NUM / np.where(qf == 0, 1, qf))
+        y_deq = y_deq * (mults[1] / wgt[..., 1])
+        q[0] = np.round(flat[0] * wgt[..., 0] / mults[0])
+        q[2] = np.round((flat[2] - y_deq) * wgt[..., 2] / mults[2])
+        return q
+
+    # vectorized tokens for every 8x8 cell (the dominant class)
+    wgt8 = load_dq_matrix(0, DqMatrix()).astype(np.float64)
+    hf8 = _quantize(Wc8, wgt8[None, None])  # (3, h8, w8, 64)
+    hf8[:, :, :, 0] = 0
+
+    def vb_tokens(y8, x8, sel):
+        log_vh, log_vw, param_idx, _ = DCT_SELECT[sel]
+        N, M = 1 << log_vh, 1 << log_vw
+        if sel == 0:
+            q = hf8[:, y8, x8, :]
+            return [q[0], q[1], q[2]]
+        blk = xyb[:, y8 * 8 : y8 * 8 + N, x8 * 8 : x8 * 8 + M]
+        FN = forward_matrix(N).astype(np.float64)
+        FM = forward_matrix(M).astype(np.float64)
+        C = np.einsum("ij,cjk,lk->cil", FN, blk, FM) / (N * M)
+        # canonical storage is (2^min, 2^max); C is W when M > N,
+        # else W^T (includes square blocks) — vardct/dct.py:108-117
+        flat = (C if M > N else C.transpose(0, 2, 1)).reshape(3, N * M)
+        wgt = load_dq_matrix(param_idx, DqMatrix()).astype(np.float64)[: N * M]
+        q = _quantize(flat, wgt)
+        # LLF positions are not HF-coded (decoder fills them from LF)
+        vbh8, vbw8 = 1 << (min(log_vh, log_vw) - 3), 1 << (max(log_vh, log_vw) - 3)
+        for yy in range(vbh8):
+            q[:, yy * vbw8 * 8 : yy * vbw8 * 8 + vbw8] = 0
+        return [q[0], q[1], q[2]]
+
+    # token lists in decoder discovery order (per LF group, raster)
+    tokens = []
+    sel_counts: dict[int, int] = {}
+    gg_cols, gg_rows = ceil_div(w8, 256), ceil_div(h8, 256)
+    for ggr in range(gg_rows):
+        for ggc in range(gg_cols):
+            for y in range(ggr * 256, min(ggr * 256 + 256, h8)):
+                for x in range(ggc * 256, min(ggc * 256 + 256, w8)):
+                    if covered[y, x]:
+                        continue
+                    sel = int(grid[y, x])
+                    log_vh, log_vw, _, _ = DCT_SELECT[sel]
+                    covered[y : y + (1 << (log_vh - 3)),
+                            x : x + (1 << (log_vw - 3))] = True
+                    tokens.append(vb_tokens(y, x, sel))
+                    sel_counts[sel] = sel_counts.get(sel, 0) + 1
+    if stats_out is not None:
+        stats_out["nb_varblocks"] = len(tokens)
+        stats_out["dctsel_counts"] = sel_counts
+    return synthesize_vardct(wd, h, grid, lf_int, tokens, options=opt)
+
+
 # -- raw-coefficient synthesis (differential test vectors) -------------------
 
 
@@ -579,21 +713,41 @@ def synthesize_vardct(
     opt = options or VarDCTOptions()
     h8, w8 = ceil_div(height, 8), ceil_div(width, 8)
     assert dctsel_grid.shape == (h8, w8)
+    gg_cols, gg_rows = ceil_div(w8, 256), ceil_div(h8, 256)
+    gcols, grows = ceil_div(w8, 32), ceil_div(h8, 32)
+    num_groups = gcols * grows
 
-    # discover varblocks in raster order
+    # discover varblocks exactly like the decoder (j40.h:6636-6687): per LF
+    # group in raster order, raster scan of the LF group's block grid; a
+    # varblock must not cross a 256px group boundary
     covered = np.zeros((h8, w8), dtype=bool)
-    placements = []  # (y0, x0, dctsel)
-    for y0 in range(h8):
-        for x0 in range(w8):
-            if covered[y0, x0]:
-                continue
-            dctsel = int(dctsel_grid[y0, x0])
-            log_vh, log_vw, _, _ = DCT_SELECT[dctsel]
-            vh8, vw8 = 1 << (log_vh - 3), 1 << (log_vw - 3)
-            assert y0 + vh8 <= h8 and x0 + vw8 <= w8, "varblock out of bounds"
-            covered[y0 : y0 + vh8, x0 : x0 + vw8] = True
-            placements.append((y0, x0, dctsel))
+    placements = []         # (y8, x8, dctsel) global coords, discovery order
+    gg_vbs: list[list[int]] = [[] for _ in range(gg_rows * gg_cols)]
+    for ggr in range(gg_rows):
+        for ggc in range(gg_cols):
+            gy0, gx0 = ggr * 256, ggc * 256
+            lh8, lw8 = min(h8 - gy0, 256), min(w8 - gx0, 256)
+            for y in range(lh8):
+                for x in range(lw8):
+                    yy, xx = gy0 + y, gx0 + x
+                    if covered[yy, xx]:
+                        continue
+                    dctsel = int(dctsel_grid[yy, xx])
+                    log_vh, log_vw, _, _ = DCT_SELECT[dctsel]
+                    vh8, vw8 = 1 << (log_vh - 3), 1 << (log_vw - 3)
+                    assert y + vh8 <= lh8 and x + vw8 <= lw8, \
+                        "varblock crosses the LF group / image bound"
+                    assert (x >> 5) == ((x + vw8 - 1) >> 5) and \
+                        (y >> 5) == ((y + vh8 - 1) >> 5), \
+                        "varblock crosses a 256px group boundary"
+                    covered[yy : yy + vh8, xx : xx + vw8] = True
+                    gg_vbs[ggr * gg_cols + ggc].append(len(placements))
+                    placements.append((yy, xx, dctsel))
     assert len(placements) == len(hf_tokens_per_vb)
+    hfmul_all = (
+        [opt.hf_mul] * len(placements) if hfmul_per_vb is None
+        else [int(v) for v in hfmul_per_vb]
+    )
 
     w = BitWriter()
     write_signature(w)
@@ -601,23 +755,89 @@ def synthesize_vardct(
     w.zero_pad_to_byte()
     _write_vardct_frame_header(w)
 
-    coeff_enc = _collect_tokens_generic(
-        opt, placements, hf_tokens_per_vb, h8, w8,
-        lf_int=lf_int, hfmul_per_vb=hfmul_per_vb,
-    )
-    sw = BitWriter()
-    _write_lf_global(sw, opt)
-    _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc])
-    _write_lf_group(sw, opt, lf_int, h8, w8, dctsels=[p[2] for p in placements],
-                    xfromy=xfromy, bfromy=bfromy, hfmul_per_vb=hfmul_per_vb)
-    coeff_enc.write_tokens(sw)
-    section = sw.finish()
+    # HF tokens: one stream per (pass=0, group); group-local placements
+    setup = _blockctx_setup(opt, lf_int, h8, w8)
+    nb_block_ctx = setup[1]
+    coeff_enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
+                               use_prefix=opt.use_prefix)
+    for g in range(num_groups):
+        grow, gcol = divmod(g, gcols)
+        gy0, gx0 = grow * 32, gcol * 32
+        gh8_l, gw8_l = min(h8 - gy0, 32), min(w8 - gx0, 32)
+        local = [
+            i for i in range(len(placements))
+            if placements[i][0] >> 5 == grow and placements[i][1] >> 5 == gcol
+        ]
+        lsetup = (setup[0], setup[1], setup[2], setup[3],
+                  setup[4][gy0 : gy0 + gh8_l, gx0 : gx0 + gw8_l], setup[5])
+        ctxoff = 495 * nb_block_ctx * (g % opt.num_hf_presets)
+        _collect_group_tokens_generic(
+            opt, coeff_enc, g,
+            [(placements[i][0] - gy0, placements[i][1] - gx0, placements[i][2])
+             for i in local],
+            [hf_tokens_per_vb[i] for i in local],
+            gw8_l, gh8_l, lsetup, [hfmul_all[i] for i in local], ctxoff,
+        )
 
-    w.u(1, 0)
+    def lf_group_section(ggidx: int) -> bytes:
+        ggr, ggc = divmod(ggidx, gg_cols)
+        gy0, gx0 = ggr * 256, ggc * 256
+        lh8, lw8 = min(h8 - gy0, 256), min(w8 - gx0, 256)
+        # per-LF-group planes (decoder reads width64 = ceil(local px / 64))
+        h64 = ceil_div(min(height - gy0 * 8, 2048), 64)
+        w64 = ceil_div(min(width - gx0 * 8, 2048), 64)
+        sw = BitWriter()
+        _write_lf_group(
+            sw, opt, lf_int[:, gy0 : gy0 + lh8, gx0 : gx0 + lw8], lh8, lw8,
+            dctsels=[placements[i][2] for i in gg_vbs[ggidx]],
+            xfromy=None if xfromy is None
+            else xfromy[ggr * 32 : ggr * 32 + h64, ggc * 32 : ggc * 32 + w64],
+            bfromy=None if bfromy is None
+            else bfromy[ggr * 32 : ggr * 32 + h64, ggc * 32 : ggc * 32 + w64],
+            hfmul_per_vb=[hfmul_all[i] for i in gg_vbs[ggidx]],
+        )
+        return sw.finish()
+
+    if num_groups == 1:
+        sw = BitWriter()
+        _write_lf_global(sw, opt)
+        _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc])
+        _write_lf_group(sw, opt, lf_int, h8, w8,
+                        dctsels=[p[2] for p in placements],
+                        xfromy=xfromy, bfromy=bfromy,
+                        hfmul_per_vb=hfmul_all)
+        coeff_enc.write_tokens(sw)
+        section = sw.finish()
+        w.u(1, 0)
+        w.zero_pad_to_byte()
+        w.u32(TOC_U32, len(section))
+        w.zero_pad_to_byte()
+        w.out.extend(section)
+        return w.finish()
+
+    # multi-group: LfGlobal | per-LF-group | HfGlobal | per-group sections
+    sections: list[bytes] = []
+    sw = BitWriter()
+    _write_lf_global(sw, opt, multi_group=True)
+    sections.append(sw.finish())
+    for ggidx in range(gg_rows * gg_cols):
+        sections.append(lf_group_section(ggidx))
+    sw = BitWriter()
+    _write_hf_global(sw, opt, num_groups=num_groups, coeff_encs=[coeff_enc])
+    sections.append(sw.finish())
+    for g in range(num_groups):
+        sw = BitWriter()
+        sw.u(ceil_lg(opt.num_hf_presets), g % opt.num_hf_presets)
+        coeff_enc.write_tokens(sw, g)
+        sections.append(sw.finish())
+
+    w.u(1, 0)  # TOC not permuted
     w.zero_pad_to_byte()
-    w.u32(TOC_U32, len(section))
+    for sct in sections:
+        w.u32(TOC_U32, len(sct))
     w.zero_pad_to_byte()
-    w.out.extend(section)
+    for sct in sections:
+        w.out.extend(sct)
     return w.finish()
 
 
@@ -642,49 +862,53 @@ def _write_vardct_frame_header(w: BitWriter) -> None:
     w.u64(0)  # frame extensions
 
 
-def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8,
-                            lf_int=None, hfmul_per_vb=None) -> EntropyEncoder:
-    """HF token collection for arbitrary varblock layouts (decoder mirror of
-    j40.h:6888-7005), including custom block contexts."""
-    from ..vardct.tables import DCT_SELECT, DEFAULT_BLKCTX as _DEF, LOG_ORDER_SIZE
+def _blockctx_setup(opt, lf_int, h8, w8):
+    """Resolve the HF block-context configuration (decoder dual of
+    j40.h:6276-6305): returns (ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size,
+    lfidx_plane (h8, w8), qf_thr)."""
+    from ..vardct.tables import DEFAULT_BLKCTX as _DEF
 
     bc = opt.block_ctx
     if bc is None:
-        nb_block_ctx = 15
-        ctx_map = _DEF
-        nb_qf_thr = 0
-        lfidx_size = 1
-        lfidx_plane = np.zeros((h8, w8), np.int64)
-        qf_thr = []
-    else:
-        ctx_map = bc["map"]
-        nb_block_ctx = max(ctx_map) + 1
-        qf_thr = bc["qf_thr"]
-        nb_qf_thr = len(qf_thr)
-        nlf = [len(bc["lf_thr"][i]) for i in range(3)]
-        lfidx_size = (nlf[0] + 1) * (nlf[1] + 1) * (nlf[2] + 1)
-        # lfidx precompute mirrors j40__lf_quant (X, *(nb0+1), B, *(nb2+1), Y)
-        lfp = np.zeros((h8, w8), np.int64)
-        for t in bc["lf_thr"][0]:
-            lfp += lf_int[0] > t
-        lfp *= nlf[0] + 1
-        for t in bc["lf_thr"][2]:
-            lfp += lf_int[2] > t
-        lfp *= nlf[2] + 1
-        for t in bc["lf_thr"][1]:
-            lfp += lf_int[1] > t
-        lfidx_plane = lfp
+        return _DEF, 15, 0, 1, np.zeros((h8, w8), np.int64), []
+    ctx_map = bc["map"]
+    nb_block_ctx = max(ctx_map) + 1
+    qf_thr = bc["qf_thr"]
+    nb_qf_thr = len(qf_thr)
+    nlf = [len(bc["lf_thr"][i]) for i in range(3)]
+    lfidx_size = (nlf[0] + 1) * (nlf[1] + 1) * (nlf[2] + 1)
+    # lfidx precompute mirrors j40__lf_quant (X, *(nb0+1), B, *(nb2+1), Y)
+    lfp = np.zeros((h8, w8), np.int64)
+    for t in bc["lf_thr"][0]:
+        lfp += lf_int[0] > t
+    lfp *= nlf[0] + 1
+    for t in bc["lf_thr"][2]:
+        lfp += lf_int[2] > t
+    lfp *= nlf[2] + 1
+    for t in bc["lf_thr"][1]:
+        lfp += lf_int[1] > t
+    return ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size, lfp, qf_thr
 
-    enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
-                         use_prefix=opt.use_prefix)
-    nonzeros = np.zeros((h8 * w8, 3), dtype=np.int32)
-    # corner map in raster order equals placement order
-    for vb_i, ((y8, x8, dctsel), q_all) in enumerate(zip(placements, hf_tokens)):
+
+def _collect_group_tokens_generic(opt, enc, stream, placements, hf_tokens,
+                                  gw8, gh8, setup, hfmul_list, ctxoff=0):
+    """HF token emission for ONE 256px group with arbitrary varblocks
+    (decoder mirror of j40.h:6888-7005).
+
+    placements: (y8, x8, dctsel) in GROUP-local coordinates, group-raster
+    order; the nonzero-prediction plane is group-local (the reference
+    allocates it per section, j40.h:6905, so prediction never crosses a
+    group boundary)."""
+    from ..vardct.tables import DCT_SELECT, LOG_ORDER_SIZE
+
+    ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size, lfidx_plane, qf_thr = setup
+    nonzeros = np.zeros((gh8 * gw8, 3), dtype=np.int32)
+    for (y8, x8, dctsel), q_all, hfmul in zip(placements, hf_tokens, hfmul_list):
         log_rows, log_columns, _, order_idx = DCT_SELECT[dctsel]
         log_size = log_rows + log_columns
         order = natural_order(*LOG_ORDER_SIZE[order_idx])
-        nzpos = y8 * w8 + x8
-        hfmul_m1 = (opt.hf_mul if hfmul_per_vb is None else int(hfmul_per_vb[vb_i])) - 1
+        nzpos = y8 * gw8 + x8
+        hfmul_m1 = hfmul - 1
         qfidx = sum(1 for t in qf_thr if hfmul_m1 >= t)
         lfidx = int(lfidx_plane[y8, x8])
         bctx0 = (order_idx * (nb_qf_thr + 1) + qfidx) * lfidx_size + lfidx
@@ -699,18 +923,18 @@ def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8,
             assert nz_true <= 63 << (log_size - 6)
             if x8 > 0:
                 if y8 > 0:
-                    pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - w8][c] + 1) >> 1
+                    pred = (nonzeros[nzpos - 1][c] + nonzeros[nzpos - gw8][c] + 1) >> 1
                 else:
                     pred = nonzeros[nzpos - 1][c]
             else:
-                pred = nonzeros[nzpos - w8][c] if y8 > 0 else 32
-            nzctx = bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
-            enc.add(nzctx, nz_true)
+                pred = nonzeros[nzpos - gw8][c] if y8 > 0 else 32
+            nzctx = ctxoff + bctx + (pred if pred < 8 else 4 + pred // 2) * nb_block_ctx
+            enc.add(nzctx, nz_true, stream)
             qnz = ceil_div(nz_true, llf)
             for i in range(1 << (log_rows - 3)):
                 for j in range(1 << (log_columns - 3)):
-                    nonzeros[nzpos + i * w8 + j][c] = qnz
-            cctx = 458 * bctx + 37 * nb_block_ctx
+                    nonzeros[nzpos + i * gw8 + j][c] = qnz
+            cctx = ctxoff + 458 * bctx + 37 * nb_block_ctx
             prev = 1 if nz_true <= (1 << (log_size - 4)) else 0
             nz = nz_true
             i = llf
@@ -722,10 +946,26 @@ def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8,
                     + prev
                 )
                 v = int(q[order[i]])
-                enc.add(ctx, pack_signed(v))
+                enc.add(ctx, pack_signed(v), stream)
                 prev = 1 if v != 0 else 0
                 nz -= prev
                 i += 1
+
+
+def _collect_tokens_generic(opt, placements, hf_tokens, h8, w8,
+                            lf_int=None, hfmul_per_vb=None) -> EntropyEncoder:
+    """Single-group HF token collection for arbitrary varblock layouts
+    (back-compat wrapper over _collect_group_tokens_generic)."""
+    setup = _blockctx_setup(opt, lf_int, h8, w8)
+    nb_block_ctx = setup[1]
+    enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
+                         use_prefix=opt.use_prefix)
+    hfmul_list = (
+        [opt.hf_mul] * len(placements) if hfmul_per_vb is None
+        else [int(v) for v in hfmul_per_vb]
+    )
+    _collect_group_tokens_generic(opt, enc, 0, placements, hf_tokens,
+                                  w8, h8, setup, hfmul_list)
     return enc
 
 

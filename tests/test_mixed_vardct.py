@@ -1,0 +1,122 @@
+"""Multi-group / multi-LF-group mixed-DctSelect VarDCT streams vs the dj40
+oracle (reference varblock placement j40.h:6636-6687, per-group HF sections
+j40.h:6874-7043; BASELINE config-4 "variable blocks" shape)."""
+
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from j40_tpu.decode import Decoder, decode_file
+from j40_tpu.encode.vardct_enc import (
+    encode_vardct_mixed,
+    synthesize_vardct,
+)
+from j40_tpu.vardct.tables import DCT_SELECT
+
+
+def _dj40(dj40, cs, tmp_path):
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run([str(dj40), str(jxl), str(png)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr + r.stdout
+    return np.asarray(Image.open(png).convert("RGB")).astype(int)
+
+
+def _random_mixed_stream(width, height, seed=3):
+    """Random mixed-varblock stream: grid + tokens in decoder discovery
+    order (per LF group raster, j40.h:6636)."""
+    rng = np.random.default_rng(seed)
+    h8, w8 = (height + 7) // 8, (width + 7) // 8
+    grid = np.zeros((h8, w8), np.int64)
+    covered = np.zeros((h8, w8), bool)
+    choices = [(0, 1, 1), (4, 2, 2), (5, 4, 4), (6, 2, 1), (7, 1, 2)]
+    for y in range(h8):
+        for x in range(w8):
+            if covered[y, x]:
+                continue
+            ok = []
+            for sel, vh8, vw8 in choices:
+                if (
+                    y + vh8 <= h8 and x + vw8 <= w8
+                    and not covered[y : y + vh8, x : x + vw8].any()
+                    and (y % 256) + vh8 <= 256 and (x % 256) + vw8 <= 256
+                    and ((x % 256) >> 5) == (((x % 256) + vw8 - 1) >> 5)
+                    and ((y % 256) >> 5) == (((y % 256) + vh8 - 1) >> 5)
+                ):
+                    ok.append((sel, vh8, vw8))
+            sel, vh8, vw8 = ok[rng.integers(len(ok))]
+            covered[y : y + vh8, x : x + vw8] = True
+            grid[y, x] = sel
+
+    tokens = []
+    cov2 = np.zeros((h8, w8), bool)
+    gg_cols, gg_rows = (w8 + 255) // 256, (h8 + 255) // 256
+    for ggr in range(gg_rows):
+        for ggc in range(gg_cols):
+            for y in range(ggr * 256, min(ggr * 256 + 256, h8)):
+                for x in range(ggc * 256, min(ggc * 256 + 256, w8)):
+                    if cov2[y, x]:
+                        continue
+                    sel = int(grid[y, x])
+                    lh, lw, _, _ = DCT_SELECT[sel]
+                    cov2[y : y + (1 << (lh - 3)), x : x + (1 << (lw - 3))] = True
+                    size = 1 << (lh + lw)
+                    tokens.append([
+                        np.where(rng.random(size) < 0.8, 0,
+                                 rng.integers(-5, 6, size))
+                        for _ in range(3)
+                    ])
+    lf = rng.integers(-20, 21, (3, h8, w8))
+    return synthesize_vardct(width, height, grid, lf, tokens)
+
+
+@pytest.mark.parametrize("width,height", [(640, 384), (2304, 128)])
+def test_multigroup_mixed_synthesize(dj40, tmp_path, width, height):
+    """Mixed DctSelects across several 256px groups (and, for 2304px width,
+    two LF groups): decoder-vs-decoder differential."""
+    cs = _random_mixed_stream(width, height)
+    ref = _dj40(dj40, cs, tmp_path)
+    _, ours = decode_file(cs)
+    assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
+
+
+@pytest.fixture(scope="module")
+def flatphoto():
+    rng = np.random.default_rng(777)
+    h, w = 384, 512
+    img = (np.cumsum(np.cumsum(rng.integers(-2, 3, size=(h, w, 3)), 0), 1)
+           % 200 + 20).astype(np.uint8)
+    img[:128, :256] = img[10, 10]                      # flat -> 32x32 blocks
+    img[256:, 384:] = (np.linspace(40, 80, 128)[:, None, None]
+                       + np.zeros((128, 128, 3))).astype(np.uint8)
+    return img
+
+
+def test_encode_mixed_vs_dj40(dj40, tmp_path, flatphoto):
+    stats: dict = {}
+    cs = encode_vardct_mixed(flatphoto, stats_out=stats)
+    # the chooser must actually produce a mixed layout
+    assert stats["dctsel_counts"].get(0, 0) > 0
+    assert sum(stats["dctsel_counts"].get(s, 0) for s in (4, 5, 6, 7)) > 4, stats
+    ref = _dj40(dj40, cs, tmp_path)
+    _, ours = decode_file(cs)
+    assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
+    # PSNR >= dj40's (both decode the same stream; gate vs source)
+    err = ours[:, :, :3].astype(float) - flatphoto
+    psnr = 10 * np.log10(255**2 / np.mean(err**2))
+    derr = ref.astype(float) - flatphoto
+    dpsnr = 10 * np.log10(255**2 / np.mean(derr**2))
+    assert psnr >= dpsnr - 0.05 and psnr > 28, (psnr, dpsnr)
+
+
+def test_encode_mixed_jax_backend(dj40, tmp_path, flatphoto):
+    """The device reconstruction path on a mixed multi-group stream."""
+    cs = encode_vardct_mixed(flatphoto)
+    ref = _dj40(dj40, cs, tmp_path)
+    dec = Decoder(cs, backend="jax")
+    dec.decode_frame()
+    out = dec.render_rgba8()
+    assert np.abs(out[:, :, :3].astype(int) - ref).max() <= 1
