@@ -760,17 +760,28 @@ def synthesize_vardct(
     nb_block_ctx = setup[1]
     coeff_enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
                                use_prefix=opt.use_prefix)
+    by_group: list[list[int]] = [[] for _ in range(num_groups)]
+    for i, (y8, x8, _sel) in enumerate(placements):
+        by_group[(y8 >> 5) * gcols + (x8 >> 5)].append(i)
     for g in range(num_groups):
         grow, gcol = divmod(g, gcols)
         gy0, gx0 = grow * 32, gcol * 32
         gh8_l, gw8_l = min(h8 - gy0, 32), min(w8 - gx0, 32)
-        local = [
-            i for i in range(len(placements))
-            if placements[i][0] >> 5 == grow and placements[i][1] >> 5 == gcol
-        ]
+        local = by_group[g]
+        ctxoff = 495 * nb_block_ctx * (g % opt.num_hf_presets)
+        if (opt.block_ctx is None and len(local) == gh8_l * gw8_l
+                and all(placements[i][2] == 0 for i in local)):
+            # vectorized path for all-DCT8x8 groups (the dominant case)
+            hf_local = np.zeros((3, gh8_l, gw8_l, 64), np.int64)
+            for i in local:
+                y8l, x8l = placements[i][0] - gy0, placements[i][1] - gx0
+                for c in range(3):
+                    hf_local[c, y8l, x8l] = hf_tokens_per_vb[i][c]
+            _collect_group(opt, coeff_enc, g, hf_local, gh8_l, gw8_l,
+                           0, 0, ctxoff)
+            continue
         lsetup = (setup[0], setup[1], setup[2], setup[3],
                   setup[4][gy0 : gy0 + gh8_l, gx0 : gx0 + gw8_l], setup[5])
-        ctxoff = 495 * nb_block_ctx * (g % opt.num_hf_presets)
         _collect_group_tokens_generic(
             opt, coeff_enc, g,
             [(placements[i][0] - gy0, placements[i][1] - gx0, placements[i][2])
