@@ -139,6 +139,10 @@ class EncodeOptions:
     ycbcr: bool = False  # store YCbCr samples (do_ycbcr; near-lossless)
     # per-channel (Cb, Y, Cr) subsampling codes: 0=full, 1=420, 2=422, 3=440
     ycbcr_subsample: tuple = (0, 0, 0)
+    # with ycbcr: take the input's 3 channels as the STORED (Cb, Y, Cr)
+    # planes verbatim (signed int), skipping the RGB->YCbCr forward — lets
+    # tests drive the render path with hand-picked plane values
+    ycbcr_raw: bool = False
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -181,15 +185,16 @@ def encode_modular(image: np.ndarray, bpp: int = 8,
     channels = [image[:, :, c].astype(np.int32) for c in range(nc)]
     if opt.ycbcr:
         assert not grayscale and bpp == 8, "ycbcr: 8-bit color only"
-        r, g, b = (image[:, :, c].astype(np.float64) for c in range(3))
-        # full-range BT.601, channels centered, luma in slot 1 (render side:
-        # decode.py render_rgba8 YCbCr branch)
-        yv = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
-        channels[0] = np.round(cb).astype(np.int32)
-        channels[1] = (np.round(yv) - 128).astype(np.int32)
-        channels[2] = np.round(cr).astype(np.int32)
+        if not opt.ycbcr_raw:
+            r, g, b = (image[:, :, c].astype(np.float64) for c in range(3))
+            # full-range BT.601, channels centered, luma in slot 1 (render
+            # side: decode.py render_rgba8 YCbCr branch)
+            yv = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+            channels[0] = np.round(cb).astype(np.int32)
+            channels[1] = (np.round(yv) - 128).astype(np.int32)
+            channels[2] = np.round(cr).astype(np.int32)
         if any(opt.ycbcr_subsample):
             assert h <= 1 << opt.group_size_shift and wd <= 1 << opt.group_size_shift, \
                 "subsampled ycbcr: single-group only"
