@@ -301,6 +301,8 @@ class Decoder:
         self.stats["sections_s"] = time.perf_counter() - t_sections
         t_finish = time.perf_counter()
         state.finish()
+        if f.log_upsampling:
+            self._upsample_frame(f, state.gmodular)
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
         self.stats["total_s"] = time.perf_counter() - prog.t0
         # position the main reader at the next frame's byte boundary
@@ -313,6 +315,23 @@ class Decoder:
             self.ref_frames[f.save_as_ref] = canvas
         self.frame = Frame(header=f, gmodular=state.gmodular, canvas=canvas)
         return self.frame
+
+    def _upsample_frame(self, f: FrameHeader, gm: ModularImage) -> None:
+        """Upsample every decoded channel to display resolution (spec §5.2;
+        the reference rejects log_upsampling > 0 at j40.h:5245-5250).  Runs
+        after inverse transforms / VarDCT combine and restoration filters,
+        before blending — the libjxl pipeline position."""
+        from .mathutil import ceil_div
+        from .ops.upsample import upsample_channel_int
+
+        k = 1 << f.log_upsampling
+        weights = self.image.up_weights.get(k)
+        for ch in gm.channels:
+            up = upsample_channel_int(ch.data, k, weights)
+            h = ceil_div(f.disp_height, 1 << ch.vshift)
+            w = ceil_div(f.disp_width, 1 << ch.hshift)
+            ch.data = up[:h, :w]
+            ch.width, ch.height = w, h
 
     # -- blending (spec §5.3 subset: REPLACE and ADD) ----------------------
 
@@ -342,16 +361,17 @@ class Decoder:
 
         im = self.image
         ncolor = self._ncolor(f)
-        exact = (
-            f.x0 == 0 and f.y0 == 0 and f.width == im.width and f.height == im.height
-        )
+        # blending operates at display resolution (channels are already
+        # upsampled when log_upsampling > 0)
+        fw, fh = f.disp_width, f.disp_height
+        exact = f.x0 == 0 and f.y0 == 0 and fw == im.width and fh == im.height
         if f.do_ycbcr and f.jpeg_upsampling and not exact:
             raise Unsupported(message="blending of subsampled YCbCr frames")
         # clip the frame rect (origin may be negative) to the image rect
         sx0, sy0 = max(0, -f.x0), max(0, -f.y0)
         dx0, dy0 = max(0, f.x0), max(0, f.y0)
-        w = min(f.width - sx0, im.width - dx0)
-        h = min(f.height - sy0, im.height - dy0)
+        w = min(fw - sx0, im.width - dx0)
+        h = min(fh - sy0, im.height - dy0)
 
         maxval = float((1 << im.bpp) - 1)
 

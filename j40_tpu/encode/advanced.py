@@ -52,6 +52,11 @@ class AdvancedOptions:
     palette: bool = False  # extract a palette (lossless; needs few colors)
     max_colours: int = 4096
     wp_params: WPParams = field(default_factory=WPParams)
+    #: frame upsampling: the encoder input is the LOW-RES (coded) samples;
+    #: the signalled image size is display_size (default: coded size * k)
+    log_upsampling: int = 0
+    display_size: tuple | None = None  # (width, height) at display res
+    up_weights: dict | None = None  # custom weight vectors {k: [floats]}
 
 
 def _build_modular(image: np.ndarray, opt: AdvancedOptions) -> ModularImage:
@@ -150,7 +155,12 @@ def _write_header_and_streams(
 
     w = BitWriter()
     write_signature(w)
-    write_image_metadata(w, wd, h, bpp=bpp, xyb_encoded=False)
+    k = 1 << opt.log_upsampling
+    disp_w, disp_h = opt.display_size or (wd * k, h * k)
+    assert ceil_div(disp_w, k) == wd and ceil_div(disp_h, k) == h, \
+        "display size inconsistent with coded size and upsampling factor"
+    write_image_metadata(w, disp_w, disp_h, bpp=bpp, xyb_encoded=False,
+                         up_weights=opt.up_weights)
     w.zero_pad_to_byte()
     _write_frame_header(w, opt)
 
@@ -281,7 +291,7 @@ def _write_frame_header(w: BitWriter, opt: AdvancedOptions) -> None:
     w.u(1, 1)  # is_modular
     w.u64(0)  # flags
     w.u(1, 0)  # do_ycbcr
-    w.u(2, 0)  # log_upsampling
+    w.u(2, opt.log_upsampling)
     w.u(2, opt.group_size_shift - 7)
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes
     w.u(1, 0)  # have_crop

@@ -45,6 +45,7 @@ def write_image_metadata(
     want_icc: bool = False,
     opsin: tuple | None = None,  # (inv_mat 3x3, bias 3, quant_bias 3, qb_num)
     extra_decls: list[dict] | None = None,  # explicit extra-channel decls
+    up_weights: dict | None = None,  # custom upsampling weights {k: [f16...]}
 ) -> None:
     """`animation` = (tps_numerator, tps_denominator, num_loops) enables the
     extra_fields/have_animation path (read side: image.py:204-208);
@@ -55,7 +56,7 @@ def write_image_metadata(
     if (bpp == 8 and xyb_encoded and num_alpha == 0
             and intensity_target is None and not grayscale
             and not extra_fields and not want_icc and opsin is None
-            and not extra_decls):
+            and not extra_decls and not up_weights):
         w.u(1, 1)  # all_default
         w.u(1, 1)  # default_m
         return
@@ -126,12 +127,14 @@ def write_image_metadata(
         else:
             w.u(1, 1)  # ToneMapping all_default
     w.u64(0)  # extensions: none
-    if opsin is not None:
-        # custom opsin inverse matrix / biases (read side: image.py:299-307);
-        # values must be f16-exact
-        inv_mat, bias, quant_bias, qb_num = opsin
+    if opsin is not None or up_weights:
+        assert opsin is not None or not xyb_encoded, \
+            "custom up_weights with xyb_encoded requires explicit opsin"
         w.u(1, 0)  # not default_m
         if xyb_encoded:
+            # custom opsin inverse matrix / biases (read side:
+            # image.py:299-307); values must be f16-exact
+            inv_mat, bias, quant_bias, qb_num = opsin
             for row in inv_mat:
                 for v in row:
                     w.f16(v)
@@ -140,7 +143,17 @@ def write_image_metadata(
             for v in quant_bias:
                 w.f16(v)
             w.f16(qb_num)
-        w.u(3, 0)  # cw_mask: no custom upsampling weights
+        up_weights = up_weights or {}
+        mask = (1 if 2 in up_weights else 0) | (2 if 4 in up_weights else 0) \
+            | (4 if 8 in up_weights else 0)
+        w.u(3, mask)  # cw_mask (read side: image.py:318-326); f16-exact
+        for k in (2, 4, 8):
+            if k in up_weights:
+                n = 5 * k // 2
+                ws = list(up_weights[k])
+                assert len(ws) == n * (n + 1) // 2
+                for v in ws:
+                    w.f16(v)
     else:
         w.u(1, 1)  # default_m
 

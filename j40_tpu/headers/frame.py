@@ -65,6 +65,9 @@ class FrameHeader:
     height: int = 0
     duration: int = 0
     timecode: int = 0
+    # display-resolution frame size (== width/height unless log_upsampling)
+    disp_width: int = 0
+    disp_height: int = 0
     blend_info: BlendInfo = field(default_factory=BlendInfo)
     ec_blend_info: list[BlendInfo] = field(default_factory=list)
     save_as_ref: int = 0
@@ -119,14 +122,18 @@ def read_frame_header(
         if not f.use_lf_frame:
             if f.do_ycbcr:
                 f.jpeg_upsampling = r.u(6)
+            # upsampling (the reference rejects any non-zero value at
+            # j40.h:5245-5250; we implement the spec upsampler, see
+            # ops/upsample.py).  Mixed per-EC factors are deferred: every
+            # extra channel must share the frame factor.
             f.log_upsampling = r.u(2)
-            if f.log_upsampling:
-                raise Unsupported(message="upsampling")
             f.ec_log_upsampling = []
             for _ in range(im.num_extra_channels):
                 v = r.u(2)
-                if v:
-                    raise Unsupported(message="ec upsampling")
+                if v != f.log_upsampling:
+                    raise Unsupported(
+                        message="per-EC upsampling factor differs from frame"
+                    )
                 f.ec_log_upsampling.append(v)
         if f.is_modular:
             f.group_size_shift = 7 + r.u(2)
@@ -244,6 +251,14 @@ def read_frame_header(
 
     if im.xyb_encoded and im.want_icc:
         f.save_before_ct = True
+    # with upsampling the frame is coded at 1/k resolution: group math and
+    # all section decoding use the reduced size; disp_* keep the display
+    # size for the upsample->blend->render stages (spec §5.2)
+    f.disp_width, f.disp_height = f.width, f.height
+    if f.log_upsampling:
+        k = 1 << f.log_upsampling
+        f.width = ceil_div(f.width, k)
+        f.height = ceil_div(f.height, k)
     f.grows = ceil_div(f.height, f.group_size)
     f.gcolumns = ceil_div(f.width, f.group_size)
     f.num_groups = f.grows * f.gcolumns

@@ -116,6 +116,10 @@ class ImageMetadata:
     quant_bias_num: float = QUANT_BIAS_NUM
     want_icc: bool = False
     icc: bytes | None = None
+    #: custom upsampling weight vectors keyed by factor (2/4/8); absent
+    #: factors use the spec defaults (ops/upsample.py).  The reference
+    #: rejects any cw_mask (j40.h:3320 analog); we decode them per spec.
+    up_weights: dict = field(default_factory=dict)
 
     @property
     def num_extra_channels(self) -> int:
@@ -316,6 +320,11 @@ def read_image_metadata(r: BitReader, limits: Limits = MAIN_LV5) -> ImageMetadat
             im.quant_bias = tuple(r.f16() for _ in range(3))
             im.quant_bias_num = r.f16()
         cw_mask = r.u(3)
-        if cw_mask:
-            raise Unsupported(message="custom upsampling weights")
+        # custom upsampling weight vectors (spec CustomTransformData; the
+        # reference rejects these): bit 0/1/2 -> up2/up4/up8, n(n+1)/2
+        # f16 weights each with n = 5k/2
+        for bit, k in ((1, 2), (2, 4), (4, 8)):
+            if cw_mask & bit:
+                n = 5 * k // 2
+                im.up_weights[k] = [r.f16() for _ in range(n * (n + 1) // 2)]
     return im

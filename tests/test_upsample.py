@@ -1,0 +1,190 @@
+"""Upsampling (spec §5.2; beyond-reference — j40.h:5245-5250 rejects it).
+
+Verification strategy (no external oracle exists in this environment):
+construction properties that would fail for wrong constants or a wrong
+kernel layout — per-phase unit sums, flip equivariance, ramp
+interpolation — plus end-to-end decoder-vs-direct-oracle equality and a
+pinned golden decode guarding against co-drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from j40_tpu.decode import Decoder
+from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+from j40_tpu.errors import J40Error
+from j40_tpu.ops.upsample import (
+    UP2_WEIGHTS,
+    UP4_WEIGHTS,
+    kernels,
+    triangle_to_symmetric,
+    upsample_channel_int,
+    upsample_plane,
+)
+
+
+def _img(h, w, seed=7, lo=0, hi=256):
+    return np.random.default_rng(seed).integers(lo, hi, (h, w, 3)).astype(np.uint8)
+
+
+# -- kernel construction properties -----------------------------------------
+
+
+def test_default_tables_have_unit_phase_sums():
+    # every 5x5 phase kernel of the default tables sums to 1 (within f32
+    # noise) BEFORE normalization: a single wrong constant would break this
+    V2 = triangle_to_symmetric(UP2_WEIGHTS, 5)
+    assert abs(V2.sum() - 1.0) < 1e-6
+    V4 = triangle_to_symmetric(UP4_WEIGHTS, 10)
+    for py in range(2):
+        for px in range(2):
+            blk = V4[5 * py : 5 * py + 5, 5 * px : 5 * px + 5]
+            assert abs(blk.sum() - 1.0) < 1e-6, (py, px)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_kernels_shape_and_normalization(k):
+    K = kernels(None, k)
+    assert K.shape == (k, k, 5, 5)
+    assert np.allclose(K.sum(axis=(2, 3)), 1.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_flip_equivariance(k):
+    img = np.random.default_rng(0).normal(size=(16, 24)) * 100
+    assert np.allclose(
+        upsample_plane(img[:, ::-1], k), upsample_plane(img, k)[:, ::-1]
+    )
+    assert np.allclose(
+        upsample_plane(img[::-1, :], k), upsample_plane(img, k)[::-1, :]
+    )
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_constant_preserved_exactly(k):
+    out = upsample_plane(np.full((7, 9), 123.0), k)
+    assert out.shape == (7 * k, 9 * k)
+    assert np.allclose(out, 123.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_ramp_interpolation(k):
+    """Output pixel k*i+p samples input position i + (p + 0.5)/k - 0.5; on a
+    linear ramp the kernels must land within a small fraction of a pixel of
+    that position (catches transposed/flipped phase layouts, which would be
+    off by ~half a pixel)."""
+    ramp = np.tile(np.arange(64, dtype=np.float64), (8, 1))
+    up = upsample_plane(ramp, k)
+    ox = np.arange(16 * k, 48 * k)
+    expect = (ox + 0.5) / k - 0.5
+    err = np.abs(up[4 * k] [16 * k : 48 * k] - expect)
+    assert err.max() < 0.08, err.max()
+
+
+def test_up8_default_rejected_custom_ok():
+    with pytest.raises(J40Error):
+        upsample_plane(np.zeros((4, 4)), 8)
+    # custom weights: identity-ish kernel (center tap of each phase block)
+    n = 20
+    V = np.zeros((n, n))
+    for p in range(4):
+        V[5 * p + 2, 5 * p + 2] = 1.0
+        for q in range(p + 1, 4):
+            V[5 * p + 2, 5 * q + 2] = V[5 * q + 2, 5 * p + 2] = 1.0
+    w = V[np.triu_indices(n)]
+    out = upsample_plane(np.arange(12.0).reshape(3, 4), 8, w)
+    assert out.shape == (24, 32)
+    # nearest-neighbour-like: each input value appears in an 8x8 block
+    assert np.allclose(out[:8, :8], 0.0) and np.allclose(out[8:16, 8:16], 5.0)
+
+
+# -- end-to-end through the codec -------------------------------------------
+
+
+def _decode(data):
+    dec = Decoder(data)
+    while not dec.done:
+        dec.decode_frame()
+    return dec
+
+
+@pytest.mark.parametrize("log_k", [1, 2])
+def test_e2e_matches_direct_oracle(log_k):
+    k = 1 << log_k
+    lo = _img(24, 40, seed=3)
+    data = encode_modular_advanced(lo, options=AdvancedOptions(log_upsampling=log_k))
+    dec = _decode(data)
+    assert (dec.image.width, dec.image.height) == (40 * k, 24 * k)
+    canvas = dec.frame.canvas
+    for c in range(3):
+        want = upsample_channel_int(lo[:, :, c].astype(np.int32), k)
+        np.testing.assert_array_equal(canvas[c], want)
+    rgba = dec.render_rgba8()
+    assert rgba.shape == (24 * k, 40 * k, 4)
+
+
+def test_e2e_constant_stays_constant():
+    lo = np.full((16, 16, 3), 77, np.uint8)
+    data = encode_modular_advanced(lo, options=AdvancedOptions(log_upsampling=1))
+    rgba = _decode(data).render_rgba8()
+    assert (rgba[:, :, :3] == 77).all()
+
+
+def test_e2e_nondivisible_display_size():
+    # display 45x30 at k=2 -> coded ceil = 23x15; the upsampled 46x30 is
+    # cropped to the display width
+    lo = _img(15, 23, seed=5)
+    data = encode_modular_advanced(
+        lo, options=AdvancedOptions(log_upsampling=1, display_size=(45, 30))
+    )
+    dec = _decode(data)
+    rgba = dec.render_rgba8()
+    assert rgba.shape == (30, 45, 4)
+    want = upsample_channel_int(lo[:, :, 0].astype(np.int32), 2)[:30, :45]
+    np.testing.assert_array_equal(dec.frame.canvas[0], want)
+
+
+def test_e2e_custom_weights():
+    # f16-exact custom up2 weights distinct from the defaults
+    rng = np.random.default_rng(11)
+    w = np.float16(rng.normal(0, 0.05, 15)).astype(np.float64)
+    w[9] = np.float64(np.float16(1.0))  # strong center tap keeps sums sane
+    lo = _img(12, 20, seed=9)
+    data = encode_modular_advanced(
+        lo,
+        options=AdvancedOptions(log_upsampling=1, up_weights={2: w.tolist()}),
+    )
+    dec = _decode(data)
+    assert 2 in dec.image.up_weights
+    got = dec.frame.canvas[1]
+    want = upsample_channel_int(lo[:, :, 1].astype(np.int32), 2, w)
+    np.testing.assert_array_equal(got, want)
+    default = upsample_channel_int(lo[:, :, 1].astype(np.int32), 2)
+    assert (got != default).any()
+
+
+def test_e2e_multigroup_upsampled():
+    # coded size spans multiple 128px groups; sections + upsampling compose
+    lo = _img(160, 200, seed=13)
+    data = encode_modular_advanced(
+        lo, options=AdvancedOptions(log_upsampling=1, group_size_shift=7)
+    )
+    dec = _decode(data)
+    for c in range(3):
+        want = upsample_channel_int(lo[:, :, c].astype(np.int32), 2)
+        np.testing.assert_array_equal(dec.frame.canvas[c], want)
+
+
+def test_golden_pin():
+    """Pins the full up2 decode result so encoder+decoder co-drift (e.g. a
+    silent kernel change) cannot pass unnoticed."""
+    lo = _img(9, 13, seed=42)
+    data = encode_modular_advanced(lo, options=AdvancedOptions(log_upsampling=1))
+    rgba = _decode(data).render_rgba8()
+    digest = hashlib.sha256(rgba.tobytes()).hexdigest()
+    pin = "c8914e7befbfab6a336cf1119de346a2105c4df5f3a27f31432aac5e6da60aec"
+    assert digest == pin, digest
