@@ -39,6 +39,28 @@ def _error_pixels() -> np.ndarray:
     return out
 
 
+# error message table (reference parity: j40.h:8004-8028)
+_ERROR_STRINGS = {
+    "fmt?": "Bad `format` parameter",
+    "!mem": "Out of memory",
+    "!jxl": "The JPEG XL signature is not found",
+    "open": "Failed to open file",
+    "bigg": "Image dimensions are too large to handle",
+    "flen": "File is too lengthy to handle",
+    "shrt": "Premature end of file",
+    "slim": "Image size limit reached",
+    "elim": "Extra channel number limit reached",
+    "xlim": "Modular transform limit reached",
+    "tlim": "Meta-adaptive tree size or depth limit reached",
+    "plim": "ICC profile length limit reached",
+    "fbpp": "Given bits per pixel value is disallowed",
+    "fblk": "Black extra channel is disallowed",
+    "fm32": "32-bit buffers for modular encoding are disallowed",
+    "TODO": "Unimplemented feature encountered",
+    "TEST": "Testing-only error occurred",
+}
+
+
 class Frame:
     """Decoded frame handle (j40_frame analog)."""
 
@@ -88,6 +110,7 @@ class Image:
         self._backend = backend
         self._err: str | None = None
         self._err_msg = ""
+        self._err_origin: str | None = None  # which API call failed
         self._frame: Frame | None = None
         self._format_set = False
         self._dec = None  # persistent streaming Decoder (section resume)
@@ -103,7 +126,8 @@ class Image:
         except OSError as e:
             im = cls()
             im._err = "open"
-            im._err_msg = str(e)
+            im._err_msg = str(e)  # carries the strerror text (j40.h:8305)
+            im._err_origin = "from_file"
             return im
         return cls(data, backend=backend)
 
@@ -118,6 +142,7 @@ class Image:
         (reserved there, supported here)."""
         if pixel_format != RGBA or bit_format not in (U8X4, U16X4, _LEGACY_U8X4):
             self._err = "fmt?"
+            self._err_origin = "output_format"
             return False
         self._bit_format = U16X4 if bit_format == U16X4 else U8X4
         self._format_set = True
@@ -139,6 +164,7 @@ class Image:
             except J40Error as e:
                 self._err = e.code
                 self._err_msg = e.message
+                self._err_origin = "push"
                 self._dec = None
                 return
         if self._err == "shrt":
@@ -172,10 +198,12 @@ class Image:
         except ShortInput as e:
             self._err = "shrt"
             self._err_msg = e.message
+            self._err_origin = "next_frame"
             return False
         except J40Error as e:
             self._err = e.code
             self._err_msg = e.message
+            self._err_origin = "next_frame"
             return False
         self._err = None
         self._frames_emitted += 1
@@ -196,15 +224,16 @@ class Image:
         return self._err
 
     def error_string(self) -> str:
+        """Human-readable error with the originating API call, mirroring the
+        reference's table + "during j40_<api>" format (j40.h:8004-8028,
+        8251-8319); our extra diagnostic detail follows after a colon."""
         if self._err is None:
             return "successful"
-        messages = {
-            "shrt": "premature end of file",
-            "!jxl": "not a JPEG XL file",
-            "ftyp": "invalid ftyp box",
-            "TODO": "unimplemented feature encountered",
-        }
-        base = messages.get(self._err, f"decode error `{self._err}`")
+        base = _ERROR_STRINGS.get(self._err)
+        if base is None:
+            base = f"Decoding failed ({self._err})"
+        if self._err_origin:
+            base = f"{base} during {self._err_origin}"
         return f"{base}{': ' + self._err_msg if self._err_msg else ''}"
 
     # -- lifecycle ---------------------------------------------------------

@@ -103,6 +103,7 @@ class Decoder:
             self.image.icc = read_icc(r)
         self.r = r
         self._prog: _FrameProgress | None = None
+        self._deferred: tuple | None = None
         self.frame: Frame | None = None
         #: reference-frame slots for animation blending (spec §5.3; the
         #: reference rejects non-final frames outright, j40.h:5201)
@@ -124,7 +125,11 @@ class Decoder:
         self.codestream = cs
         self.r.extend_data(cs)
 
-    def decode_frame(self) -> Frame:
+    def decode_frame(self, _defer_finish: bool = False) -> Frame | None:
+        """Decode the next frame.  With `_defer_finish` the entropy/section
+        stage runs but reconstruction is deferred: call `finish_frame()` to
+        complete (used by the batched device pipeline in parallel.batch,
+        which fuses many images' reconstructions into one dispatch)."""
         import time
 
         check(not self.done, "excs", "no more frames in the codestream")
@@ -275,12 +280,40 @@ class Decoder:
                 if run:
                     run_chains.append(run)
 
+            # entropy/device pipelining: once every pass section of an LF
+            # group's 64 member groups is decoded, its reconstruction is
+            # dispatched to the device immediately, overlapping with the
+            # remaining host entropy work (consumed later by state.finish())
+            pipeline_vardct = (
+                not f.is_modular
+                and self.backend in ("jax", "device")
+                and f.num_lf_groups > 1
+                and npasses == f.num_passes
+            )
+
+            def _lf_complete(ggidx: int) -> bool:
+                if (-1, ggidx) not in done:  # LF section (varblock map) first
+                    return False
+                ggrow, ggcol = divmod(ggidx, f.ggcolumns)
+                for row in range(ggrow * 8, min((ggrow + 1) * 8, f.grows)):
+                    for col in range(ggcol * 8, min((ggcol + 1) * 8, f.gcolumns)):
+                        gidx = row * f.gcolumns + col
+                        for p in range(npasses):
+                            if (p, gidx) not in done:
+                                return False
+                return True
+
             def _one_group_chain(chain):
                 for s in chain:
                     sr = self._section_reader(s.codeoff, s.size)
                     state.pass_group(sr, s.pass_, s.idx)
                     sr.no_more_bytes()
                     done.add((s.pass_, s.idx))
+                if pipeline_vardct:
+                    row, col = divmod(chain[-1].idx, f.gcolumns)
+                    ggidx = (row // 8) * f.ggcolumns + (col // 8)
+                    if _lf_complete(ggidx):
+                        state.vardct.dispatch_group_async(ggidx)
 
             if self.workers > 1 and len(run_chains) > 1:
                 list(_pool().map(_one_group_chain, run_chains))
@@ -299,6 +332,21 @@ class Decoder:
             check(toc.end_codeoff <= len(self.codestream), "shrt")
 
         self.stats["sections_s"] = time.perf_counter() - t_sections
+        if _defer_finish:
+            self._deferred = (f, toc, state)
+            return None
+        return self._finish_tail(f, toc, state)
+
+    def finish_frame(self) -> Frame:
+        """Complete a decode_frame(_defer_finish=True) call."""
+        f, toc, state = self._deferred
+        self._deferred = None
+        return self._finish_tail(f, toc, state)
+
+    def _finish_tail(self, f: FrameHeader, toc, state) -> Frame:
+        import time
+
+        prog = self._prog
         t_finish = time.perf_counter()
         state.finish()
         if f.log_upsampling:
@@ -306,7 +354,7 @@ class Decoder:
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
         self.stats["total_s"] = time.perf_counter() - prog.t0
         # position the main reader at the next frame's byte boundary
-        r.seek_bits(toc.end_codeoff * 8)
+        self.r.seek_bits(toc.end_codeoff * 8)
         self._prog = None
         canvas = self._composite(f, state.gmodular)
         if f.is_last:

@@ -97,6 +97,235 @@ def _class_pipeline(
     return out.reshape(3, n, 1 << log_rows, 1 << log_columns)
 
 
+def _pack_i8(arr: np.ndarray):
+    """Narrowest lossless upload: clipped int8 plane + exact-value exception
+    list (quantized HF coeffs rarely exceed |127|), ~4x fewer host->device
+    bytes than f32 on the tunnel.  Exception capacity is bucketed to powers
+    of two to bound jit signatures."""
+    flat = arr.reshape(-1)
+    cup = np.clip(arr, -127, 127).astype(np.int8)
+    exc = np.flatnonzero(np.abs(flat) > 127).astype(np.int64)
+    cap = max(64, 1 << int(len(exc)).bit_length())
+    exc_idx = np.zeros(cap, np.int32)
+    exc_val = np.full(
+        cap,
+        np.int32(round(float(flat[0]))) if flat.size else np.int32(0),
+        np.int32,
+    )
+    if len(exc):
+        exc_idx[1 : 1 + len(exc)] = exc
+        exc_val[1 : 1 + len(exc)] = np.round(flat[exc]).astype(np.int32)
+    return cup, exc_idx, exc_val
+
+
+def _pack_consts22(vs, im, f, consts) -> np.ndarray:
+    return np.concatenate(
+        [
+            np.asarray(
+                [
+                    consts["global_scale_inv"],
+                    consts["qm_scales"][0],
+                    consts["qm_scales"][2],
+                    consts["quant_bias"][0],
+                    consts["quant_bias"][1],
+                    consts["quant_bias"][2],
+                    consts["quant_bias_num"],
+                    0.0,
+                ],
+                dtype=np.float32,
+            ),
+            np.asarray(im.opsin_inv_mat, np.float32).ravel(),
+            np.asarray(im.opsin_bias, np.float32),
+            np.asarray(
+                [255.0 / im.intensity_target, (1 << im.bpp) - 1], np.float32
+            ),
+        ]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("big_ds", "h8", "w8", "to_u8"))
+def _mixed_full(
+    dense,       # (3, h8*w8, 64) int8 coeffs on the full 8x8 grid (big-block
+                 # cells zero; overlaid below)
+    exc_idx, exc_val,
+    aux,         # (6, h8*w8): llf x/y/b (LF-CfL applied), hfmul_inv, kx, kb
+    weights8,    # (64, 3) DCT8 dequant table
+    consts22,
+    bigs,        # tuple per big class: (coeffs(3,n,size), llf(3,n,llfsize),
+                 #   hfmul_inv(n,), kx(n,), kb(n,), weights(size,3),
+                 #   scatter_idx(n*rows*cols,) int32 into the raster plane)
+    big_ds: tuple,
+    h8: int, w8: int, to_u8: bool,
+):
+    """Single-dispatch reconstruction of a mixed-DctSelect LF group: the
+    dense 8x8 grid runs the fused Pallas kernel (big-block cells decode to
+    zero), then each non-8x8 class is batch-transformed and overlaid with
+    one scatter — everything device-side under one jit, one small int8
+    upload and one uint8 fetch (the reference's per-varblock dispatch loop,
+    j40.h:7178-7191, recast as class-batched MXU work)."""
+    from .pallas_kernels import reconstruct_dct8_pallas
+
+    d = dense.astype(jnp.float32)
+    d = d.reshape(-1).at[exc_idx].set(exc_val.astype(jnp.float32)).reshape(d.shape)
+    samples = reconstruct_dct8_pallas(
+        d, aux[0:3], aux[3], aux[4], aux[5], weights8, consts22[:8], h8, w8
+    )
+    flat = samples.reshape(3, -1)
+    qm_scales = jnp.stack([consts22[1], jnp.float32(1.0), consts22[2]])
+    for ds, (bc, bllf, bhf, bkx, bkb, bw, bidx) in zip(big_ds, bigs):
+        log_rows, log_columns, _, _ = DCT_SELECT[ds]
+        vh8 = 1 << (min(log_rows, log_columns) - 3)
+        vw8 = 1 << (max(log_rows, log_columns) - 3)
+        llf_idx = np.array(
+            [y * (vw8 * 8) + x for y in range(vh8) for x in range(vw8)], np.int32
+        )
+        s = _class_pipeline(
+            bc.astype(jnp.float32), bllf, jnp.asarray(llf_idx),
+            bhf, bkx, bkb, bw,
+            consts22[0], qm_scales, consts22[3:6], consts22[6], ds,
+        )
+        flat = flat.at[:, bidx].set(s.reshape(3, -1))
+    plane = flat.reshape(3, h8 * 8, w8 * 8)
+    out = xyb_to_srgb_u8(
+        plane,
+        consts22[8:17].reshape(3, 3),
+        consts22[17:20],
+        consts22[20],
+        consts22[21],
+    )
+    if to_u8:
+        out = jnp.clip(out, 0, 255).astype(jnp.uint8)
+    return out
+
+
+def gather_full_dct8(vs, gg, im, f):
+    """Host gather for an all-DCT8x8 LF group, blocks in raster order:
+    returns (coeffs (3,n,64) f32, aux (6,n) f32, weights (64,3), consts22).
+    Used by the per-group fused path and the cross-image batched decoder
+    (parallel.batch), which stacks several groups along the block axis."""
+    blocks_arr = np.asarray(gg.blocks)
+    assert ((blocks_arr >> 20) == 2).all(), "not an all-DCT8x8 group"
+    voffs = (blocks_arr & 0xFFFFF).reshape(-1)  # raster order
+    offs = np.asarray(gg.vb_coeffoff)[voffs]
+    n = len(voffs)
+    cidx = offs[:, None] + np.arange(64)[None, :]
+    coeffs = np.stack([gg.coeffs[c][cidx] for c in range(3)]).astype(np.float32)
+    kx_lf = np.float32(vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor)
+    kb_lf = np.float32(vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor)
+    lidx = offs >> 6
+    lx = gg.llfcoeffs[0][lidx]
+    ly = gg.llfcoeffs[1][lidx]
+    lb = gg.llfcoeffs[2][lidx]
+    cy, cx = np.divmod(np.arange(n), gg.width8)
+    kx = (
+        vs.base_corr_x
+        + vs.inv_colour_factor * np.asarray(gg.xfromy)[cy // 8, cx // 8]
+    ).astype(np.float32)
+    kb = (
+        vs.base_corr_b
+        + vs.inv_colour_factor * np.asarray(gg.bfromy)[cy // 8, cx // 8]
+    ).astype(np.float32)
+    aux = np.stack([
+        (lx + ly * kx_lf).astype(np.float32),
+        ly.astype(np.float32),
+        (lb + ly * kb_lf).astype(np.float32),
+        np.asarray(gg.vb_hfmul_inv)[voffs].astype(np.float32),
+        kx, kb,
+    ])
+    consts = dict(
+        global_scale_inv=np.float32(65536.0 / vs.global_scale),
+        qm_scales=np.array(
+            [QM_SCALE[f.x_qm_scale], 1.0, QM_SCALE[f.b_qm_scale]], np.float32
+        ),
+        quant_bias=np.asarray(im.quant_bias, np.float32),
+        quant_bias_num=np.float32(im.quant_bias_num),
+    )
+    param_idx = DCT_SELECT[0][2]
+    return coeffs, aux, vs.dq_weights[param_idx], _pack_consts22(vs, im, f, consts)
+
+
+def _fused_mixed_dispatch(
+    vs, gg, im, f, classes, corner_y, corner_x, consts, kx_lf, kb_lf
+):
+    """Assemble the dense 8x8-grid coefficient plane + per-class overlay
+    batches for `_mixed_full` (host side, vectorized) and dispatch it."""
+    ggw8, ggh8 = gg.width8, gg.height8
+    n8 = ggh8 * ggw8
+    dense = np.zeros((3, n8, 64), np.float32)
+    aux = np.zeros((6, n8), np.float32)
+    bigs = []
+    big_ds = []
+    for ds, voffs in sorted(classes.items()):
+        log_rows, log_columns, param_idx, _ = DCT_SELECT[ds]
+        rows, cols = 1 << log_rows, 1 << log_columns
+        size = rows * cols
+        vh8 = 1 << (min(log_rows, log_columns) - 3)
+        vw8 = 1 << (max(log_rows, log_columns) - 3)
+        llfsize = vh8 * vw8
+        offs = np.asarray(gg.vb_coeffoff)[voffs]
+        y8s, x8s = corner_y[voffs], corner_x[voffs]
+        lidx = (offs[:, None] >> 6) + np.arange(llfsize)[None, :]
+        lx = gg.llfcoeffs[0][lidx]
+        ly = gg.llfcoeffs[1][lidx]
+        lb = gg.llfcoeffs[2][lidx]
+        llf = np.stack([lx + ly * kx_lf, ly, lb + ly * kb_lf]).astype(np.float32)
+        hfmul_inv = np.asarray(gg.vb_hfmul_inv)[voffs].astype(np.float32)
+        kx = (
+            vs.base_corr_x
+            + vs.inv_colour_factor * np.asarray(gg.xfromy)[y8s // 8, x8s // 8]
+        ).astype(np.float32)
+        kb = (
+            vs.base_corr_b
+            + vs.inv_colour_factor * np.asarray(gg.bfromy)[y8s // 8, x8s // 8]
+        ).astype(np.float32)
+        if ds == 0:
+            pos = y8s * ggw8 + x8s
+            cidx = offs[:, None] + np.arange(64)[None, :]
+            for c in range(3):
+                dense[c][pos] = gg.coeffs[c][cidx]
+            aux[0:3, pos] = llf[:, :, 0]
+            aux[3, pos] = hfmul_inv
+            aux[4, pos] = kx
+            aux[5, pos] = kb
+        else:
+            cidx = offs[:, None] + np.arange(size)[None, :]
+            coeffs = np.stack(
+                [gg.coeffs[c][cidx] for c in range(3)]
+            ).astype(np.float32)
+            W = ggw8 * 8
+            ys = y8s[:, None, None] * 8 + np.arange(rows)[None, :, None]
+            xs = x8s[:, None, None] * 8 + np.arange(cols)[None, None, :]
+            bidx = (ys * W + xs).astype(np.int32).reshape(-1)
+            bigs.append(
+                (
+                    jnp.asarray(coeffs),
+                    jnp.asarray(llf),
+                    jnp.asarray(hfmul_inv),
+                    jnp.asarray(kx),
+                    jnp.asarray(kb),
+                    _cached_device(("w", param_idx), vs.dq_weights[param_idx]),
+                    jnp.asarray(bidx),
+                )
+            )
+            big_ds.append(int(ds))
+    cup, exc_idx, exc_val = _pack_i8(dense)
+    consts22 = _pack_consts22(vs, im, f, consts)
+    p8 = DCT_SELECT[0][2]
+    return _mixed_full(
+        jnp.asarray(cup),
+        jnp.asarray(exc_idx),
+        jnp.asarray(exc_val),
+        jnp.asarray(aux),
+        _cached_device(("w", p8), vs.dq_weights[p8]),
+        _cached_device(("pc22",), consts22),
+        tuple(bigs),
+        tuple(big_ds),
+        ggh8,
+        ggw8,
+        im.bpp == 8,
+    )
+
+
 def combine_lf_group_jax(vs, gg, im) -> np.ndarray:
     """JAX reconstruction of one LF group: returns (3, ggh, ggw) int32 planes.
 
@@ -141,6 +370,19 @@ def combine_lf_group_jax_async(vs, gg, im):
         quant_bias_num=np.float32(im.quant_bias_num),
     )
 
+    from .pallas_kernels import pallas_available
+
+    full_dct8_only = set(classes) == {0} and len(classes[0]) == ggh8 * ggw8
+    if (
+        pallas_available()
+        and not getattr(vs.fs, "apply_filters", False)
+        and not full_dct8_only
+    ):
+        out = _fused_mixed_dispatch(
+            vs, gg, im, f, classes, corner_y, corner_x, consts, kx_lf, kb_lf
+        )
+        return out, ggh, ggw
+
     for ds, voffs in sorted(classes.items()):
         log_rows, log_columns, param_idx, _ = DCT_SELECT[ds]
         rows, cols = 1 << log_rows, 1 << log_columns
@@ -178,50 +420,14 @@ def combine_lf_group_jax_async(vs, gg, im):
 
         full_dct8 = ds == 0 and n == ggh8 * ggw8
         if full_dct8:
-            from .pallas_kernels import pallas_available
-
             if pallas_available() and not getattr(vs.fs, "apply_filters", False):
                 # single-dispatch fused path: dequant+CfL+IDCT (Pallas) + XYB
-                # +quantize in ONE device call, int16 coeffs + one merged aux
-                # upload, clamped uint8 fetch
+                # +quantize in ONE device call, int8+exceptions coeffs + one
+                # merged aux upload, clamped uint8 fetch
                 from .pallas_kernels import reconstruct_dct8_full
 
-                pconsts = np.concatenate(
-                    [
-                        np.asarray(
-                            [
-                                consts["global_scale_inv"],
-                                consts["qm_scales"][0],
-                                consts["qm_scales"][2],
-                                consts["quant_bias"][0],
-                                consts["quant_bias"][1],
-                                consts["quant_bias"][2],
-                                consts["quant_bias_num"],
-                                0.0,
-                            ],
-                            dtype=np.float32,
-                        ),
-                        np.asarray(im.opsin_inv_mat, np.float32).ravel(),
-                        np.asarray(im.opsin_bias, np.float32),
-                        np.asarray(
-                            [255.0 / im.intensity_target, (1 << im.bpp) - 1],
-                            np.float32,
-                        ),
-                    ]
-                )
-                # narrowest lossless upload: clipped int8 plane + exact-value
-                # exceptions (quantized HF coeffs rarely exceed |127|), ~2x
-                # fewer host->device bytes than int16 on the tunnel
-                flat = coeffs.reshape(-1)
-                cup = np.clip(coeffs, -127, 127).astype(np.int8)
-                exc = np.flatnonzero(np.abs(flat) > 127).astype(np.int64)
-                cap = max(64, 1 << int(len(exc)).bit_length())  # bucketed jit
-                exc_idx = np.zeros(cap, np.int32)
-                exc_val = np.full(cap, np.int32(round(float(flat[0]))) if flat.size
-                                  else np.int32(0), np.int32)
-                if len(exc):
-                    exc_idx[1 : 1 + len(exc)] = exc
-                    exc_val[1 : 1 + len(exc)] = np.round(flat[exc]).astype(np.int32)
+                pconsts = _pack_consts22(vs, im, f, consts)
+                cup, exc_idx, exc_val = _pack_i8(coeffs)
                 aux = np.concatenate(
                     [llf.reshape(3, n), hfmul_inv[None], kx[None], kb[None]]
                 ).astype(np.float32)

@@ -102,9 +102,12 @@ def reconstruct_dct8_pallas(
     scalars = jnp.stack([hfmul_inv, kx, kb])
 
     tile = min(tile, n)
-    if n % tile:
-        tile = n  # fall back to one program for ragged sizes
-    grid = (n // tile,)
+    npad = -n % tile  # ragged sizes: zero-pad the block axis to the tile
+    if npad:          # (a single whole-array program would blow scoped VMEM)
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, npad), (0, 0)))
+        llf = jnp.pad(llf, ((0, 0), (0, npad)))
+        scalars = jnp.pad(scalars, ((0, 0), (0, npad)))
+    grid = ((n + npad) // tile,)
 
     blocks = pl.pallas_call(
         _kernel,
@@ -120,9 +123,11 @@ def reconstruct_dct8_pallas(
         ],
         out_specs=pl.BlockSpec((3, tile, 64), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n, 64), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, n + npad, 64), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(coeffs, llf, scalars, weights, k, consts)
+    if npad:
+        blocks = blocks[:, :n]
     # block -> raster layout (fused by XLA)
     return (
         blocks.reshape(3, h8, w8, 8, 8)
@@ -132,8 +137,14 @@ def reconstruct_dct8_pallas(
 
 
 def pallas_available() -> bool:
+    import os
+
     import jax
 
+    if os.environ.get("J40T_PALLAS") == "interp":
+        # test hook: exercise the Pallas code paths in interpreter mode on
+        # CPU (the pallas_call interpret flag keys off the backend)
+        return True
     return jax.default_backend() == "tpu"
 
 

@@ -1,11 +1,16 @@
 """Batched multi-image decode (BASELINE config 5 shape).
 
 Host-side entropy stages for many images run on a thread pool (the native
-core releases the GIL); device reconstruction is placed round-robin across
-the available devices — the format's group/image axes are embarrassingly
-parallel, so plain data-parallel placement needs no collectives.  The
-collective-using sharded step (psum checksum over an (img, grp) mesh) lives
-in j40_tpu.parallel.sharded / __graft_entry__.dryrun_multichip.
+core releases the GIL).  Device reconstruction is **cross-image batched**:
+same-shape all-DCT8x8 images are stacked along the block axis and decoded
+by ONE fused kernel dispatch and ONE fetch — on this dev host the TPU
+tunnel charges per-transfer latency, so 2 big RPCs beat 2xB small ones by
+an order of magnitude, and the MXU sees one large matmul batch instead of
+B small ones.  Heterogeneous batches fall back to per-image round-robin
+placement over the available devices.
+
+The collective-using sharded step (psum checksum over an (img, grp) mesh)
+lives in j40_tpu.parallel.sharded_decode / __graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -22,6 +27,90 @@ def decode_batch(
     per_image_workers: int = 1,
 ) -> list[np.ndarray]:
     """Decode many .jxl byte blobs; returns a list of (h, w, 4) uint8 RGBA."""
+    if backend in ("jax", "device") and len(blobs) > 1:
+        out = _decode_batch_fused(blobs, workers)
+        if out is not None:
+            return out
+    return _decode_batch_roundrobin(blobs, workers, backend, per_image_workers)
+
+
+def _decode_batch_fused(blobs, workers):
+    """One-dispatch batched reconstruction; returns None if the batch is not
+    uniform (different sizes / not all-DCT8x8 / unequal quant constants)."""
+    import jax.numpy as jnp
+
+    from ..decode import Decoder
+    from ..ops.combine_jax import gather_full_dct8
+    from ..ops.pallas_kernels import pallas_available, reconstruct_dct8_full
+
+    if not pallas_available():
+        return None
+
+    def phase1(blob):
+        d = Decoder(blob, backend="jax")
+        d.decode_frame(_defer_finish=True)
+        return d
+
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        decs = list(ex.map(phase1, blobs))
+
+    plans = []
+    for d in decs:
+        f, _toc, state = d._deferred
+        vs = state.vardct
+        if (
+            vs is None
+            or f.num_lf_groups != 1
+            or d.image.bpp != 8
+            or not f.is_last
+            or f.log_upsampling
+            or getattr(state, "apply_filters", False)
+        ):
+            return None
+        gg = vs.lf_groups[0]
+        if not ((np.asarray(gg.blocks) >> 20) == 2).all():
+            return None  # mixed DctSelect: fall back
+        plans.append(gather_full_dct8(vs, gg, d.image, f))
+
+    h8 = decs[0]._deferred[2].vardct.lf_groups[0].height8
+    w8 = decs[0]._deferred[2].vardct.lf_groups[0].width8
+    weights0, consts0 = plans[0][2], plans[0][3]
+    for (c, a, w, k), d in zip(plans, decs):
+        gg = d._deferred[2].vardct.lf_groups[0]
+        if (
+            (gg.height8, gg.width8) != (h8, w8)
+            or w.tobytes() != weights0.tobytes()
+            or k.tobytes() != consts0.tobytes()
+        ):
+            return None
+
+    from ..ops.combine_jax import _pack_i8
+
+    B = len(plans)
+    dense = np.concatenate([p[0] for p in plans], axis=1)  # (3, B*n, 64)
+    aux = np.concatenate([p[1] for p in plans], axis=1)    # (6, B*n)
+    cup, exc_idx, exc_val = _pack_i8(dense)
+    # the batch is one tall image: B groups stacked along the row axis
+    out = reconstruct_dct8_full(
+        jnp.asarray(cup), jnp.asarray(exc_idx), jnp.asarray(exc_val),
+        jnp.asarray(aux), jnp.asarray(weights0), jnp.asarray(consts0),
+        B * h8, w8, True,
+    )
+    stacked = np.asarray(out)  # (3, B*h8*8, w8*8) uint8 — one fetch
+
+    results = []
+    H = h8 * 8
+    for i, d in enumerate(decs):
+        gg = d._deferred[2].vardct.lf_groups[0]
+        chunk = stacked[:, i * H : i * H + gg.height, : gg.width]
+        d._deferred[2].vardct._predispatched[0] = (chunk, gg.height, gg.width)
+        d.finish_frame()
+        results.append(d)
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        return list(ex.map(lambda d: d.render_rgba8(), results))
+
+
+def _decode_batch_roundrobin(blobs, workers, backend, per_image_workers):
     import jax
 
     from ..decode import Decoder

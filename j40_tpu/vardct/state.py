@@ -119,6 +119,10 @@ class VarDCTState:
         import threading
 
         self._lock = threading.Lock()
+        # device reconstructions dispatched early (while other LF groups'
+        # sections are still entropy-decoding); consumed by combine()
+        self._predispatched: dict[int, tuple] = {}
+        self._dispatch_lock = threading.Lock()
 
     # -- LfGlobal (VarDCT part, j40.h:6271-6313) ---------------------------
 
@@ -626,6 +630,21 @@ class VarDCTState:
                                  q - np.float32(qbias_num) / np.where(q == 0, 1, q))
                 gg.coeffs[c][off : off + size] = q_adj * (mults[c] / w[:size, c])
 
+    def dispatch_group_async(self, ggidx: int) -> None:
+        """Dispatch one LF group's device reconstruction as soon as its last
+        section finishes entropy decode — called from the decode worker
+        threads so host entropy of later LF groups overlaps device
+        upload/compute of earlier ones (the j40.h:7749-7776 per-section
+        independence turned into a host/device pipeline)."""
+        with self._dispatch_lock:
+            if ggidx in self._predispatched or ggidx not in self.lf_groups:
+                return
+            from ..ops.combine_jax import combine_lf_group_jax_async
+
+            self._predispatched[ggidx] = combine_lf_group_jax_async(
+                self, self.lf_groups[ggidx], self.fs.im
+            )
+
     def combine(self, gmodular) -> None:
         """Reconstruct all LF groups into gmodular int16 planes
         (j40.h:7862-7882 + 7099-7247). Numpy oracle version."""
@@ -647,21 +666,47 @@ class VarDCTState:
         if use_jax:
             # dispatch every LF group first: the runtime's async queue
             # pipelines uploads/compute/fetches across groups (matters for
-            # >2048px images with several LF groups)
+            # >2048px images with several LF groups); groups whose sections
+            # finished early were already dispatched from the decode threads
+            # (dispatch_group_async), overlapping entropy with device work
             from ..ops.combine_jax import combine_lf_group_jax_async
 
             pending = []
             for ggidx in sorted(self.lf_groups.keys()):
                 gg = self.lf_groups[ggidx]
-                pending.append((gg, combine_lf_group_jax_async(self, gg, im)))
+                res = self._predispatched.pop(ggidx, None)
+                if res is None:
+                    res = combine_lf_group_jax_async(self, gg, im)
+                pending.append((gg, res))
+            # the device path emits pre-clipped uint8 for 8bpp streams; keep
+            # that dtype end to end (a 12MP int32 round-trip costs ~0.5s of
+            # pure memcpy on this host) unless blending needs wider math
+            if (
+                pending
+                and pending[0][1][0].dtype == np.uint8
+                and f.is_last
+                and f.x0 == 0 and f.y0 == 0
+                and f.disp_width == im.width and f.disp_height == im.height
+                and f.blend_info.mode == 0
+            ):
+                for c in range(3):
+                    gmodular.channels[c].data = np.zeros(
+                        (f.height, f.width), dtype=np.uint8
+                    )
             for gg, (dev, ggh, ggw) in pending:
-                planes = np.asarray(dev)[:, :ggh, :ggw].astype(np.int32)
+                arr = np.asarray(dev)[:, :ggh, :ggw]
+                dst_dtype = gmodular.channels[0].data.dtype
+                if arr.dtype == np.uint8 and dst_dtype != np.uint8:
+                    arr = arr.astype(dst_dtype)
+                elif arr.dtype != np.uint8:
+                    arr = np.clip(
+                        arr.astype(np.int32),
+                        np.iinfo(np.int16).min, np.iinfo(np.int16).max,
+                    )
                 for c in range(3):
                     gmodular.channels[c].data[
                         gg.top : gg.top + gg.height, gg.left : gg.left + gg.width
-                    ] = np.clip(
-                        planes[c], np.iinfo(np.int16).min, np.iinfo(np.int16).max
-                    )
+                    ] = arr[c]
             return
         for ggidx in sorted(self.lf_groups.keys()):
             gg = self.lf_groups[ggidx]

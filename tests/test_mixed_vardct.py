@@ -120,3 +120,29 @@ def test_encode_mixed_jax_backend(dj40, tmp_path, flatphoto):
     dec.decode_frame()
     out = dec.render_rgba8()
     assert np.abs(out[:, :, :3].astype(int) - ref).max() <= 1
+
+
+def test_fused_mixed_pallas_interp(dj40, tmp_path, flatphoto, monkeypatch):
+    """The single-dispatch fused mixed-class path (dense 8x8 grid through the
+    Pallas kernel + per-class overlays), exercised in interpreter mode."""
+    monkeypatch.setenv("J40T_PALLAS", "interp")
+    cs = encode_vardct_mixed(flatphoto)
+    ref = _dj40(dj40, cs, tmp_path)
+    dec = Decoder(cs, backend="jax")
+    dec.decode_frame()
+    out = dec.render_rgba8()
+    assert np.abs(out[:, :, :3].astype(int) - ref).max() <= 1
+
+
+def test_pipelined_multi_lf_group_dispatch(dj40, tmp_path):
+    """Multi-LF-group stream with workers>1: per-LF-group reconstructions
+    dispatch from the decode threads (dispatch_group_async) and must match
+    dj40; width 2560 > 2048 gives two LF groups."""
+    rng = np.random.default_rng(21)
+    img = np.cumsum(rng.integers(-2, 3, (128, 2560, 3)), axis=1).astype(np.uint8)
+    cs = encode_vardct_mixed(img)
+    ref = _dj40(dj40, cs, tmp_path)
+    dec = Decoder(cs, backend="jax", workers=4)
+    dec.decode_frame()
+    out = dec.render_rgba8()
+    assert np.abs(out[:, :, :3].astype(int) - ref).max() <= 1
