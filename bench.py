@@ -24,6 +24,7 @@ value / vs_baseline are geomeans over the four dj40-comparable configs.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import os
@@ -123,7 +124,9 @@ def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
 
 def _bench_batch64(backend: str, n: int = 64, size: int = 512) -> dict:
     """BASELINE row-5 analog: aggregate throughput over a 64-image batch vs
-    the same decoder run on one stream (scaling efficiency)."""
+    the same decoder run on one stream (scaling efficiency).  Best-of-2: a
+    single tunnel congestion window (minutes-long stalls are observed on
+    this host) must not define the recorded number."""
     from j40_tpu.encode.vardct_enc import encode_vardct
     from j40_tpu.parallel.batch import decode_batch
 
@@ -136,9 +139,14 @@ def _bench_batch64(backend: str, n: int = 64, size: int = 512) -> dict:
     pixels = n * size * size
 
     decode_batch(blobs[:4], workers=WORKERS, backend=backend)  # warmup
-    t0 = time.perf_counter()
-    decode_batch(blobs, workers=WORKERS, backend=backend)
-    agg = pixels / (time.perf_counter() - t0) / 1e6
+    dt = float("inf")
+    for rep in range(2):
+        t0 = time.perf_counter()
+        decode_batch(blobs, workers=WORKERS, backend=backend)
+        dt = min(dt, time.perf_counter() - t0)
+        if dt > 60.0 and rep == 0:
+            break  # deep congestion window; don't double the bench time
+    agg = pixels / dt / 1e6
 
     one, _ = _time_ours(blobs[0], backend)
     return {
@@ -146,6 +154,137 @@ def _bench_batch64(backend: str, n: int = 64, size: int = 512) -> dict:
         "single_stream_mpixps": round(one, 3),
         "efficiency_vs_1stream": round(agg / one, 3) if one else 0.0,
         "images": n,
+        "image_px": size,
+    }
+
+
+def _bench_tunnel() -> dict:
+    """Host<->device link probe: every end-to-end device number on this dev
+    host is bounded by the axon TPU tunnel, not the chip.  Records the
+    achievable bandwidth and per-dispatch latency so the vardct/batch
+    figures can be read against their transfer floor (a production PCIe
+    host moves the same tensors ~500x faster)."""
+    import jax
+
+    import jax.numpy as jnp
+
+    a = np.random.randint(0, 127, (3, 65536, 64), dtype=np.int8)  # 12.6 MB
+    red = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    red(jax.device_put(a)).block_until_ready()  # compile
+    up, down = [], []
+    for _ in range(3):
+        a[0, 0, 0] += 1  # defeat any staging/caching of the host buffer
+        t0 = time.perf_counter()
+        d = jax.device_put(a)
+        int(red(d))  # scalar fetch forces the upload through the tunnel
+        t1 = time.perf_counter()
+        np.asarray(d)
+        t2 = time.perf_counter()
+        up.append(a.nbytes / 1e6 / (t1 - t0))
+        down.append(a.nbytes / 1e6 / (t2 - t1))
+
+    f = jax.jit(lambda x: x + 1)
+    s = jnp.float32(1.0)
+    f(s).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        f(s).block_until_ready()
+    rtt_ms = (time.perf_counter() - t0) / 10 * 1000
+    return {
+        "up_MBps": round(max(up), 1),
+        "down_MBps": round(max(down), 1),
+        "dispatch_rtt_ms": round(rtt_ms, 1),
+        "probe_MB": round(a.nbytes / 1e6, 1),
+    }
+
+
+def _bench_device_compute(size: int = 1024) -> dict:
+    """Device-compute-only throughput of the fused reconstruction kernel
+    (inputs device-resident, min-of-10 with block_until_ready): what the
+    chip does once the transfer floor is removed.  Also reports MFU against
+    a measured dense-matmul ceiling at the same f32 HIGHEST precision."""
+    import jax
+    import jax.numpy as jnp
+
+    h8 = w8 = size // 8
+    n = h8 * w8
+    rng = np.random.default_rng(0)
+    weights = jax.device_put(np.abs(rng.normal(size=(64, 3))).astype(np.float32) + 0.5)
+    consts = jax.device_put(
+        np.concatenate([
+            [1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.2, 0.0],
+            np.eye(3).ravel(), [0.003, 0.003, 0.003], [1.0, 255.0],
+        ]).astype(np.float32)
+    )
+    # the ~33ms tunnel dispatch RTT swallows any single kernel call, so K
+    # reconstructions are chained inside ONE dispatch (the sample plane is
+    # relaid out to the coefficient layout between iterations to force the
+    # dependency) and the per-iteration time is (T_K - T_0) / K
+    from j40_tpu.ops.pallas_kernels import reconstruct_dct8_pallas
+
+    K = 32
+    fcoeffs = jax.device_put(
+        rng.integers(-90, 90, (3, n, 64)).astype(np.float32)
+    )
+    llf = jax.device_put(rng.normal(size=(3, n)).astype(np.float32))
+    s3 = [jax.device_put(rng.normal(size=(n,)).astype(np.float32))
+          for _ in range(3)]
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(c, iters):
+        def body(_, cc):
+            plane = reconstruct_dct8_pallas(
+                cc, llf, s3[0], s3[1], s3[2], weights, consts[:8], h8, w8
+            )
+            return (
+                plane.reshape(3, h8, 8, w8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(3, n, 64)
+                * 1e-3  # keep magnitudes bounded across iterations
+            )
+        return jax.lax.fori_loop(0, iters, body, c)
+
+    chain(fcoeffs, 1).block_until_ready()
+    chain(fcoeffs, K).block_until_ready()
+    t1 = t_k = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        chain(fcoeffs, 1).block_until_ready()
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        chain(fcoeffs, K).block_until_ready()
+        t_k = min(t_k, time.perf_counter() - t0)
+    dt = max((t_k - t1) / (K - 1), 1e-9)
+    mpixps = size * size / dt / 1e6
+    kernel_flops = 3 * n * 64 * 64 * 2  # the IDCT matmul (dominant term)
+
+    # measured dense-matmul ceiling at the same precision, same chaining
+    m = 2048
+    x = jax.device_put((rng.normal(size=(m, m)) / m).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def mmchain(y, iters):
+        def body(_, yy):
+            return jnp.dot(yy, x, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.fori_loop(0, iters, body, y)
+
+    mmchain(x, 1).block_until_ready()
+    mmchain(x, K).block_until_ready()
+    m1 = mk = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        mmchain(x, 1).block_until_ready()
+        m1 = min(m1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        mmchain(x, K).block_until_ready()
+        mk = min(mk, time.perf_counter() - t0)
+    peak_flops_s = 2 * m**3 * (K - 1) / max(mk - m1, 1e-9)
+    return {
+        "mpixps": round(mpixps, 1),
+        "kernel_time_us": round(dt * 1e6, 1),
+        "kernel_tflops": round(kernel_flops / dt / 1e12, 3),
+        "measured_matmul_ceiling_tflops": round(peak_flops_s / 1e12, 1),
+        "mfu_vs_ceiling": round(kernel_flops / dt / peak_flops_s, 4),
         "image_px": size,
     }
 
@@ -234,6 +373,11 @@ def main() -> None:
               f"{entry.get('dj40_mpixps', float('nan'))} Mpix/s", file=sys.stderr)
 
     out: dict = {}
+    if device_backend == "jax" and (not ONLY or "device" in ONLY):
+        out["tunnel"] = _bench_tunnel()
+        print(f"# tunnel: {out['tunnel']}", file=sys.stderr)
+        out["device_compute"] = _bench_device_compute()
+        print(f"# device_compute: {out['device_compute']}", file=sys.stderr)
     if not ONLY or "batch64" in ONLY:
         out["batch64"] = _bench_batch64(device_backend)
         print(f"# batch64: {out['batch64']}", file=sys.stderr)

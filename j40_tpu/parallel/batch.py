@@ -86,26 +86,43 @@ def _decode_batch_fused(blobs, workers):
 
     from ..ops.combine_jax import _pack_i8
 
+    # fixed-size chunks keep the jit signature stable across batch sizes
+    # (one compile per image shape); partial chunks zero-pad.  All chunk
+    # dispatches are issued before any fetch so uploads/compute/fetches
+    # pipeline through the runtime's async queue.
     B = len(plans)
-    dense = np.concatenate([p[0] for p in plans], axis=1)  # (3, B*n, 64)
-    aux = np.concatenate([p[1] for p in plans], axis=1)    # (6, B*n)
-    cup, exc_idx, exc_val = _pack_i8(dense)
-    # the batch is one tall image: B groups stacked along the row axis
-    out = reconstruct_dct8_full(
-        jnp.asarray(cup), jnp.asarray(exc_idx), jnp.asarray(exc_val),
-        jnp.asarray(aux), jnp.asarray(weights0), jnp.asarray(consts0),
-        B * h8, w8, True,
-    )
-    stacked = np.asarray(out)  # (3, B*h8*8, w8*8) uint8 — one fetch
+    CHUNK = 16  # constant so a small warmup batch compiles the same shape
+    n = h8 * w8
+    devs = []
+    for g0 in range(0, B, CHUNK):
+        part = plans[g0 : g0 + CHUNK]
+        dense = np.concatenate([p[0] for p in part], axis=1)
+        aux = np.concatenate([p[1] for p in part], axis=1)
+        if len(part) < CHUNK:
+            pad = (CHUNK - len(part)) * n
+            dense = np.pad(dense, ((0, 0), (0, pad), (0, 0)))
+            aux = np.pad(aux, ((0, 0), (0, pad)))
+        cup, exc_idx, exc_val = _pack_i8(dense)
+        devs.append(
+            reconstruct_dct8_full(
+                jnp.asarray(cup), jnp.asarray(exc_idx), jnp.asarray(exc_val),
+                jnp.asarray(aux), jnp.asarray(weights0), jnp.asarray(consts0),
+                CHUNK * h8, w8, True,
+            )
+        )
 
     results = []
     H = h8 * 8
-    for i, d in enumerate(decs):
-        gg = d._deferred[2].vardct.lf_groups[0]
-        chunk = stacked[:, i * H : i * H + gg.height, : gg.width]
-        d._deferred[2].vardct._predispatched[0] = (chunk, gg.height, gg.width)
-        d.finish_frame()
-        results.append(d)
+    for g0, dev in zip(range(0, B, CHUNK), devs):
+        stacked = np.asarray(dev)  # (3, CHUNK*H, w8*8) uint8 — one fetch
+        for j, d in enumerate(decs[g0 : g0 + CHUNK]):
+            gg = d._deferred[2].vardct.lf_groups[0]
+            chunk = stacked[:, j * H : j * H + gg.height, : gg.width]
+            d._deferred[2].vardct._predispatched[0] = (
+                chunk, gg.height, gg.width,
+            )
+            d.finish_frame()
+            results.append(d)
     with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
         return list(ex.map(lambda d: d.render_rgba8(), results))
 
