@@ -86,7 +86,7 @@ def _test_image(w: int, h: int, seed: int = 12345) -> np.ndarray:
     return (img % 200 + 20).astype(np.uint8)
 
 
-def _time_ours(data: bytes, backend: str) -> tuple[float, dict]:
+def _time_ours(data: bytes, backend: str) -> tuple[float, dict, str]:
     from j40_tpu.decode import Decoder
 
     def once():
@@ -95,6 +95,7 @@ def _time_ours(data: bytes, backend: str) -> tuple[float, dict]:
         return d, d.render_rgba8()
 
     dec, rgba = once()  # warmup (includes jit compile on device backends)
+    backend = dec.backend  # 'auto' resolved by the execution planner
     # best-of-N: the dev host's TPU tunnel bandwidth swings ~2x with ambient
     # load, so the minimum is the honest hardware-capability number; device
     # backends sample inside a time budget to ride out congestion windows
@@ -109,7 +110,7 @@ def _time_ours(data: bytes, backend: str) -> tuple[float, dict]:
         if t < dt:
             dt, stats = t, dict(dec.stats)
         iters += 1
-    return rgba.shape[0] * rgba.shape[1] / dt / 1e6, stats
+    return rgba.shape[0] * rgba.shape[1] / dt / 1e6, stats, backend
 
 
 def _time_dj40(dj40: Path, jxl: Path, pixels: int) -> float:
@@ -148,13 +149,14 @@ def _bench_batch64(backend: str, n: int = 64, size: int = 512) -> dict:
             break  # deep congestion window; don't double the bench time
     agg = pixels / dt / 1e6
 
-    one, _ = _time_ours(blobs[0], backend)
+    one, _, resolved = _time_ours(blobs[0], backend)
     return {
         "aggregate_mpixps": round(agg, 3),
         "single_stream_mpixps": round(one, 3),
         "efficiency_vs_1stream": round(agg / one, 3) if one else 0.0,
         "images": n,
         "image_px": size,
+        "backend": resolved,
     }
 
 
@@ -306,8 +308,12 @@ def main() -> None:
     CACHE.mkdir(exist_ok=True)
     img = _test_image(SIZE, SIZE)
 
-    device_backend = os.environ.get("BENCH_BACKEND", "jax")
-    if device_backend == "jax" and not _device_available():
+    # 'auto' lets the decoder's execution planner pick per stream (native
+    # host plan vs device plan); the tunnel/device_compute probes below
+    # record what the device side can do so the choice is auditable
+    device_backend = os.environ.get("BENCH_BACKEND", "auto")
+    have_device = _device_available()
+    if device_backend == "jax" and not have_device:
         print("# TPU unreachable; vardct falls back to the numpy backend",
               file=sys.stderr)
         device_backend = "numpy"
@@ -356,8 +362,8 @@ def main() -> None:
             path.write_bytes(enc())
         data = path.read_bytes()
         pixels = w * h
-        ours, stats = _time_ours(data, backend)
-        entry = {"ours_mpixps": round(ours, 3), "backend": backend}
+        ours, stats, resolved = _time_ours(data, backend)
+        entry = {"ours_mpixps": round(ours, 3), "backend": resolved}
         if dj40 is not None:
             ref = _time_dj40(dj40, path, pixels)
             entry["dj40_mpixps"] = round(ref, 3)
@@ -373,11 +379,20 @@ def main() -> None:
               f"{entry.get('dj40_mpixps', float('nan'))} Mpix/s", file=sys.stderr)
 
     out: dict = {}
-    if device_backend == "jax" and (not ONLY or "device" in ONLY):
+    if have_device and (not ONLY or "device" in ONLY):
         out["tunnel"] = _bench_tunnel()
         print(f"# tunnel: {out['tunnel']}", file=sys.stderr)
         out["device_compute"] = _bench_device_compute()
         print(f"# device_compute: {out['device_compute']}", file=sys.stderr)
+        if "vardct" in specs:
+            # device END-TO-END on the same stream (not in the geomean: the
+            # planner picks the host plan on this topology, but the device
+            # number must stay a recorded artifact, not an assertion)
+            ve2e, _, _ = _time_ours(
+                (CACHE / f"vardct_{SIZE}x{SIZE}.jxl").read_bytes(), "jax"
+            )
+            out["vardct_device_e2e_mpixps"] = round(ve2e, 3)
+            print(f"# vardct device e2e: {ve2e:.2f} Mpix/s", file=sys.stderr)
     if not ONLY or "batch64" in ONLY:
         out["batch64"] = _bench_batch64(device_backend)
         print(f"# batch64: {out['batch64']}", file=sys.stderr)

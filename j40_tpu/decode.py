@@ -77,6 +77,16 @@ class Decoder:
                  apply_filters: bool = False, workers: int = 1,
                  max_passes: int | None = None, render_spot: bool = False,
                  streaming: bool = False):
+        if backend == "auto":
+            # execution planner: the multithreaded native host path wins
+            # whenever it is available on this topology — device execution
+            # pays the host<->device link per stream, which only amortizes
+            # for fused batches or hosts with fast interconnect (the policy
+            # trade-off is measured and recorded by bench.py: see the
+            # `tunnel` and `device_compute` probes vs per-config numbers)
+            from .vardct.native_combine import native_combine_available
+
+            backend = "numpy" if native_combine_available() else "jax"
         self.backend = backend
         self.apply_filters = apply_filters
         self.workers = workers
@@ -177,6 +187,7 @@ class Decoder:
             state = FrameState(im, f, self.limits)
             state.backend = self.backend
             state.apply_filters = self.apply_filters
+            state.workers = self.workers
             state.lf_global(r)
             if not f.is_modular:
                 state.hf_global(r)
@@ -191,6 +202,7 @@ class Decoder:
                 prog.state = FrameState(im, f, self.limits)
                 prog.state.backend = self.backend
                 prog.state.apply_filters = self.apply_filters
+                prog.state.workers = self.workers
             state = prog.state
 
             if not prog.lf_global_done:
@@ -579,14 +591,42 @@ class Decoder:
 
         omax = (1 << depth) - 1
         odt = np.uint8 if depth == 8 else np.uint16
-        out = np.empty((h, w, 4), dtype=odt)
+
+        # zero-copy fast path: the native VarDCT reconstruct writes the three
+        # color slots of one interleaved RGBA canvas (alpha pre-filled 255);
+        # when the planes are exactly those views, the canvas IS the render
+        if (
+            depth == 8
+            and im.bpp == 8
+            and alpha is None
+            and not spots
+            and ncolor == 3
+            and isinstance(planes[0].base, np.ndarray)
+            and planes[0].base.ndim == 3
+            and planes[0].base.shape == (h, w, 4)
+            and planes[0].base.dtype == np.uint8
+            and all(
+                planes[i].base is planes[0].base
+                and planes[i].__array_interface__["data"][0]
+                == planes[0].base.__array_interface__["data"][0] + i
+                for i in range(3)
+            )
+        ):
+            return apply_orientation(planes[0].base, int(im.orientation))
+
+        # calloc-backed: np.empty's malloc + first-touch is pathologically
+        # slow on hosts with broken THP fault-in (see j40_tpu/__init__.py)
+        out = np.zeros((h, w, 4), dtype=odt)
 
         def _one(i):
             src = planes[i] if i < 3 else alpha
             if src is None:
                 out[:, :, i] = omax
             elif im.bpp == depth:
-                out[:, :, i] = np.clip(src, 0, omax).astype(odt)
+                if src.dtype == odt:
+                    out[:, :, i] = src  # u8 planes are pre-clamped
+                else:
+                    out[:, :, i] = np.clip(src, 0, omax).astype(odt)
             else:
                 p = np.clip(src, 0, maxpixel).astype(np.int64)
                 out[:, :, i] = ((p * omax + half) // maxpixel).astype(odt)

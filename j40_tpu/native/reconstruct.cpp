@@ -1,0 +1,314 @@
+// j40_tpu native host reconstruct: VarDCT coefficient -> sRGB samples.
+//
+// The host dual of ops/combine_jax.py (the device path): dequant + CfL +
+// LLF substitution + inverse transform + XYB->sRGB for one LF group,
+// multithreaded over varblocks / row bands.  Used when the decoder's
+// execution planner picks the host backend (e.g. when the host<->device
+// link would dominate; see Decoder(backend='auto')).  Math mirrors the
+// numpy oracle VarDCTState.dequant_hf/_combine_lf_group (j40_tpu/vardct/
+// state.py), itself validated against the reference (j40.h:7045-7247).
+//
+// Inverse transforms are supplied by the caller as basis matrices: dense
+// 64x64 operators for the 8x8 special transforms (Hornuss/DCT2/DCT4/
+// DCT4x8/AFV; j40.h:5993-6246) and separable row/column IDCT-III factors
+// for the true DCTs (j40.h:5657-5990) — the caller derives them from the
+// Python DCT library so both backends share one definition.
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#define J40T_API extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+struct ReconstructArgs {
+  const float* coeffs[3];
+  const float* llf[3];
+  int32_t ggh8, ggw8, ggh, ggw;
+  const int64_t* vb_coeffoff;
+  const float* vb_hfmul_inv;
+  const int32_t* vb_dctsel;
+  const int32_t* corner_y8;
+  const int32_t* corner_x8;
+  int32_t nb_varblocks;
+  const float* xfromy;  // per-64px CfL factors, row stride cfl_stride
+  const float* bfromy;
+  int32_t cfl_stride;
+  const int32_t* cls_tab;  // 27 * 5: kind, log_rows, log_cols, off_a, off_b
+  const float* mats;       // basis-matrix blob (offsets from cls_tab)
+  const float* const* dq_w;  // 27 pointers, each (size, 3) row-major
+  const float* consts;
+  float* samples[3];  // (ggh, ggw) scratch planes
+};
+
+// consts layout (must match bindings.py _recon_consts):
+//  0 gsi (65536/global_scale)   1 qm_x   2 qm_b
+//  3..5 quant_bias[3]           6 quant_bias_num
+//  7 kx_lf  8 kb_lf  9 base_corr_x  10 base_corr_b  11 inv_colour_factor
+//  12..20 opsin_inv[9]  21..23 opsin_bias[3]  24..26 cbrt_bias[3]
+//  27 itscale  28 maxval
+
+void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
+                          float* cf, float* tmp) {
+  const float* consts = a.consts;
+  const int32_t ds = a.vb_dctsel[vb];
+  const int32_t* cls = a.cls_tab + ds * 5;
+  const int32_t kind = cls[0], lr = cls[1], lc = cls[2];
+  const int32_t R = 1 << lr, C = 1 << lc, size = R * C;
+  const int64_t off = a.vb_coeffoff[vb];
+  const int32_t y8 = a.corner_y8[vb], x8 = a.corner_x8[vb];
+
+  const float gsi_h = consts[0] * a.vb_hfmul_inv[vb];
+  const float mult[3] = {gsi_h * consts[1], gsi_h, gsi_h * consts[2]};
+  const float qbnum = consts[6];
+  const int32_t cfl_idx = (y8 / 8) * a.cfl_stride + (x8 / 8);
+  const float kx_hf = consts[9] + consts[11] * a.xfromy[cfl_idx];
+  const float kb_hf = consts[10] + consts[11] * a.bfromy[cfl_idx];
+  const float* w = a.dq_w[ds];
+
+  // dequant Y first (X and B need it for chroma-from-luma)
+  float* dq[3] = {cf, cf + size, cf + 2 * size};
+  static const int kChannelOrder[3] = {1, 0, 2};
+  for (int oi = 0; oi < 3; ++oi) {
+    const int c = kChannelOrder[oi];
+    const float qb = consts[3 + c], mc = mult[c];
+    const float* src = a.coeffs[c] + off;
+    float* out = dq[c];
+    for (int32_t i = 0; i < size; ++i) {
+      const float q = src[i];
+      const float adj =
+          (q >= -1.0f && q <= 1.0f) ? q * qb : q - qbnum / q;
+      out[i] = adj * (mc / w[i * 3 + c]);
+    }
+    if (c == 0) {
+      for (int32_t i = 0; i < size; ++i) out[i] += dq[1][i] * kx_hf;
+    } else if (c == 2) {
+      for (int32_t i = 0; i < size; ++i) out[i] += dq[1][i] * kb_hf;
+    }
+  }
+
+  // LLF substitution: canonical positions y*vw8*8 + x (already-final values)
+  const int32_t vh8 = 1 << ((lr < lc ? lr : lc) - 3);
+  const int32_t vw8 = 1 << ((lr > lc ? lr : lc) - 3);
+  const int64_t loff = off >> 6;
+  const float kx_lf = consts[7], kb_lf = consts[8];
+  for (int32_t y = 0; y < vh8; ++y) {
+    for (int32_t x = 0; x < vw8; ++x) {
+      const float ly = a.llf[1][loff + y * vw8 + x];
+      const int32_t p = y * vw8 * 8 + x;
+      dq[0][p] = a.llf[0][loff + y * vw8 + x] + ly * kx_lf;
+      dq[1][p] = ly;
+      dq[2][p] = a.llf[2][loff + y * vw8 + x] + ly * kb_lf;
+    }
+  }
+
+  const int32_t eff_h = (a.ggh - y8 * 8) < R ? (a.ggh - y8 * 8) : R;
+  const int32_t eff_w = (a.ggw - x8 * 8) < C ? (a.ggw - x8 * 8) : C;
+  for (int c = 0; c < 3; ++c) {
+    const float* src = dq[c];
+    float* out = tmp;  // (R, C) samples
+    if (kind == 1) {
+      // dense 64x64 operator (8x8 special transforms)
+      const float* M = a.mats + cls[3];
+      for (int32_t i = 0; i < 64; ++i) {
+        float acc = 0.0f;
+        const float* row = M + i * 64;
+        for (int32_t j = 0; j < 64; ++j) acc += row[j] * src[j];
+        out[i] = acc;
+      }
+    } else {
+      // separable: out = Gr @ c2d @ Gc^T, with the canonical flat layout
+      // transposed for tall blocks (ops/reconstruct.py idct2d_batch)
+      const float* Gr = a.mats + cls[3];
+      const float* Gc = a.mats + cls[4];
+      float* mid = tmp + size;  // (R, C) after the row transform
+      // mid = Gr @ c2d
+      for (int32_t i = 0; i < R; ++i) {
+        const float* gr = Gr + i * R;
+        float* mrow = mid + i * C;
+        for (int32_t k = 0; k < C; ++k) mrow[k] = 0.0f;
+        for (int32_t j = 0; j < R; ++j) {
+          const float g = gr[j];
+          if (lc > lr) {
+            const float* crow = src + j * C;
+            for (int32_t k = 0; k < C; ++k) mrow[k] += g * crow[k];
+          } else {
+            for (int32_t k = 0; k < C; ++k) mrow[k] += g * src[k * R + j];
+          }
+        }
+      }
+      // out = mid @ Gc^T
+      for (int32_t i = 0; i < R; ++i) {
+        const float* mrow = mid + i * C;
+        float* orow = out + i * C;
+        for (int32_t j2 = 0; j2 < C; ++j2) {
+          const float* gc = Gc + j2 * C;
+          float acc = 0.0f;
+          for (int32_t k = 0; k < C; ++k) acc += mrow[k] * gc[k];
+          orow[j2] = acc;
+        }
+      }
+    }
+    float* dst = a.samples[c] + (int64_t)y8 * 8 * a.ggw + x8 * 8;
+    for (int32_t y = 0; y < eff_h; ++y)
+      memcpy(dst + (int64_t)y * a.ggw, out + y * C, eff_w * sizeof(float));
+  }
+}
+
+// XYB -> linear sRGB -> gamma -> quantized output for rows [y0, y1).
+// px_stride elements between horizontal neighbors (4 when writing the three
+// color slots of an interleaved RGBA canvas directly, 1 for planar).
+template <typename Dst>
+void xyb_rows(const ReconstructArgs& a, Dst* const* dst, int64_t dst_stride,
+              int32_t px_stride, int32_t y0, int32_t y1, Dst lo, Dst hi) {
+  const float* consts = a.consts;
+  const float cb0 = consts[24], cb1 = consts[25], cb2 = consts[26];
+  const float ob0 = consts[21], ob1 = consts[22], ob2 = consts[23];
+  const float its = consts[27], maxval = consts[28];
+  const float* inv = consts + 12;
+  const int32_t W = a.ggw;
+  for (int32_t y = y0; y < y1; ++y) {
+    const float* X = a.samples[0] + (int64_t)y * W;
+    const float* Y = a.samples[1] + (int64_t)y * W;
+    const float* B = a.samples[2] + (int64_t)y * W;
+    Dst* d0 = dst[0] + (int64_t)y * dst_stride;
+    Dst* d1 = dst[1] + (int64_t)y * dst_stride;
+    Dst* d2 = dst[2] + (int64_t)y * dst_stride;
+    for (int32_t x = 0; x < W; ++x) {
+      const float p0 = Y[x] + X[x] - cb0;
+      const float p1 = Y[x] - X[x] - cb1;
+      const float p2 = B[x] - cb2;
+      const float m0 = (p0 * p0 * p0 + ob0) * its;
+      const float m1 = (p1 * p1 * p1 + ob1) * its;
+      const float m2 = (p2 * p2 * p2 + ob2) * its;
+      for (int c = 0; c < 3; ++c) {
+        float v = inv[c * 3] * m0 + inv[c * 3 + 1] * m1 + inv[c * 3 + 2] * m2;
+        v = v <= 0.0031308f
+                ? 12.92f * v
+                : 1.055f * powf(v > 1e-30f ? v : 1e-30f, 1.0f / 2.4f) -
+                      0.055f;
+        int32_t q = (int32_t)(maxval * v + 0.5f);
+        if (q < (int32_t)lo) q = (int32_t)lo;
+        if (q > (int32_t)hi) q = (int32_t)hi;
+        (c == 0 ? d0 : c == 1 ? d1 : d2)[(int64_t)x * px_stride] = (Dst)q;
+      }
+    }
+  }
+}
+
+void run_threads(int32_t nthreads, void (*fn)(void*, int32_t), void* ctx) {
+  if (nthreads <= 1) {
+    fn(ctx, 0);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads - 1);
+  for (int32_t t = 1; t < nthreads; ++t)
+    ts.emplace_back([fn, ctx, t] { fn(ctx, t); });
+  fn(ctx, 0);
+  for (auto& t : ts) t.join();
+}
+
+struct PhaseCtx {
+  const ReconstructArgs* a;
+  std::atomic<int32_t> next{0};
+  // phase B
+  void* const* dst;
+  int64_t dst_stride;
+  int32_t px_stride;
+  int32_t dst_is_u8;
+};
+
+void phase_a(void* p, int32_t) {
+  auto* ctx = (PhaseCtx*)p;
+  const ReconstructArgs& a = *ctx->a;
+  // per-thread scratch: 3 channel buffers + 2x transform temp (max 256x256)
+  std::vector<float> cf(3 * 65536), tmp(2 * 65536);
+  const int32_t batch = 16;
+  for (;;) {
+    const int32_t lo = ctx->next.fetch_add(batch);
+    if (lo >= a.nb_varblocks) break;
+    const int32_t hi =
+        lo + batch < a.nb_varblocks ? lo + batch : a.nb_varblocks;
+    for (int32_t vb = lo; vb < hi; ++vb)
+      reconstruct_varblock(a, vb, cf.data(), tmp.data());
+  }
+}
+
+void phase_b(void* p, int32_t) {
+  auto* ctx = (PhaseCtx*)p;
+  const ReconstructArgs& a = *ctx->a;
+  const int32_t batch = 32;
+  for (;;) {
+    const int32_t y0 = ctx->next.fetch_add(batch);
+    if (y0 >= a.ggh) break;
+    const int32_t y1 = y0 + batch < a.ggh ? y0 + batch : a.ggh;
+    if (ctx->dst_is_u8)
+      xyb_rows<uint8_t>(a, (uint8_t* const*)ctx->dst, ctx->dst_stride,
+                        ctx->px_stride, y0, y1, (uint8_t)0, (uint8_t)255);
+    else
+      xyb_rows<int32_t>(a, (int32_t* const*)ctx->dst, ctx->dst_stride,
+                        ctx->px_stride, y0, y1, (int32_t)INT16_MIN,
+                        (int32_t)INT16_MAX);
+  }
+}
+
+}  // namespace
+
+J40T_API int32_t j40t_combine_lf_group(
+    const float* coeff_x, const float* coeff_y, const float* coeff_b,
+    const float* llf_x, const float* llf_y, const float* llf_b,
+    int32_t ggh8, int32_t ggw8, int32_t ggh, int32_t ggw,
+    const int64_t* vb_coeffoff, const float* vb_hfmul_inv,
+    const int32_t* vb_dctsel, const int32_t* corner_y8,
+    const int32_t* corner_x8, int32_t nb_varblocks, const float* xfromy,
+    const float* bfromy, int32_t cfl_stride, const int32_t* cls_tab,
+    const float* mats, const float* const* dq_w, const float* consts,
+    void* dst0, void* dst1, void* dst2, int64_t dst_stride,
+    int32_t px_stride, int32_t dst_is_u8, int32_t nthreads) {
+  ReconstructArgs a;
+  a.coeffs[0] = coeff_x;
+  a.coeffs[1] = coeff_y;
+  a.coeffs[2] = coeff_b;
+  a.llf[0] = llf_x;
+  a.llf[1] = llf_y;
+  a.llf[2] = llf_b;
+  a.ggh8 = ggh8;
+  a.ggw8 = ggw8;
+  a.ggh = ggh;
+  a.ggw = ggw;
+  a.vb_coeffoff = vb_coeffoff;
+  a.vb_hfmul_inv = vb_hfmul_inv;
+  a.vb_dctsel = vb_dctsel;
+  a.corner_y8 = corner_y8;
+  a.corner_x8 = corner_x8;
+  a.nb_varblocks = nb_varblocks;
+  a.xfromy = xfromy;
+  a.bfromy = bfromy;
+  a.cfl_stride = cfl_stride;
+  a.cls_tab = cls_tab;
+  a.mats = mats;
+  a.dq_w = dq_w;
+  a.consts = consts;
+  std::vector<float> s0((int64_t)ggh * ggw), s1((int64_t)ggh * ggw),
+      s2((int64_t)ggh * ggw);
+  a.samples[0] = s0.data();
+  a.samples[1] = s1.data();
+  a.samples[2] = s2.data();
+
+  PhaseCtx ctx;
+  ctx.a = &a;
+  void* dst[3] = {dst0, dst1, dst2};
+  ctx.dst = dst;
+  ctx.dst_stride = dst_stride;
+  ctx.px_stride = px_stride;
+  ctx.dst_is_u8 = dst_is_u8;
+  run_threads(nthreads, phase_a, &ctx);
+  ctx.next.store(0);
+  run_threads(nthreads, phase_b, &ctx);
+  return 0;
+}

@@ -43,6 +43,20 @@ from .tables import (
 YXB2XYB = (1, 0, 2)
 
 
+def _use_u8_planes(im, f) -> bool:
+    """Whether reconstruction can write uint8 planes directly: a full-frame
+    last frame with no blending at 8bpp never needs wider intermediate math
+    (the compositor reads the planes verbatim)."""
+    return (
+        im.bpp == 8
+        and f.is_last
+        and f.x0 == 0 and f.y0 == 0
+        and f.disp_width == im.width
+        and f.disp_height == im.height
+        and f.blend_info.mode == 0
+    )
+
+
 @dataclass
 class LfGroup:
     idx: int
@@ -662,7 +676,43 @@ class VarDCTState:
         gmodular.channels = color + gmodular.channels
         gmodular.nb_meta_channels = 0
 
-        use_jax = getattr(self.fs, "backend", "numpy") in ("jax", "device")
+        backend = getattr(self.fs, "backend", "numpy")
+        if backend in ("numpy", "native", "auto") and not getattr(
+            self.fs, "apply_filters", False
+        ):
+            # host execution plan: multithreaded native reconstruct
+            # (native/reconstruct.cpp) — the fastest path when the
+            # host<->device link would dominate (see SCALING.md)
+            from .native_combine import (
+                combine_lf_group_native,
+                native_combine_available,
+            )
+
+            if native_combine_available():
+                if _use_u8_planes(im, f):
+                    if len(gmodular.channels) == 3:
+                        # no extra channels: reconstruct straight into an
+                        # interleaved RGBA canvas (render becomes a no-op —
+                        # the kernel's px_stride-4 stores replace a 4x-sized
+                        # post-hoc interleave copy)
+                        rgba = np.zeros((f.height, f.width, 4), dtype=np.uint8)
+                        rgba[:, :, 3] = 255
+                        for c in range(3):
+                            gmodular.channels[c].data = rgba[:, :, c]
+                    else:
+                        for c in range(3):
+                            gmodular.channels[c].data = np.zeros(
+                                (f.height, f.width), dtype=np.uint8
+                            )
+                dst = [gmodular.channels[c].data for c in range(3)]
+                nthr = getattr(self.fs, "workers", 1)
+                for ggidx in sorted(self.lf_groups.keys()):
+                    combine_lf_group_native(
+                        self, self.lf_groups[ggidx], im, dst, nthr
+                    )
+                return
+
+        use_jax = backend in ("jax", "device")
         if use_jax:
             # dispatch every LF group first: the runtime's async queue
             # pipelines uploads/compute/fetches across groups (matters for
@@ -684,10 +734,7 @@ class VarDCTState:
             if (
                 pending
                 and pending[0][1][0].dtype == np.uint8
-                and f.is_last
-                and f.x0 == 0 and f.y0 == 0
-                and f.disp_width == im.width and f.disp_height == im.height
-                and f.blend_info.mode == 0
+                and _use_u8_planes(im, f)
             ):
                 for c in range(3):
                     gmodular.channels[c].data = np.zeros(

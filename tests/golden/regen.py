@@ -3,8 +3,9 @@ change to the decoder/encoder output is intended and verified; see
 tests/test_golden.py."""
 # (generation script mirrored from the original creation; keep in sync with
 # test_golden.py's hashing.)
-import hashlib, json, pathlib, sys
+import hashlib, json, os, pathlib, sys
 
+os.environ["J40T_NATIVE"] = "0"  # pins are oracle-path (see test_golden.py)
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 import numpy as np
 from j40_tpu.decode import decode_animation, decode_file

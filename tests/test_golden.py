@@ -23,7 +23,11 @@ MANIFEST = json.loads((GOLDEN / "manifest.json").read_text())
 
 
 @pytest.mark.parametrize("name", sorted(MANIFEST))
-def test_golden(name):
+def test_golden(name, monkeypatch):
+    # pins are generated from the pure-Python oracle; the native/jax float
+    # paths may differ by +-1 at rounding boundaries and have their own
+    # differential coverage (test_native_combine, test_vardct)
+    monkeypatch.setenv("J40T_NATIVE", "0")
     info = MANIFEST[name]
     data = (GOLDEN / f"{name}.jxl").read_bytes()
     if info["mode"] == "anim":

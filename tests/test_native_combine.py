@@ -1,0 +1,74 @@
+"""Native multithreaded VarDCT reconstruct vs the numpy oracle.
+
+The native reconstruct (native/reconstruct.cpp, wrapped by
+vardct/native_combine.py) is the host execution plan's hot path; every
+stream decoded with backend='numpy' exercises it when the library is
+present.  These tests pin it directly against the pure-Python oracle
+(J40T_NATIVE=0) across block classes, thread counts, and output dtypes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from j40_tpu.decode import Decoder
+from j40_tpu.vardct.native_combine import native_combine_available
+
+
+def _decode(cs, monkeypatch, native: bool, workers: int = 1):
+    monkeypatch.setenv("J40T_NATIVE", "1" if native else "0")
+    d = Decoder(cs, backend="numpy", workers=workers)
+    d.decode_frame()
+    return d.render_rgba8()
+
+
+@pytest.fixture(scope="module")
+def photo():
+    rng = np.random.default_rng(97)
+    img = np.cumsum(np.cumsum(rng.integers(-2, 3, size=(333, 520, 3)), 0), 1)
+    img = (img % 200 + 20).astype(np.uint8)
+    img[:64, :128] = img[5, 5]  # flat region -> large varblocks when mixed
+    return img
+
+
+@pytest.mark.skipif(not native_combine_available(), reason="no native lib")
+@pytest.mark.parametrize("workers", [1, 4])
+def test_native_combine_matches_oracle_mixed(photo, monkeypatch, workers):
+    from j40_tpu.encode.vardct_enc import encode_vardct_mixed
+
+    stats: dict = {}
+    cs = encode_vardct_mixed(photo, stats_out=stats)
+    assert len(stats["dctsel_counts"]) > 1  # really mixed
+    ref = _decode(cs, monkeypatch, native=False)
+    out = _decode(cs, monkeypatch, native=True, workers=workers)
+    assert out.dtype == ref.dtype
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not native_combine_available(), reason="no native lib")
+def test_native_combine_matches_oracle_all8x8(photo, monkeypatch):
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    cs = encode_vardct(photo)
+    ref = _decode(cs, monkeypatch, native=False)
+    out = _decode(cs, monkeypatch, native=True, workers=3)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not native_combine_available(), reason="no native lib")
+def test_native_combine_int32_dst(photo, monkeypatch):
+    # with the u8 fast path disabled the kernel writes int32 planes with the
+    # oracle's int16 clip (the non-last-frame / blending layout)
+    import j40_tpu.vardct.state as vstate
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    cs = encode_vardct(photo)
+    ref = _decode(cs, monkeypatch, native=False)
+    monkeypatch.setattr(vstate, "_use_u8_planes", lambda im, f: False)
+    monkeypatch.setenv("J40T_NATIVE", "1")
+    d = Decoder(cs, backend="numpy", workers=2)
+    fr = d.decode_frame()
+    assert fr.gmodular.channels[0].data.dtype == np.int32
+    out = d.render_rgba8()
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
