@@ -296,9 +296,14 @@ class Decoder:
             # group's 64 member groups is decoded, its reconstruction is
             # dispatched to the device immediately, overlapping with the
             # remaining host entropy work (consumed later by state.finish())
+            pipeline_native = False
+            if self.backend in ("numpy", "native", "auto") and not self.apply_filters:
+                from .vardct.native_combine import native_combine_available
+
+                pipeline_native = native_combine_available()
             pipeline_vardct = (
                 not f.is_modular
-                and self.backend in ("jax", "device")
+                and (self.backend in ("jax", "device") or pipeline_native)
                 and f.num_lf_groups > 1
                 and npasses == f.num_passes
             )
@@ -325,7 +330,10 @@ class Decoder:
                     row, col = divmod(chain[-1].idx, f.gcolumns)
                     ggidx = (row // 8) * f.ggcolumns + (col // 8)
                     if _lf_complete(ggidx):
-                        state.vardct.dispatch_group_async(ggidx)
+                        if pipeline_native:
+                            state.vardct.dispatch_group_native(ggidx)
+                        else:
+                            state.vardct.dispatch_group_async(ggidx)
 
             if self.workers > 1 and len(run_chains) > 1:
                 list(_pool().map(_one_group_chain, run_chains))

@@ -129,13 +129,24 @@ def serialize_spec(spec: CodeSpec) -> np.ndarray | None:
     return np.asarray(out, dtype=np.int32)
 
 
+def serialize_spec_cached(spec: CodeSpec) -> np.ndarray | None:
+    """Per-spec memoized blob: one HfGlobal code spec serves every pass
+    group of the frame (192 sections at 12MP), so the flattening — Python
+    loops over prefix-code pattern maps — must not repeat per section."""
+    blob = getattr(spec, "_native_blob", None)
+    if blob is None:
+        blob = serialize_spec(spec)
+        spec._native_blob = blob
+    return blob
+
+
 class NativeStream:
     """One entropy-coded stream decoded natively; wraps J40TStream."""
 
     def __init__(self, data: bytes, bitpos: int, spec: CodeSpec):
         lib = get_lib()
         assert lib is not None
-        blob = serialize_spec(spec)
+        blob = serialize_spec_cached(spec)
         self._data = data  # keep alive
         self._blob = blob
         self.lib = lib

@@ -137,6 +137,9 @@ class VarDCTState:
         # sections are still entropy-decoding); consumed by combine()
         self._predispatched: dict[int, tuple] = {}
         self._dispatch_lock = threading.Lock()
+        self._native_dst: list | None = None  # host-plan output planes
+        self._native_rgba: np.ndarray | None = None  # interleaved canvas
+        self._native_combined: set[int] = set()
 
     # -- LfGlobal (VarDCT part, j40.h:6271-6313) ---------------------------
 
@@ -644,6 +647,48 @@ class VarDCTState:
                                  q - np.float32(qbias_num) / np.where(q == 0, 1, q))
                 gg.coeffs[c][off : off + size] = q_adj * (mults[c] / w[:size, c])
 
+    def _native_output_planes(self) -> list:
+        """Allocate (once, thread-safe) the host-plan output planes: an
+        interleaved RGBA canvas when the frame has no extra channels and
+        qualifies for the u8 fast path, else planar u8/int32."""
+        with self._dispatch_lock:
+            if self._native_dst is not None:
+                return self._native_dst
+            f, im = self.fs.f, self.fs.im
+            if _use_u8_planes(im, f):
+                if im.num_extra_channels == 0:
+                    rgba = np.zeros((f.height, f.width, 4), dtype=np.uint8)
+                    rgba[:, :, 3] = 255
+                    self._native_rgba = rgba
+                    self._native_dst = [rgba[:, :, c] for c in range(3)]
+                else:
+                    self._native_dst = [
+                        np.zeros((f.height, f.width), dtype=np.uint8)
+                        for _ in range(3)
+                    ]
+            else:
+                self._native_dst = [
+                    np.zeros((f.height, f.width), dtype=np.int32)
+                    for _ in range(3)
+                ]
+            return self._native_dst
+
+    def dispatch_group_native(self, ggidx: int) -> None:
+        """Host-plan dual of dispatch_group_async: reconstruct one LF group
+        on the calling section-worker thread as soon as its last pass
+        section finishes entropy decode, overlapping reconstruction with
+        the remaining sections' entropy work."""
+        with self._dispatch_lock:
+            if ggidx in self._native_combined or ggidx not in self.lf_groups:
+                return
+            self._native_combined.add(ggidx)
+        from .native_combine import combine_lf_group_native
+
+        dst = self._native_output_planes()
+        combine_lf_group_native(
+            self, self.lf_groups[ggidx], self.fs.im, dst, nthreads=1
+        )
+
     def dispatch_group_async(self, ggidx: int) -> None:
         """Dispatch one LF group's device reconstruction as soon as its last
         section finishes entropy decode — called from the decode worker
@@ -689,27 +734,21 @@ class VarDCTState:
             )
 
             if native_combine_available():
-                if _use_u8_planes(im, f):
-                    if len(gmodular.channels) == 3:
-                        # no extra channels: reconstruct straight into an
-                        # interleaved RGBA canvas (render becomes a no-op —
-                        # the kernel's px_stride-4 stores replace a 4x-sized
-                        # post-hoc interleave copy)
-                        rgba = np.zeros((f.height, f.width, 4), dtype=np.uint8)
-                        rgba[:, :, 3] = 255
-                        for c in range(3):
-                            gmodular.channels[c].data = rgba[:, :, c]
-                    else:
-                        for c in range(3):
-                            gmodular.channels[c].data = np.zeros(
-                                (f.height, f.width), dtype=np.uint8
-                            )
-                dst = [gmodular.channels[c].data for c in range(3)]
+                # planes may be an interleaved RGBA canvas (render becomes a
+                # no-op: the kernel's px_stride-4 stores replace a 4x-sized
+                # post-hoc interleave copy); groups whose sections finished
+                # early were already reconstructed on the section workers
+                # (dispatch_group_native)
+                dst = self._native_output_planes()
                 nthr = getattr(self.fs, "workers", 1)
                 for ggidx in sorted(self.lf_groups.keys()):
+                    if ggidx in self._native_combined:
+                        continue
                     combine_lf_group_native(
                         self, self.lf_groups[ggidx], im, dst, nthr
                     )
+                for c in range(3):
+                    gmodular.channels[c].data = dst[c]
                 return
 
         use_jax = backend in ("jax", "device")

@@ -57,6 +57,23 @@ def test_native_combine_matches_oracle_all8x8(photo, monkeypatch):
 
 
 @pytest.mark.skipif(not native_combine_available(), reason="no native lib")
+def test_native_pipelined_multi_lf_group(monkeypatch):
+    # >1 LF group with workers>1: reconstructions run on the section worker
+    # threads (dispatch_group_native) — must be race-free and bit-stable
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    rng = np.random.default_rng(99)
+    img = (
+        np.cumsum(rng.integers(-2, 3, size=(160, 2560, 3)), axis=1) % 180 + 30
+    ).astype(np.uint8)
+    cs = encode_vardct(img)
+    ref = _decode(cs, monkeypatch, native=True, workers=1)
+    for _ in range(5):
+        out = _decode(cs, monkeypatch, native=True, workers=4)
+        assert np.array_equal(out, ref)
+
+
+@pytest.mark.skipif(not native_combine_available(), reason="no native lib")
 def test_native_combine_int32_dst(photo, monkeypatch):
     # with the u8 fast path disabled the kernel writes int32 planes with the
     # oracle's int16 clip (the non-last-frame / blending layout)
