@@ -33,6 +33,10 @@ import sys
 import time
 from pathlib import Path
 
+# must precede the numpy import: THP fault-in is pathologically slow on
+# this VM kernel (see j40_tpu/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import numpy as np
 
 REPO = Path(__file__).resolve().parent

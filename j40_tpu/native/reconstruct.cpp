@@ -29,6 +29,9 @@ struct ReconstructArgs {
   const float* coeffs[3];
   const float* llf[3];
   int32_t ggh8, ggw8, ggh, ggw;
+  int64_t samples_stride;  // row stride of the samples planes (== ggw
+                           // for the internal scratch; caller-defined in
+                           // samples-only mode)
   const int64_t* vb_coeffoff;
   const float* vb_hfmul_inv;
   const int32_t* vb_dctsel;
@@ -153,9 +156,10 @@ void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
         }
       }
     }
-    float* dst = a.samples[c] + (int64_t)y8 * 8 * a.ggw + x8 * 8;
+    float* dst = a.samples[c] + (int64_t)y8 * 8 * a.samples_stride + x8 * 8;
     for (int32_t y = 0; y < eff_h; ++y)
-      memcpy(dst + (int64_t)y * a.ggw, out + y * C, eff_w * sizeof(float));
+      memcpy(dst + (int64_t)y * a.samples_stride, out + y * C,
+             eff_w * sizeof(float));
   }
 }
 
@@ -172,9 +176,9 @@ void xyb_rows(const ReconstructArgs& a, Dst* const* dst, int64_t dst_stride,
   const float* inv = consts + 12;
   const int32_t W = a.ggw;
   for (int32_t y = y0; y < y1; ++y) {
-    const float* X = a.samples[0] + (int64_t)y * W;
-    const float* Y = a.samples[1] + (int64_t)y * W;
-    const float* B = a.samples[2] + (int64_t)y * W;
+    const float* X = a.samples[0] + y * a.samples_stride;
+    const float* Y = a.samples[1] + y * a.samples_stride;
+    const float* B = a.samples[2] + y * a.samples_stride;
     Dst* d0 = dst[0] + (int64_t)y * dst_stride;
     Dst* d1 = dst[1] + (int64_t)y * dst_stride;
     Dst* d2 = dst[2] + (int64_t)y * dst_stride;
@@ -269,7 +273,8 @@ J40T_API int32_t j40t_combine_lf_group(
     const float* bfromy, int32_t cfl_stride, const int32_t* cls_tab,
     const float* mats, const float* const* dq_w, const float* consts,
     void* dst0, void* dst1, void* dst2, int64_t dst_stride,
-    int32_t px_stride, int32_t dst_is_u8, int32_t nthreads) {
+    int32_t px_stride, int32_t dst_is_u8, int32_t samples_only,
+    int32_t nthreads) {
   ReconstructArgs a;
   a.coeffs[0] = coeff_x;
   a.coeffs[1] = coeff_y;
@@ -294,11 +299,23 @@ J40T_API int32_t j40t_combine_lf_group(
   a.mats = mats;
   a.dq_w = dq_w;
   a.consts = consts;
-  std::vector<float> s0((int64_t)ggh * ggw), s1((int64_t)ggh * ggw),
-      s2((int64_t)ggh * ggw);
-  a.samples[0] = s0.data();
-  a.samples[1] = s1.data();
-  a.samples[2] = s2.data();
+  std::vector<float> s0, s1, s2;
+  if (samples_only) {
+    // phase A writes float sample planes straight into the caller's
+    // buffers (restoration filters run between reconstruction and XYB)
+    a.samples[0] = (float*)dst0;
+    a.samples[1] = (float*)dst1;
+    a.samples[2] = (float*)dst2;
+    a.samples_stride = dst_stride;
+  } else {
+    s0.resize((int64_t)ggh * ggw);
+    s1.resize((int64_t)ggh * ggw);
+    s2.resize((int64_t)ggh * ggw);
+    a.samples[0] = s0.data();
+    a.samples[1] = s1.data();
+    a.samples[2] = s2.data();
+    a.samples_stride = ggw;
+  }
 
   PhaseCtx ctx;
   ctx.a = &a;
@@ -308,7 +325,36 @@ J40T_API int32_t j40t_combine_lf_group(
   ctx.px_stride = px_stride;
   ctx.dst_is_u8 = dst_is_u8;
   run_threads(nthreads, phase_a, &ctx);
-  ctx.next.store(0);
+  if (!samples_only) {
+    ctx.next.store(0);
+    run_threads(nthreads, phase_b, &ctx);
+  }
+  return 0;
+}
+
+// standalone XYB->sRGB conversion of (possibly filtered) sample planes;
+// consts layout as above (only indices 12..28 are read)
+J40T_API int32_t j40t_xyb_to_srgb(
+    const float* sx, const float* sy, const float* sb, int32_t h, int32_t w,
+    int64_t samples_stride, const float* consts, void* dst0, void* dst1,
+    void* dst2, int64_t dst_stride, int32_t px_stride, int32_t dst_is_u8,
+    int32_t nthreads) {
+  ReconstructArgs a;
+  memset(&a, 0, sizeof(a));
+  a.ggh = h;
+  a.ggw = w;
+  a.samples[0] = (float*)sx;
+  a.samples[1] = (float*)sy;
+  a.samples[2] = (float*)sb;
+  a.samples_stride = samples_stride;
+  a.consts = consts;
+  PhaseCtx ctx;
+  ctx.a = &a;
+  void* dst[3] = {dst0, dst1, dst2};
+  ctx.dst = dst;
+  ctx.dst_stride = dst_stride;
+  ctx.px_stride = px_stride;
+  ctx.dst_is_u8 = dst_is_u8;
   run_threads(nthreads, phase_b, &ctx);
   return 0;
 }

@@ -87,6 +87,16 @@ def _get_lib():
             ctypes.c_void_p,                                    # consts
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # dst
             ctypes.c_int64, ctypes.c_int32,  # dst_stride, px_stride
+            ctypes.c_int32, ctypes.c_int32,  # dst_is_u8, samples_only
+            ctypes.c_int32,                  # nthreads
+        ]
+        lib.j40t_xyb_to_srgb.restype = ctypes.c_int32
+        lib.j40t_xyb_to_srgb.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # samples
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,  # h, w, sstride
+            ctypes.c_void_p,                                  # consts
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # dst
+            ctypes.c_int64, ctypes.c_int32,  # dst_stride, px_stride
             ctypes.c_int32, ctypes.c_int32,  # dst_is_u8, nthreads
         ]
         _registered = True
@@ -99,9 +109,29 @@ def native_combine_available() -> bool:
     return _native_enabled() and _get_lib() is not None
 
 
-def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1) -> None:
+def _consts_array(vs, im, f) -> np.ndarray:
+    cbrt_bias = np.cbrt(np.asarray(im.opsin_bias, dtype=np.float32))
+    return np.concatenate([
+        [65536.0 / vs.global_scale, QM_SCALE[f.x_qm_scale],
+         QM_SCALE[f.b_qm_scale]],
+        np.asarray(im.quant_bias, np.float32), [im.quant_bias_num],
+        [vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor,
+         vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor,
+         vs.base_corr_x, vs.base_corr_b, vs.inv_colour_factor],
+        np.asarray(im.opsin_inv_mat, np.float32).ravel(),
+        np.asarray(im.opsin_bias, np.float32), cbrt_bias,
+        [255.0 / im.intensity_target, (1 << im.bpp) - 1],
+    ]).astype(np.float32)
+
+
+def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1,
+                            samples_only: bool = False) -> None:
     """Reconstruct one LF group into `dst` — three (H, W) plane arrays
-    (uint8 or int32) covering the whole frame; writes the gg window."""
+    (uint8 or int32) covering the whole frame; writes the gg window.
+
+    With `samples_only`, `dst` is instead three float32 (gg.height,
+    gg.width) planes receiving the pre-XYB samples (for restoration
+    filtering; finish with xyb_to_srgb_native)."""
     lib = _get_lib()
     f = vs.fs.f
     cls_tab, mats = _transform_blob()
@@ -129,27 +159,20 @@ def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1) -> None:
         keepalive.append(w)
         dq_ptrs[int(ds)] = w.ctypes.data
 
-    cbrt_bias = np.cbrt(np.asarray(im.opsin_bias, dtype=np.float32))
-    consts = np.concatenate([
-        [65536.0 / vs.global_scale, QM_SCALE[f.x_qm_scale],
-         QM_SCALE[f.b_qm_scale]],
-        np.asarray(im.quant_bias, np.float32), [im.quant_bias_num],
-        [vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor,
-         vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor,
-         vs.base_corr_x, vs.base_corr_b, vs.inv_colour_factor],
-        np.asarray(im.opsin_inv_mat, np.float32).ravel(),
-        np.asarray(im.opsin_bias, np.float32), cbrt_bias,
-        [255.0 / im.intensity_target, (1 << im.bpp) - 1],
-    ]).astype(np.float32)
+    consts = _consts_array(vs, im, f)
 
     is_u8 = dst[0].dtype == np.uint8
     itemsize = dst[0].itemsize
     stride = dst[0].strides[0] // itemsize
     px_stride = dst[0].strides[1] // itemsize  # 4 for an interleaved canvas
-    dst_ptrs = [
-        d.ctypes.data + gg.top * d.strides[0] + gg.left * d.strides[1]
-        for d in dst
-    ]
+    if samples_only:
+        assert dst[0].dtype == np.float32 and px_stride == 1
+        dst_ptrs = [d.ctypes.data for d in dst]
+    else:
+        dst_ptrs = [
+            d.ctypes.data + gg.top * d.strides[0] + gg.left * d.strides[1]
+            for d in dst
+        ]
 
     rc = lib.j40t_combine_lf_group(
         gg.coeffs[0].ctypes.data, gg.coeffs[1].ctypes.data,
@@ -162,6 +185,31 @@ def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1) -> None:
         gg.nb_varblocks,
         xfromy.ctypes.data, bfromy.ctypes.data, xfromy.shape[1],
         cls_tab.ctypes.data, mats.ctypes.data, dq_ptrs, consts.ctypes.data,
+        dst_ptrs[0], dst_ptrs[1], dst_ptrs[2],
+        stride, px_stride, 1 if is_u8 else 0,
+        1 if samples_only else 0, max(1, nthreads),
+    )
+    assert rc == 0
+
+
+def xyb_to_srgb_native(samples, vs, im, f, dst, top: int, left: int,
+                       nthreads: int = 1) -> None:
+    """XYB->sRGB of a (3, h, w) float32 sample block into the `dst` planes'
+    (top, left) window (the post-filter finish of a samples_only pass)."""
+    lib = _get_lib()
+    consts = _consts_array(vs, im, f)
+    h, w = samples.shape[1], samples.shape[2]
+    assert samples.dtype == np.float32 and samples.flags.c_contiguous
+    itemsize = dst[0].itemsize
+    stride = dst[0].strides[0] // itemsize
+    px_stride = dst[0].strides[1] // itemsize
+    is_u8 = dst[0].dtype == np.uint8
+    dst_ptrs = [
+        d.ctypes.data + top * d.strides[0] + left * d.strides[1] for d in dst
+    ]
+    rc = lib.j40t_xyb_to_srgb(
+        samples[0].ctypes.data, samples[1].ctypes.data,
+        samples[2].ctypes.data, h, w, w, consts.ctypes.data,
         dst_ptrs[0], dst_ptrs[1], dst_ptrs[2],
         stride, px_stride, 1 if is_u8 else 0, max(1, nthreads),
     )

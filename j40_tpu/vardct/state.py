@@ -722,15 +722,14 @@ class VarDCTState:
         gmodular.nb_meta_channels = 0
 
         backend = getattr(self.fs, "backend", "numpy")
-        if backend in ("numpy", "native", "auto") and not getattr(
-            self.fs, "apply_filters", False
-        ):
+        if backend in ("numpy", "native", "auto"):
             # host execution plan: multithreaded native reconstruct
             # (native/reconstruct.cpp) — the fastest path when the
             # host<->device link would dominate (see SCALING.md)
             from .native_combine import (
                 combine_lf_group_native,
                 native_combine_available,
+                xyb_to_srgb_native,
             )
 
             if native_combine_available():
@@ -739,14 +738,35 @@ class VarDCTState:
                 # post-hoc interleave copy); groups whose sections finished
                 # early were already reconstructed on the section workers
                 # (dispatch_group_native)
+                apply_f = getattr(self.fs, "apply_filters", False)
                 dst = self._native_output_planes()
                 nthr = getattr(self.fs, "workers", 1)
                 for ggidx in sorted(self.lf_groups.keys()):
                     if ggidx in self._native_combined:
                         continue
-                    combine_lf_group_native(
-                        self, self.lf_groups[ggidx], im, dst, nthr
-                    )
+                    gg = self.lf_groups[ggidx]
+                    if apply_f:
+                        # native samples -> numpy restoration filters ->
+                        # native XYB (same per-LF-group mirrored-border
+                        # filtering as the oracle path)
+                        from ..ops.filters import epf, gaborish
+
+                        samples = np.zeros(
+                            (3, gg.height, gg.width), dtype=np.float32
+                        )
+                        combine_lf_group_native(
+                            self, gg, im, list(samples), nthr,
+                            samples_only=True,
+                        )
+                        if f.gab_enabled:
+                            samples = gaborish(samples, f.gab_weights)
+                        samples = epf(samples, self, gg, is_modular=False)
+                        xyb_to_srgb_native(
+                            np.ascontiguousarray(samples, np.float32),
+                            self, im, f, dst, gg.top, gg.left, nthr,
+                        )
+                    else:
+                        combine_lf_group_native(self, gg, im, dst, nthr)
                 for c in range(3):
                     gmodular.channels[c].data = dst[c]
                 return

@@ -1,5 +1,9 @@
 import os
 
+# must precede any numpy import: THP fault-in is pathologically slow on
+# this VM kernel (see j40_tpu/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 # Device-mesh tests run on a virtual 8-device CPU topology.  The axon
 # sitecustomize overrides JAX_PLATFORMS, so force the platform through
 # jax.config (must happen before the backend initializes).  Set
