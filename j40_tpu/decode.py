@@ -304,7 +304,7 @@ class Decoder:
             pipeline_vardct = (
                 not f.is_modular
                 and (self.backend in ("jax", "device") or pipeline_native)
-                and f.num_lf_groups > 1
+                and (f.num_lf_groups > 1 or pipeline_native)
                 and npasses == f.num_passes
             )
 
@@ -327,13 +327,17 @@ class Decoder:
                     sr.no_more_bytes()
                     done.add((s.pass_, s.idx))
                 if pipeline_vardct:
+                    if pipeline_native:
+                        # group granularity: once every pass of this 256^2
+                        # group is decoded, reconstruct it right here
+                        gidx = chain[-1].idx
+                        if all((p, gidx) in done for p in range(npasses)):
+                            state.vardct.dispatch_pass_group_native(gidx)
+                        return
                     row, col = divmod(chain[-1].idx, f.gcolumns)
                     ggidx = (row // 8) * f.ggcolumns + (col // 8)
                     if _lf_complete(ggidx):
-                        if pipeline_native:
-                            state.vardct.dispatch_group_native(ggidx)
-                        else:
-                            state.vardct.dispatch_group_async(ggidx)
+                        state.vardct.dispatch_group_async(ggidx)
 
             if self.workers > 1 and len(run_chains) > 1:
                 list(_pool().map(_one_group_chain, run_chains))

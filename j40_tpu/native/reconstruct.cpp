@@ -29,7 +29,10 @@ struct ReconstructArgs {
   const float* coeffs[3];
   const float* llf[3];
   int32_t ggh8, ggw8, ggh, ggw;
-  int64_t samples_stride;  // row stride of the samples planes (== ggw
+  int32_t rect_y0, rect_x0, rect_h, rect_w;  // processed pixel window
+                           // within the LF group (a 256^2 group for
+                           // group-granular pipelining, or the whole gg)
+  int64_t samples_stride;  // row stride of the samples planes (== rect_w
                            // for the internal scratch; caller-defined in
                            // samples-only mode)
   const int64_t* vb_coeffoff;
@@ -71,6 +74,8 @@ void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
   const int32_t cfl_idx = (y8 / 8) * a.cfl_stride + (x8 / 8);
   const float kx_hf = consts[9] + consts[11] * a.xfromy[cfl_idx];
   const float kb_hf = consts[10] + consts[11] * a.bfromy[cfl_idx];
+  // reciprocal dequant weights, channel-major (3, size): contiguous loads
+  // and a multiply instead of a per-coefficient divide
   const float* w = a.dq_w[ds];
 
   // dequant Y first (X and B need it for chroma-from-luma)
@@ -80,12 +85,13 @@ void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
     const int c = kChannelOrder[oi];
     const float qb = consts[3 + c], mc = mult[c];
     const float* src = a.coeffs[c] + off;
+    const float* winv = w + (size_t)c * size;
     float* out = dq[c];
     for (int32_t i = 0; i < size; ++i) {
       const float q = src[i];
       const float adj =
           (q >= -1.0f && q <= 1.0f) ? q * qb : q - qbnum / q;
-      out[i] = adj * (mc / w[i * 3 + c]);
+      out[i] = adj * (mc * winv[i]);
     }
     if (c == 0) {
       for (int32_t i = 0; i < size; ++i) out[i] += dq[1][i] * kx_hf;
@@ -156,11 +162,39 @@ void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
         }
       }
     }
-    float* dst = a.samples[c] + (int64_t)y8 * 8 * a.samples_stride + x8 * 8;
+    float* dst = a.samples[c] +
+                 (int64_t)(y8 * 8 - a.rect_y0) * a.samples_stride +
+                 (x8 * 8 - a.rect_x0);
     for (int32_t y = 0; y < eff_h; ++y)
       memcpy(dst + (int64_t)y * a.samples_stride, out + y * C,
              eff_w * sizeof(float));
   }
+}
+
+// x^(1/2.4) over [0, kGammaMax] via a 4096-entry table + linear interp:
+// max abs error ~2e-5 (the curvature blows up only below the sRGB linear
+// threshold 0.0031308, which never reaches here), ~10x faster than powf.
+constexpr int32_t kGammaN = 4096;
+constexpr float kGammaMax = 1.0625f;
+
+const float* gamma_lut() {
+  static const std::vector<float> lut = [] {
+    std::vector<float> t(kGammaN + 2);
+    for (int32_t i = 0; i <= kGammaN + 1; ++i)
+      t[i] = powf((float)i * (kGammaMax / kGammaN), 1.0f / 2.4f);
+    return t;
+  }();
+  return lut.data();
+}
+
+static inline float srgb_gamma(float v, const float* lut) {
+  if (v <= 0.0031308f) return 12.92f * v;
+  if (v >= kGammaMax)
+    return 1.055f * powf(v, 1.0f / 2.4f) - 0.055f;  // rare overshoot
+  const float p = v * (kGammaN / kGammaMax);
+  const int32_t i = (int32_t)p;
+  const float frac = p - (float)i;
+  return 1.055f * (lut[i] + (lut[i + 1] - lut[i]) * frac) - 0.055f;
 }
 
 // XYB -> linear sRGB -> gamma -> quantized output for rows [y0, y1).
@@ -174,7 +208,8 @@ void xyb_rows(const ReconstructArgs& a, Dst* const* dst, int64_t dst_stride,
   const float ob0 = consts[21], ob1 = consts[22], ob2 = consts[23];
   const float its = consts[27], maxval = consts[28];
   const float* inv = consts + 12;
-  const int32_t W = a.ggw;
+  const float* lut = gamma_lut();
+  const int32_t W = a.rect_w;
   for (int32_t y = y0; y < y1; ++y) {
     const float* X = a.samples[0] + y * a.samples_stride;
     const float* Y = a.samples[1] + y * a.samples_stride;
@@ -191,10 +226,7 @@ void xyb_rows(const ReconstructArgs& a, Dst* const* dst, int64_t dst_stride,
       const float m2 = (p2 * p2 * p2 + ob2) * its;
       for (int c = 0; c < 3; ++c) {
         float v = inv[c * 3] * m0 + inv[c * 3 + 1] * m1 + inv[c * 3 + 2] * m2;
-        v = v <= 0.0031308f
-                ? 12.92f * v
-                : 1.055f * powf(v > 1e-30f ? v : 1e-30f, 1.0f / 2.4f) -
-                      0.055f;
+        v = srgb_gamma(v, lut);
         int32_t q = (int32_t)(maxval * v + 0.5f);
         if (q < (int32_t)lo) q = (int32_t)lo;
         if (q > (int32_t)hi) q = (int32_t)hi;
@@ -230,16 +262,29 @@ struct PhaseCtx {
 void phase_a(void* p, int32_t) {
   auto* ctx = (PhaseCtx*)p;
   const ReconstructArgs& a = *ctx->a;
-  // per-thread scratch: 3 channel buffers + 2x transform temp (max 256x256)
-  std::vector<float> cf(3 * 65536), tmp(2 * 65536);
+  // per-thread scratch: 3 channel buffers + 2x transform temp (max
+  // 256x256); persistent across calls — group-granular pipelining invokes
+  // the kernel hundreds of times per frame and fresh mmaps would pay the
+  // page-fault cost every call
+  static thread_local std::vector<float> cf, tmp;
+  cf.resize(3 * 65536);
+  tmp.resize(2 * 65536);
   const int32_t batch = 16;
   for (;;) {
     const int32_t lo = ctx->next.fetch_add(batch);
     if (lo >= a.nb_varblocks) break;
     const int32_t hi =
         lo + batch < a.nb_varblocks ? lo + batch : a.nb_varblocks;
-    for (int32_t vb = lo; vb < hi; ++vb)
+    for (int32_t vb = lo; vb < hi; ++vb) {
+      // group-granular rect: skip varblocks whose corner lies outside
+      // (callers pass the full per-LF-group arrays; subsetting here keeps
+      // the per-call Python glue O(1))
+      const int32_t py = a.corner_y8[vb] * 8, px = a.corner_x8[vb] * 8;
+      if (py < a.rect_y0 || py >= a.rect_y0 + a.rect_h || px < a.rect_x0 ||
+          px >= a.rect_x0 + a.rect_w)
+        continue;
       reconstruct_varblock(a, vb, cf.data(), tmp.data());
+    }
   }
 }
 
@@ -249,8 +294,8 @@ void phase_b(void* p, int32_t) {
   const int32_t batch = 32;
   for (;;) {
     const int32_t y0 = ctx->next.fetch_add(batch);
-    if (y0 >= a.ggh) break;
-    const int32_t y1 = y0 + batch < a.ggh ? y0 + batch : a.ggh;
+    if (y0 >= a.rect_h) break;
+    const int32_t y1 = y0 + batch < a.rect_h ? y0 + batch : a.rect_h;
     if (ctx->dst_is_u8)
       xyb_rows<uint8_t>(a, (uint8_t* const*)ctx->dst, ctx->dst_stride,
                         ctx->px_stride, y0, y1, (uint8_t)0, (uint8_t)255);
@@ -274,6 +319,7 @@ J40T_API int32_t j40t_combine_lf_group(
     const float* mats, const float* const* dq_w, const float* consts,
     void* dst0, void* dst1, void* dst2, int64_t dst_stride,
     int32_t px_stride, int32_t dst_is_u8, int32_t samples_only,
+    int32_t rect_y0, int32_t rect_x0, int32_t rect_h, int32_t rect_w,
     int32_t nthreads) {
   ReconstructArgs a;
   a.coeffs[0] = coeff_x;
@@ -299,7 +345,12 @@ J40T_API int32_t j40t_combine_lf_group(
   a.mats = mats;
   a.dq_w = dq_w;
   a.consts = consts;
-  std::vector<float> s0, s1, s2;
+  a.rect_y0 = rect_y0;
+  a.rect_x0 = rect_x0;
+  a.rect_h = rect_h;
+  a.rect_w = rect_w;
+  // persistent per-thread sample scratch (see phase_a's scratch comment)
+  static thread_local std::vector<float> s0, s1, s2;
   if (samples_only) {
     // phase A writes float sample planes straight into the caller's
     // buffers (restoration filters run between reconstruction and XYB)
@@ -308,13 +359,13 @@ J40T_API int32_t j40t_combine_lf_group(
     a.samples[2] = (float*)dst2;
     a.samples_stride = dst_stride;
   } else {
-    s0.resize((int64_t)ggh * ggw);
-    s1.resize((int64_t)ggh * ggw);
-    s2.resize((int64_t)ggh * ggw);
+    s0.resize((int64_t)rect_h * rect_w);
+    s1.resize((int64_t)rect_h * rect_w);
+    s2.resize((int64_t)rect_h * rect_w);
     a.samples[0] = s0.data();
     a.samples[1] = s1.data();
     a.samples[2] = s2.data();
-    a.samples_stride = ggw;
+    a.samples_stride = rect_w;
   }
 
   PhaseCtx ctx;
@@ -343,6 +394,8 @@ J40T_API int32_t j40t_xyb_to_srgb(
   memset(&a, 0, sizeof(a));
   a.ggh = h;
   a.ggw = w;
+  a.rect_h = h;
+  a.rect_w = w;
   a.samples[0] = (float*)sx;
   a.samples[1] = (float*)sy;
   a.samples[2] = (float*)sb;

@@ -88,6 +88,8 @@ def _get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # dst
             ctypes.c_int64, ctypes.c_int32,  # dst_stride, px_stride
             ctypes.c_int32, ctypes.c_int32,  # dst_is_u8, samples_only
+            ctypes.c_int32, ctypes.c_int32,  # rect_y0, rect_x0
+            ctypes.c_int32, ctypes.c_int32,  # rect_h, rect_w
             ctypes.c_int32,                  # nthreads
         ]
         lib.j40t_xyb_to_srgb.restype = ctypes.c_int32
@@ -124,18 +126,16 @@ def _consts_array(vs, im, f) -> np.ndarray:
     ]).astype(np.float32)
 
 
-def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1,
-                            samples_only: bool = False) -> None:
-    """Reconstruct one LF group into `dst` — three (H, W) plane arrays
-    (uint8 or int32) covering the whole frame; writes the gg window.
-
-    With `samples_only`, `dst` is instead three float32 (gg.height,
-    gg.width) planes receiving the pre-XYB samples (for restoration
-    filtering; finish with xyb_to_srgb_native)."""
-    lib = _get_lib()
+def _gg_native_ctx(vs, gg, im):
+    """Per-LF-group invariants for the native calls, computed once and
+    cached on the LfGroup: group-granular pipelining invokes the kernel
+    per 256^2 group and any per-call Python work serializes the section
+    workers on the GIL."""
+    ctx = getattr(gg, "_native_ctx", None)
+    if ctx is not None:
+        return ctx
     f = vs.fs.f
     cls_tab, mats = _transform_blob()
-
     blocks_arr = np.asarray(gg.blocks)
     cy, cx = np.nonzero((blocks_arr >> 20) >= 2)
     voff_all = blocks_arr[cy, cx] & 0xFFFFF
@@ -143,23 +143,51 @@ def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1,
     corner_x8 = np.zeros(gg.nb_varblocks, dtype=np.int32)
     corner_y8[voff_all] = cy
     corner_x8[voff_all] = cx
-
     dctsel = np.ascontiguousarray(gg.vb_dctsel, dtype=np.int32)
     coeffoff = np.ascontiguousarray(gg.vb_coeffoff, dtype=np.int64)
     hfmul_inv = np.ascontiguousarray(gg.vb_hfmul_inv, dtype=np.float32)
     xfromy = np.ascontiguousarray(gg.xfromy, dtype=np.float32)
     bfromy = np.ascontiguousarray(gg.bfromy, dtype=np.float32)
-
     dq_ptrs = (ctypes.c_void_p * 27)()
     keepalive = []
     for ds in np.unique(dctsel):
-        w = np.ascontiguousarray(
-            vs.dq_weights[DCT_SELECT[int(ds)][2]], dtype=np.float32
+        # reciprocal, channel-major (3, size): the kernel multiplies by
+        # contiguous per-channel rows instead of dividing stride-3 gathers
+        w = vs.dq_weights[DCT_SELECT[int(ds)][2]]
+        winv = np.ascontiguousarray(
+            (np.float32(1.0) / np.asarray(w, np.float32)).T, dtype=np.float32
         )
-        keepalive.append(w)
-        dq_ptrs[int(ds)] = w.ctypes.data
-
+        keepalive.append(winv)
+        dq_ptrs[int(ds)] = winv.ctypes.data
     consts = _consts_array(vs, im, f)
+    ctx = (cls_tab, mats, corner_y8, corner_x8, dctsel, coeffoff, hfmul_inv,
+           xfromy, bfromy, dq_ptrs, consts, keepalive)
+    gg._native_ctx = ctx
+    return ctx
+
+
+def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1,
+                            samples_only: bool = False,
+                            rect: tuple | None = None) -> None:
+    """Reconstruct one LF group into `dst` — three (H, W) plane arrays
+    (uint8 or int32) covering the whole frame; writes the gg window.
+
+    `rect` (y0, x0, h, w), in gg pixel coordinates and 8-aligned at the
+    origin, restricts the work to the varblocks whose corners lie inside —
+    group-granular pipelining (varblocks never cross 256^2 group borders,
+    j40.h:6636-6687, so any union of whole groups is self-contained).
+
+    With `samples_only`, `dst` is instead three float32 (h, w) planes
+    receiving the pre-XYB samples (for restoration filtering; finish with
+    xyb_to_srgb_native)."""
+    lib = _get_lib()
+    f = vs.fs.f
+    ctx = _gg_native_ctx(vs, gg, im)
+    (cls_tab, mats, corner_y8, corner_x8, dctsel, coeffoff, hfmul_inv,
+     xfromy, bfromy, dq_ptrs, consts, _keep) = ctx
+
+    ry0, rx0, rh, rw = rect if rect is not None else (0, 0, gg.height, gg.width)
+    nb_varblocks = gg.nb_varblocks
 
     is_u8 = dst[0].dtype == np.uint8
     itemsize = dst[0].itemsize
@@ -170,7 +198,9 @@ def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1,
         dst_ptrs = [d.ctypes.data for d in dst]
     else:
         dst_ptrs = [
-            d.ctypes.data + gg.top * d.strides[0] + gg.left * d.strides[1]
+            d.ctypes.data
+            + (gg.top + ry0) * d.strides[0]
+            + (gg.left + rx0) * d.strides[1]
             for d in dst
         ]
 
@@ -182,12 +212,12 @@ def combine_lf_group_native(vs, gg, im, dst, nthreads: int = 1,
         gg.height8, gg.width8, gg.height, gg.width,
         coeffoff.ctypes.data, hfmul_inv.ctypes.data,
         dctsel.ctypes.data, corner_y8.ctypes.data, corner_x8.ctypes.data,
-        gg.nb_varblocks,
+        nb_varblocks,
         xfromy.ctypes.data, bfromy.ctypes.data, xfromy.shape[1],
         cls_tab.ctypes.data, mats.ctypes.data, dq_ptrs, consts.ctypes.data,
         dst_ptrs[0], dst_ptrs[1], dst_ptrs[2],
         stride, px_stride, 1 if is_u8 else 0,
-        1 if samples_only else 0, max(1, nthreads),
+        1 if samples_only else 0, ry0, rx0, rh, rw, max(1, nthreads),
     )
     assert rc == 0
 

@@ -139,7 +139,8 @@ class VarDCTState:
         self._dispatch_lock = threading.Lock()
         self._native_dst: list | None = None  # host-plan output planes
         self._native_rgba: np.ndarray | None = None  # interleaved canvas
-        self._native_combined: set[int] = set()
+        self._native_combined: set[int] = set()  # fully-combined ggidx
+        self._native_groups_done: set[tuple] = set()  # (ggidx, gy, gx)
 
     # -- LfGlobal (VarDCT part, j40.h:6271-6313) ---------------------------
 
@@ -673,20 +674,33 @@ class VarDCTState:
                 ]
             return self._native_dst
 
-    def dispatch_group_native(self, ggidx: int) -> None:
-        """Host-plan dual of dispatch_group_async: reconstruct one LF group
-        on the calling section-worker thread as soon as its last pass
-        section finishes entropy decode, overlapping reconstruction with
-        the remaining sections' entropy work."""
+    def dispatch_pass_group_native(self, gidx: int) -> None:
+        """Host-plan dual of dispatch_group_async at GROUP granularity:
+        reconstruct one 256^2 group's varblocks on the calling
+        section-worker thread the moment its last pass section finishes
+        entropy decode (varblocks never cross group borders,
+        j40.h:6636-6687, so the rect is self-contained) — reconstruction
+        rides inside the sections stage even for single-LF-group frames."""
+        f = self.fs.f
+        grow, gcol = divmod(gidx, f.gcolumns)
+        ggidx = (grow // 8) * f.ggcolumns + (gcol // 8)
+        gg = self.lf_groups.get(ggidx)
+        if gg is None:
+            return
+        key = (ggidx, grow % 8, gcol % 8)
         with self._dispatch_lock:
-            if ggidx in self._native_combined or ggidx not in self.lf_groups:
+            if key in self._native_groups_done:
                 return
-            self._native_combined.add(ggidx)
+            self._native_groups_done.add(key)
         from .native_combine import combine_lf_group_native
 
         dst = self._native_output_planes()
+        gsize = f.group_size
+        y0 = (grow % 8) * gsize
+        x0 = (gcol % 8) * gsize
+        rect = (y0, x0, min(gsize, gg.height - y0), min(gsize, gg.width - x0))
         combine_lf_group_native(
-            self, self.lf_groups[ggidx], self.fs.im, dst, nthreads=1
+            self, gg, self.fs.im, dst, nthreads=1, rect=rect
         )
 
     def dispatch_group_async(self, ggidx: int) -> None:
@@ -741,10 +755,28 @@ class VarDCTState:
                 apply_f = getattr(self.fs, "apply_filters", False)
                 dst = self._native_output_planes()
                 nthr = getattr(self.fs, "workers", 1)
+                gsize = f.group_size
                 for ggidx in sorted(self.lf_groups.keys()):
                     if ggidx in self._native_combined:
                         continue
                     gg = self.lf_groups[ggidx]
+                    if not apply_f and self._native_groups_done:
+                        # group-granular pipelining ran: reconstruct only
+                        # the groups whose sections finished last
+                        for gy in range((gg.height + gsize - 1) // gsize):
+                            for gx in range((gg.width + gsize - 1) // gsize):
+                                if (ggidx, gy, gx) in self._native_groups_done:
+                                    continue
+                                y0, x0 = gy * gsize, gx * gsize
+                                rect = (
+                                    y0, x0,
+                                    min(gsize, gg.height - y0),
+                                    min(gsize, gg.width - x0),
+                                )
+                                combine_lf_group_native(
+                                    self, gg, im, dst, nthr, rect=rect
+                                )
+                        continue
                     if apply_f:
                         # native samples -> numpy restoration filters ->
                         # native XYB (same per-LF-group mirrored-border
