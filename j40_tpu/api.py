@@ -91,6 +91,12 @@ class Frame:
         """One row of RGBA pixels (j40_row_u8x4)."""
         return self._rgba[y]
 
+    def row_u16x4(self, y: int) -> np.ndarray:
+        """One row of 16-bit RGBA pixels (j40_row_u16x4, reserved in the
+        reference)."""
+        assert self._rgba.dtype == np.uint16, "frame was decoded as U8X4"
+        return self._rgba[y]
+
 
 class Image:
     """Decoder handle (j40_image analog).
@@ -105,7 +111,7 @@ class Image:
             im.push(more_bytes)            # streaming: feed and retry
     """
 
-    def __init__(self, data: bytes | bytearray = b"", backend: str = "numpy"):
+    def __init__(self, data: bytes | bytearray = b"", backend: str = "auto"):
         self._buf = bytearray(data)
         self._backend = backend
         self._err: str | None = None
@@ -120,7 +126,7 @@ class Image:
     # -- constructors (j40_from_file / j40_from_memory) -------------------
 
     @classmethod
-    def from_file(cls, path: str | Path, backend: str = "numpy") -> "Image":
+    def from_file(cls, path: str | Path, backend: str = "auto") -> "Image":
         try:
             data = Path(path).read_bytes()
         except OSError as e:
@@ -132,7 +138,7 @@ class Image:
         return cls(data, backend=backend)
 
     @classmethod
-    def from_memory(cls, data: bytes, backend: str = "numpy") -> "Image":
+    def from_memory(cls, data: bytes, backend: str = "auto") -> "Image":
         return cls(data, backend=backend)
 
     # -- configuration -----------------------------------------------------
@@ -216,6 +222,17 @@ class Image:
         if self._frame is None:
             return Frame(_error_pixels())
         return self._frame
+
+    # -- metadata ----------------------------------------------------------
+
+    @property
+    def icc_profile(self) -> bytes | None:
+        """Raw entropy-decoded ICC payload, available once a frame has been
+        requested on a stream that carries one.  (The reference decodes the
+        payload and then discards it, j40.h:3390-3392; we retain it.)"""
+        if self._dec is not None:
+            return getattr(self._dec.image, "icc", None)
+        return None
 
     # -- errors (j40_error / j40_error_string) -----------------------------
 

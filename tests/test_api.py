@@ -171,3 +171,36 @@ def test_u16x4_output_format():
     assert px.dtype == np.uint16
     expect = ((img.astype(np.int64) * 65535 + (1 << 11)) // 4095).astype(np.uint16)
     np.testing.assert_array_equal(px[:, :, :3], expect)
+
+
+def test_icc_profile_exposed():
+    # the reference entropy-decodes the ICC payload then discards it
+    # (j40.h:3390-3392); we retain it and expose it on the handle
+    import numpy as np
+
+    from j40_tpu.api import RGBA, U8X4, Image
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(81)
+    img = rng.integers(0, 255, (16, 20, 3)).astype(np.uint8)
+    icc = b"\x00\x00\x02\x00fake-icc-payload" + bytes(range(128))
+    im = Image.from_memory(encode_modular(img, icc=icc))
+    assert im.output_format(RGBA, U8X4)
+    assert im.icc_profile is None  # not parsed before next_frame
+    assert im.next_frame()
+    assert im.icc_profile == icc
+
+
+def test_row_u16x4():
+    import numpy as np
+
+    from j40_tpu.api import RGBA, U16X4, Image
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(82)
+    img = rng.integers(0, 1 << 10, (8, 10, 3)).astype(np.int32)
+    im = Image.from_memory(encode_modular(img, bpp=10))
+    assert im.output_format(RGBA, U16X4)
+    assert im.next_frame()
+    fr = im.current_frame()
+    np.testing.assert_array_equal(fr.row_u16x4(3), fr.pixels_u16x4()[3])
