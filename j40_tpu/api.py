@@ -79,12 +79,14 @@ class Frame:
 
     def pixels_u8x4(self) -> np.ndarray:
         """(h, w, 4) uint8 RGBA (j40_frame_pixels_u8x4)."""
-        assert self._rgba.dtype == np.uint8, "frame was decoded as U16X4"
+        if self._rgba.dtype != np.uint8:
+            raise J40Error("fmt?", "frame was decoded as U16X4")
         return self._rgba
 
     def pixels_u16x4(self) -> np.ndarray:
         """(h, w, 4) uint16 RGBA (J40_U16X4, reserved in the reference)."""
-        assert self._rgba.dtype == np.uint16, "frame was decoded as U8X4"
+        if self._rgba.dtype != np.uint16:
+            raise J40Error("fmt?", "frame was decoded as U8X4")
         return self._rgba
 
     def row_u8x4(self, y: int) -> np.ndarray:
@@ -94,7 +96,8 @@ class Frame:
     def row_u16x4(self, y: int) -> np.ndarray:
         """One row of 16-bit RGBA pixels (j40_row_u16x4, reserved in the
         reference)."""
-        assert self._rgba.dtype == np.uint16, "frame was decoded as U8X4"
+        if self._rgba.dtype != np.uint16:
+            raise J40Error("fmt?", "frame was decoded as U8X4")
         return self._rgba[y]
 
 

@@ -70,6 +70,27 @@ class Frame:
     rgba: np.ndarray | None = None  # (h, w, 4) uint8
 
 
+def resolve_backend(backend: str) -> str:
+    """Execution planner: resolve 'auto' to a concrete backend.
+
+    The multithreaded native host path wins whenever it is available on
+    this topology — device execution pays the host<->device link per
+    stream, which only amortizes for fused batches or hosts with fast
+    interconnect (the trade-off is measured and recorded by bench.py: see
+    the `tunnel` and `device_compute` probes vs per-config numbers).
+    Without the native library, prefer the device path if jax is
+    importable, else the pure-Python/numpy oracle."""
+    if backend != "auto":
+        return backend
+    from .vardct.native_combine import native_combine_available
+
+    if native_combine_available():
+        return "numpy"
+    import importlib.util
+
+    return "jax" if importlib.util.find_spec("jax") else "numpy"
+
+
 class Decoder:
     """Decodes a JPEG XL codestream (Modular and VarDCT frames)."""
 
@@ -77,17 +98,7 @@ class Decoder:
                  apply_filters: bool = False, workers: int = 1,
                  max_passes: int | None = None, render_spot: bool = False,
                  streaming: bool = False):
-        if backend == "auto":
-            # execution planner: the multithreaded native host path wins
-            # whenever it is available on this topology — device execution
-            # pays the host<->device link per stream, which only amortizes
-            # for fused batches or hosts with fast interconnect (the policy
-            # trade-off is measured and recorded by bench.py: see the
-            # `tunnel` and `device_compute` probes vs per-config numbers)
-            from .vardct.native_combine import native_combine_available
-
-            backend = "numpy" if native_combine_available() else "jax"
-        self.backend = backend
+        self.backend = resolve_backend(backend)
         self.apply_filters = apply_filters
         self.workers = workers
         #: progressive decode: only the first `max_passes` passes of each
@@ -297,7 +308,7 @@ class Decoder:
             # dispatched to the device immediately, overlapping with the
             # remaining host entropy work (consumed later by state.finish())
             pipeline_native = False
-            if self.backend in ("numpy", "native", "auto") and not self.apply_filters:
+            if self.backend in ("numpy", "native") and not self.apply_filters:
                 from .vardct.native_combine import native_combine_available
 
                 pipeline_native = native_combine_available()

@@ -187,10 +187,12 @@ const float* gamma_lut() {
   return lut.data();
 }
 
+// lut == nullptr selects exact powf: the ~2e-5 interpolation error is far
+// below an 8-bit quantization step but approaches one level at bpp >= 14
 static inline float srgb_gamma(float v, const float* lut) {
   if (v <= 0.0031308f) return 12.92f * v;
-  if (v >= kGammaMax)
-    return 1.055f * powf(v, 1.0f / 2.4f) - 0.055f;  // rare overshoot
+  if (lut == nullptr || v >= kGammaMax)
+    return 1.055f * powf(v, 1.0f / 2.4f) - 0.055f;
   const float p = v * (kGammaN / kGammaMax);
   const int32_t i = (int32_t)p;
   const float frac = p - (float)i;
@@ -208,7 +210,7 @@ void xyb_rows(const ReconstructArgs& a, Dst* const* dst, int64_t dst_stride,
   const float ob0 = consts[21], ob1 = consts[22], ob2 = consts[23];
   const float its = consts[27], maxval = consts[28];
   const float* inv = consts + 12;
-  const float* lut = gamma_lut();
+  const float* lut = maxval <= 255.5f ? gamma_lut() : nullptr;
   const int32_t W = a.rect_w;
   for (int32_t y = y0; y < y1; ++y) {
     const float* X = a.samples[0] + y * a.samples_stride;

@@ -34,30 +34,11 @@ def _cached_device(key, np_arr):
         _DEVICE_CACHE[key] = ent
     return ent[1]
 
-# dctsel values handled by dense 64x64 matrices
-_SPECIAL_FNS = {
-    1: lambda b: special.inverse_hornuss(b),
-    2: lambda b: special.inverse_dct11(b),
-    3: lambda b: special.inverse_dct22(b),
-    12: lambda b: special.inverse_dct23(b),
-    13: lambda b: special.inverse_dct32(b),
-    14: lambda b: special.inverse_afv(b, 0, 0),
-    15: lambda b: special.inverse_afv(b, 1, 0),
-    16: lambda b: special.inverse_afv(b, 0, 1),
-    17: lambda b: special.inverse_afv(b, 1, 1),
-}
-
-
-@functools.lru_cache(maxsize=None)
-def special_matrix(dctsel: int) -> np.ndarray:
-    """(64, 64) matrix M with samples.ravel() == M @ coeffs (float32)."""
-    fn = _SPECIAL_FNS[dctsel]
-    cols = []
-    for i in range(64):
-        e = np.zeros(64, dtype=np.float32)
-        e[i] = 1.0
-        cols.append(fn(e).ravel())
-    return np.stack(cols, axis=1).astype(np.float32)
+# dctsel values handled by dense 64x64 matrices; the operator builder lives
+# in vardct/special.py (pure numpy) so the native host plan shares it
+# without a jax dependency
+_SPECIAL_FNS = frozenset(special._SPECIAL_FNS)
+special_matrix = special.special_matrix
 
 
 @functools.partial(jax.jit, static_argnames=("dctsel",))

@@ -27,10 +27,9 @@ def decode_batch(
     per_image_workers: int = 1,
 ) -> list[np.ndarray]:
     """Decode many .jxl byte blobs; returns a list of (h, w, 4) uint8 RGBA."""
-    if backend == "auto":
-        from ..vardct.native_combine import native_combine_available
+    from ..decode import resolve_backend
 
-        backend = "numpy" if native_combine_available() else "jax"
+    backend = resolve_backend(backend)
     if backend in ("jax", "device") and len(blobs) > 1:
         out = _decode_batch_fused(blobs, workers)
         if out is not None:

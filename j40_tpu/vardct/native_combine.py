@@ -32,8 +32,8 @@ def _transform_blob() -> tuple[np.ndarray, np.ndarray]:
     cls_tab row: kind (0 separable / 1 dense), log_rows, log_cols, off_a,
     off_b — offsets into `mats` of Gr/Gc (separable) or the 64x64 dense
     operator (off_b unused)."""
-    from ..ops.combine_jax import special_matrix
     from .dct import inverse_matrix
+    from .special import special_matrix
 
     mats: list[np.ndarray] = []
     offsets: dict = {}

@@ -8,6 +8,8 @@ practice compared to true DCT blocks.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .dct import inverse_matrix
@@ -247,3 +249,30 @@ def inverse_afv(buf: np.ndarray, flipx: int, flipy: int) -> np.ndarray:
         for x in range(8):
             out[dct23_row, x] = b23f[y * 8 + x]
     return out
+
+
+# dctsel values realized as dense (64, 64) operators; pure numpy so the
+# native host plan (vardct/native_combine.py) carries no jax dependency
+_SPECIAL_FNS = {
+    1: lambda b: inverse_hornuss(b),
+    2: lambda b: inverse_dct11(b),
+    3: lambda b: inverse_dct22(b),
+    12: lambda b: inverse_dct23(b),
+    13: lambda b: inverse_dct32(b),
+    14: lambda b: inverse_afv(b, 0, 0),
+    15: lambda b: inverse_afv(b, 1, 0),
+    16: lambda b: inverse_afv(b, 0, 1),
+    17: lambda b: inverse_afv(b, 1, 1),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def special_matrix(dctsel: int) -> np.ndarray:
+    """(64, 64) matrix M with samples.ravel() == M @ coeffs (float32)."""
+    fn = _SPECIAL_FNS[dctsel]
+    cols = []
+    for i in range(64):
+        e = np.zeros(64, dtype=np.float32)
+        e[i] = 1.0
+        cols.append(fn(e).ravel())
+    return np.stack(cols, axis=1).astype(np.float32)

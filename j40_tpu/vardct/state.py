@@ -45,11 +45,14 @@ YXB2XYB = (1, 0, 2)
 
 def _use_u8_planes(im, f) -> bool:
     """Whether reconstruction can write uint8 planes directly: a full-frame
-    last frame with no blending at 8bpp never needs wider intermediate math
-    (the compositor reads the planes verbatim)."""
+    last frame with no blending or upsampling at 8bpp never needs wider
+    intermediate math (the compositor reads the planes verbatim; the
+    upsampling kernel's negative lobes overshoot [0, 255] and must keep
+    int32 planes until render clips)."""
     return (
         im.bpp == 8
         and f.is_last
+        and f.log_upsampling == 0
         and f.x0 == 0 and f.y0 == 0
         and f.disp_width == im.width
         and f.disp_height == im.height
@@ -735,7 +738,7 @@ class VarDCTState:
         gmodular.nb_meta_channels = 0
 
         backend = getattr(self.fs, "backend", "numpy")
-        if backend in ("numpy", "native", "auto"):
+        if backend in ("numpy", "native"):
             # host execution plan: multithreaded native reconstruct
             # (native/reconstruct.cpp) — the fastest path when the
             # host<->device link would dominate (see SCALING.md)
