@@ -21,11 +21,13 @@ import numpy as np
 
 from .errors import J40Error, ShortInput
 
-# output formats (j40.h:175-205)
-RGBA = 4
+# output formats — the reference's wire values (j40.h:175-205), so code
+# ported from j40 can pass J40_RGBA / J40_U8X4 literals unchanged
+RGBA = 0x1755
 U8X4 = 0x0F33
 U16X4 = 0x0F35  # reserved in the reference; we support it (16-bit output)
 _LEGACY_U8X4 = 0x0F  # early alias kept for compatibility
+_LEGACY_RGBA = 4  # early alias kept for compatibility
 
 # "error pixels": 21x7 dark-red placeholder returned on API misuse
 # (j40.h:8429-8441)
@@ -149,7 +151,9 @@ class Image:
     def output_format(self, pixel_format: int = RGBA, bit_format: int = U8X4) -> bool:
         """RGBA with U8X4 (like the reference, j40.h:8369-8372) or U16X4
         (reserved there, supported here)."""
-        if pixel_format != RGBA or bit_format not in (U8X4, U16X4, _LEGACY_U8X4):
+        if pixel_format not in (RGBA, _LEGACY_RGBA) or bit_format not in (
+            U8X4, U16X4, _LEGACY_U8X4
+        ):
             self._err = "fmt?"
             self._err_origin = "output_format"
             return False
