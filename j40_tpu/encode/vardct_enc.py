@@ -74,6 +74,7 @@ class VarDCTOptions:
     # emit custom RestorationFilter params in the frame header (gab weights,
     # EPF sharp/weight/sigma tables); exercises the parse path
     custom_restoration: bool = False
+    epf_iters: int = 2  # with custom_restoration: number of EPF steps (0-3)
     # custom opsin inverse matrix/biases (f16-exact), see write_image_metadata
     opsin: tuple | None = None
     # custom ToneMapping intensity target in nits (f16-exact); None = 255
@@ -210,7 +211,7 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
             w.u(1, 0)  # save_before_ct (full REPLACE, duration 0)
     w.u32(((0, 0), (0, 4), (16, 5), (48, 10)), 0)  # name_len
     if opt.custom_restoration:
-        _write_custom_restoration(w)
+        _write_custom_restoration(w, opt.epf_iters)
     else:
         w.u(1, 1)  # restoration all_default
         w.u(1, 0)  # (quirk) gab_custom
@@ -303,7 +304,7 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
         w.out.extend(sct)
 
 
-def _write_custom_restoration(w: BitWriter) -> None:
+def _write_custom_restoration(w: BitWriter, epf_iters: int = 2) -> None:
     """Non-default RestorationFilter fields (read side: frame.py:217-243);
     all values f16-exact so the decoders' parses agree bit-for-bit."""
     w.u(1, 0)  # restoration not all_default
@@ -311,17 +312,18 @@ def _write_custom_restoration(w: BitWriter) -> None:
     w.u(1, 1)  # gab_custom
     for wt in (0.125, 0.0625, 0.109375, 0.0546875, 0.115234375, 0.061279296875):
         w.f16(wt)
-    w.u(2, 2)  # epf_iters
-    w.u(1, 1)  # epf_sharp_custom (non-modular)
-    for i in range(8):
-        w.f16(i / 8.0)
-    w.u(1, 1)  # epf_weight_custom
-    for v in (40.0, 5.0, 3.5):
-        w.f16(v)
-    w.u(32, 0)  # 32 reserved bits the reference skips
-    w.u(1, 1)  # epf_sigma_custom
-    for v in (0.5, 0.875, 6.5, 0.6875):  # quant_mul, pass0, pass2, border
-        w.f16(v)
+    w.u(2, epf_iters)
+    if epf_iters:  # sub-fields only read when epf_iters > 0 (frame.py:230)
+        w.u(1, 1)  # epf_sharp_custom (non-modular)
+        for i in range(8):
+            w.f16(i / 8.0)
+        w.u(1, 1)  # epf_weight_custom
+        for v in (40.0, 5.0, 3.5):
+            w.f16(v)
+        w.u(32, 0)  # 32 reserved bits the reference skips
+        w.u(1, 1)  # epf_sigma_custom
+        for v in (0.5, 0.875, 6.5, 0.6875):  # quant_mul, pass0, pass2, border
+            w.f16(v)
     # restoration extensions are read when not all_default
     w.u64(0)
 

@@ -413,3 +413,257 @@ J40T_API int32_t j40t_xyb_to_srgb(
   run_threads(nthreads, phase_b, &ctx);
   return 0;
 }
+
+// ------------------------------------------------- restoration filters
+//
+// Host duals of ops/filters.py (the reference implements these but never
+// invokes them, j40.h:7251-7624; we wire them in).  Numpy/JAX versions
+// remain the oracles; parity is pinned by tests/test_native_combine.py.
+
+namespace {
+
+// half-sample mirror (the reference's mirror1d, j40.h:7328)
+static inline int32_t mirror1d(int32_t i, int32_t n) {
+  for (;;) {
+    if (i < 0) i = -i - 1;
+    else if (i >= n) i = 2 * n - 1 - i;
+    else return i;
+  }
+}
+
+struct FilterCtx {
+  const float* in[3];   // padded planes, (H + 2*pad) x (W + 2*pad)
+  float* out[3];        // H x W
+  int32_t H, W, pad;
+  int64_t pstride;      // padded row stride
+  // epf params
+  const float* recip;   // per-8x8 reciprocal sigma (H8 x W8), may be null
+  int32_t H8, W8;
+  float recip_const;    // used when recip == null (modular)
+  float sigma_scale, border_scale;
+  float scale[3];
+  const int8_t (*kernels)[2];
+  int32_t nk;
+  bool cross;
+  // gaborish params
+  float gw[3][3];  // w0, w1, w2 per channel (normalized)
+  std::atomic<int32_t> next{0};
+};
+
+void gaborish_rows(void* p, int32_t) {
+  auto* c = (FilterCtx*)p;
+  const int64_t ps = c->pstride;
+  for (;;) {
+    const int32_t y0 = c->next.fetch_add(16);
+    if (y0 >= c->H) break;
+    const int32_t y1 = y0 + 16 < c->H ? y0 + 16 : c->H;
+    for (int ch = 0; ch < 3; ++ch) {
+      const float w0 = c->gw[ch][0], w1 = c->gw[ch][1], w2 = c->gw[ch][2];
+      for (int32_t y = y0; y < y1; ++y) {
+        const float* pa = c->in[ch] + (int64_t)y * ps;        // row y-1
+        const float* pb = pa + ps;                            // row y
+        const float* pc = pb + ps;                            // row y+1
+        float* o = c->out[ch] + (int64_t)y * c->W;
+        for (int32_t x = 0; x < c->W; ++x) {
+          o[x] = pa[x] * w2 + pa[x + 1] * w1 + pa[x + 2] * w2 +
+                 pb[x] * w1 + pb[x + 1] * w0 + pb[x + 2] * w1 +
+                 pc[x] * w2 + pc[x + 1] * w1 + pc[x + 2] * w2;
+        }
+      }
+    }
+  }
+}
+
+void epf_rows(void* p, int32_t) {
+  auto* c = (FilterCtx*)p;
+  const int64_t ps = c->pstride;
+  const int32_t pad = c->pad;
+  for (;;) {
+    const int32_t y0 = c->next.fetch_add(8);
+    if (y0 >= c->H) break;
+    const int32_t y1 = y0 + 8 < c->H ? y0 + 8 : c->H;
+    for (int32_t y = y0; y < y1; ++y) {
+      const int32_t by = (y / 8) < (c->H8 - 1) ? (y / 8) : (c->H8 - 1);
+      float* o0 = c->out[0] + (int64_t)y * c->W;
+      float* o1 = c->out[1] + (int64_t)y * c->W;
+      float* o2 = c->out[2] + (int64_t)y * c->W;
+      const float* base[3];
+      for (int ch = 0; ch < 3; ++ch)
+        base[ch] = c->in[ch] + (int64_t)(y + pad) * ps + pad;
+      for (int32_t x = 0; x < c->W; ++x) {
+        const int32_t bx = (x / 8) < (c->W8 - 1) ? (x / 8) : (c->W8 - 1);
+        const float rs =
+            c->recip ? c->recip[(int64_t)by * c->W8 + bx] : c->recip_const;
+        if (rs < 0.0f) {  // skipped block: pixel passes through
+          o0[x] = base[0][x];
+          o1[x] = base[1][x];
+          o2[x] = base[2][x];
+          continue;
+        }
+        const bool border = ((((x + 1) | (y + 1)) & 7) < 2);
+        const float inv_sigma =
+            rs * (border ? c->border_scale : c->sigma_scale);
+        float sum_w = 1.0f;
+        float s0 = base[0][x], s1 = base[1][x], s2 = base[2][x];
+        for (int32_t k = 0; k < c->nk; ++k) {
+          // distances use (dx, dy) = (k0, k1); sampling uses the
+          // TRANSPOSED (dy, dx) = (k0, k1) — replicating the reference's
+          // latent index swap exactly (see ops/filters.py NOTE)
+          const int32_t dxD = c->kernels[k][0], dyD = c->kernels[k][1];
+          float dist = 0.0f;
+          if (c->cross) {
+            static const int8_t CROSS[5][2] = {
+                {0, 0}, {0, -1}, {-1, 0}, {1, 0}, {0, 1}};
+            for (int ch = 0; ch < 3; ++ch) {
+              const float* b = c->in[ch];
+              float d = 0.0f;
+              for (int t = 0; t < 5; ++t) {
+                const int32_t cy = y + CROSS[t][0], cx = x + CROSS[t][1];
+                const float v1 = b[(int64_t)(cy + pad) * ps + cx + pad];
+                const float v2 =
+                    b[(int64_t)(cy + dyD + pad) * ps + cx + dxD + pad];
+                d += fabsf(v1 - v2);
+              }
+              dist += c->scale[ch] * d;
+            }
+          } else {
+            for (int ch = 0; ch < 3; ++ch) {
+              const float* b = c->in[ch];
+              const float v1 = b[(int64_t)(y + pad) * ps + x + pad];
+              const float v2 =
+                  b[(int64_t)(y + dyD + pad) * ps + x + dxD + pad];
+              dist += c->scale[ch] * fabsf(v1 - v2);
+            }
+          }
+          float w = 1.0f + dist * inv_sigma;
+          if (w < 0.0f) w = 0.0f;
+          sum_w += w;
+          const int32_t dyS = c->kernels[k][0], dxS = c->kernels[k][1];
+          s0 += c->in[0][(int64_t)(y + dyS + pad) * ps + x + dxS + pad] * w;
+          s1 += c->in[1][(int64_t)(y + dyS + pad) * ps + x + dxS + pad] * w;
+          s2 += c->in[2][(int64_t)(y + dyS + pad) * ps + x + dxS + pad] * w;
+        }
+        const float inv = 1.0f / sum_w;
+        o0[x] = s0 * inv;
+        o1[x] = s1 * inv;
+        o2[x] = s2 * inv;
+      }
+    }
+  }
+}
+
+// mirror-pad `src` (H x W) into `dst` ((H+2*pad) x (W+2*pad))
+void mirror_pad_plane(const float* src, float* dst, int32_t H, int32_t W,
+                      int32_t pad) {
+  const int64_t ps = W + 2 * (int64_t)pad;
+  for (int32_t y = -pad; y < H + pad; ++y) {
+    const float* srow = src + (int64_t)mirror1d(y, H) * W;
+    float* drow = dst + (int64_t)(y + pad) * ps;
+    for (int32_t x = -pad; x < 0; ++x) drow[x + pad] = srow[mirror1d(x, W)];
+    memcpy(drow + pad, srow, (size_t)W * sizeof(float));
+    for (int32_t x = W; x < W + pad; ++x)
+      drow[x + pad] = srow[mirror1d(x, W)];
+  }
+}
+
+static const int8_t KERNELS12[12][2] = {
+    {0, -2}, {-1, -1}, {-1, 0}, {-1, 1}, {0, -2}, {0, -1},
+    {0, 1},  {0, 2},   {-1, 1}, {-1, 0}, {-1, 1}, {0, 2},
+};
+static const int8_t KERNELS4[4][2] = {{0, -1}, {-1, 0}, {1, 0}, {0, 1}};
+constexpr float kPosMult = 1.9330952441687859f;  // -1.65*4*(sqrt(.5)-1)
+constexpr float kSigmaThreshold = 0.3f;
+
+}  // namespace
+
+// gaborish, in place over three H x W planes (j40.h:7271-7326).
+// weights: [w1, w2] per channel (w0 == 1 before normalization); borders
+// replicate edges like ops/filters.py gaborish.
+J40T_API int32_t j40t_gaborish(float* ch0, float* ch1, float* ch2, int32_t h,
+                               int32_t w, const float* weights,
+                               int32_t nthreads) {
+  FilterCtx c;
+  c.H = h;
+  c.W = w;
+  c.pad = 1;
+  c.pstride = w + 2;
+  float* chans[3] = {ch0, ch1, ch2};
+  static thread_local std::vector<float> padbuf;
+  padbuf.resize((size_t)3 * (h + 2) * (int64_t)(w + 2));
+  for (int ch = 0; ch < 3; ++ch) {
+    const float w1 = weights[ch * 2], w2 = weights[ch * 2 + 1];
+    const float wsum = 1.0f + w1 * 4 + w2 * 4;
+    c.gw[ch][0] = 1.0f / wsum;
+    c.gw[ch][1] = w1 / wsum;
+    c.gw[ch][2] = w2 / wsum;
+    float* pb = padbuf.data() + (size_t)ch * (h + 2) * (w + 2);
+    // edge-replicating pad (clamp, not mirror — matches the oracle)
+    for (int32_t y = -1; y <= h; ++y) {
+      int32_t sy = y < 0 ? 0 : (y >= h ? h - 1 : y);
+      const float* srow = chans[ch] + (int64_t)sy * w;
+      float* drow = pb + (int64_t)(y + 1) * (w + 2);
+      drow[0] = srow[0];
+      memcpy(drow + 1, srow, (size_t)w * sizeof(float));
+      drow[w + 1] = srow[w - 1];
+    }
+    c.in[ch] = pb;
+    c.out[ch] = chans[ch];
+  }
+  run_threads(nthreads, gaborish_rows, &c);
+  return 0;
+}
+
+// full EPF (up to 3 steps, j40.h:7578-7622), in place over three H x W
+// planes.  recip: per-8x8 reciprocal sigmas (h8 x w8) or NULL for modular
+// frames (then sigma_for_modular applies uniformly).
+J40T_API int32_t j40t_epf(float* ch0, float* ch1, float* ch2, int32_t h,
+                          int32_t w, const float* recip, int32_t h8,
+                          int32_t w8, int32_t iters, float p0_scale,
+                          float p2_scale, const float* channel_scale,
+                          float border_sad_mul, float sigma_for_modular,
+                          int32_t nthreads) {
+  if (iters <= 0) return 0;
+  if (recip == nullptr && sigma_for_modular < kSigmaThreshold) return 0;
+  FilterCtx c;
+  c.H = h;
+  c.W = w;
+  c.pad = 3;
+  c.pstride = w + 6;
+  c.recip = recip;
+  c.H8 = h8;
+  c.W8 = w8;
+  c.recip_const = recip ? 0.0f : 1.0f / sigma_for_modular;
+  for (int i = 0; i < 3; ++i) c.scale[i] = channel_scale[i];
+  float* chans[3] = {ch0, ch1, ch2};
+  static thread_local std::vector<float> padbuf;
+  padbuf.resize((size_t)3 * (h + 6) * (int64_t)(w + 6));
+
+  struct Step {
+    float sscale;
+    const int8_t (*kern)[2];
+    int32_t nk;
+    bool cross;
+  };
+  Step steps[3];
+  int32_t nsteps = 0;
+  if (iters >= 3) steps[nsteps++] = {p0_scale, KERNELS12, 12, true};
+  if (iters >= 1) steps[nsteps++] = {1.0f, KERNELS4, 4, true};
+  if (iters >= 2) steps[nsteps++] = {p2_scale, KERNELS4, 4, false};
+
+  for (int32_t s = 0; s < nsteps; ++s) {
+    for (int ch = 0; ch < 3; ++ch) {
+      float* pb = padbuf.data() + (size_t)ch * (h + 6) * (w + 6);
+      mirror_pad_plane(chans[ch], pb, h, w, 3);
+      c.in[ch] = pb;
+      c.out[ch] = chans[ch];
+    }
+    c.sigma_scale = steps[s].sscale * kPosMult;
+    c.border_scale = c.sigma_scale * border_sad_mul;
+    c.kernels = steps[s].kern;
+    c.nk = steps[s].nk;
+    c.cross = steps[s].cross;
+    c.next.store(0);
+    run_threads(nthreads, epf_rows, &c);
+  }
+  return 0;
+}

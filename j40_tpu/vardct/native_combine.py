@@ -92,6 +92,21 @@ def _get_lib():
             ctypes.c_int32, ctypes.c_int32,  # rect_h, rect_w
             ctypes.c_int32,                  # nthreads
         ]
+        lib.j40t_gaborish.restype = ctypes.c_int32
+        lib.j40t_gaborish.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # planes
+            ctypes.c_int32, ctypes.c_int32,                     # h, w
+            ctypes.c_void_p, ctypes.c_int32,                    # weights, nthr
+        ]
+        lib.j40t_epf.restype = ctypes.c_int32
+        lib.j40t_epf.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # planes
+            ctypes.c_int32, ctypes.c_int32,                     # h, w
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,  # recip, h8, w8
+            ctypes.c_int32, ctypes.c_float, ctypes.c_float,  # iters, p0, p2
+            ctypes.c_void_p, ctypes.c_float,  # channel_scale, border_sad_mul
+            ctypes.c_float, ctypes.c_int32,   # sigma_for_modular, nthreads
+        ]
         lib.j40t_xyb_to_srgb.restype = ctypes.c_int32
         lib.j40t_xyb_to_srgb.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # samples
@@ -242,5 +257,45 @@ def xyb_to_srgb_native(samples, vs, im, f, dst, top: int, left: int,
         samples[2].ctypes.data, h, w, w, consts.ctypes.data,
         dst_ptrs[0], dst_ptrs[1], dst_ptrs[2],
         stride, px_stride, 1 if is_u8 else 0, max(1, nthreads),
+    )
+    assert rc == 0
+
+
+def gaborish_native(samples: np.ndarray, weights, nthreads: int = 1) -> None:
+    """In-place 3x3 gaborish over (3, H, W) float32 planes
+    (native/reconstruct.cpp dual of ops/filters.gaborish)."""
+    lib = _get_lib()
+    assert samples.dtype == np.float32 and samples.flags.c_contiguous
+    w = np.asarray(weights, np.float32).reshape(3, 2)
+    w = np.ascontiguousarray(w)
+    h, wid = samples.shape[1], samples.shape[2]
+    rc = lib.j40t_gaborish(
+        samples[0].ctypes.data, samples[1].ctypes.data,
+        samples[2].ctypes.data, h, wid, w.ctypes.data, max(1, nthreads),
+    )
+    assert rc == 0
+
+
+def epf_native(samples: np.ndarray, vs, gg, nthreads: int = 1) -> None:
+    """In-place EPF (up to 3 steps) over (3, H, W) float32 planes
+    (native/reconstruct.cpp dual of ops/filters.epf for VarDCT frames)."""
+    from ..ops.filters import epf_recip_sigmas
+
+    lib = _get_lib()
+    f = vs.fs.f
+    if f.epf_iters <= 0:
+        return
+    assert samples.dtype == np.float32 and samples.flags.c_contiguous
+    recip = epf_recip_sigmas(vs, gg)
+    recip = np.ascontiguousarray(recip, np.float32)
+    cs = np.ascontiguousarray(f.epf_channel_scale, np.float32)
+    h, w = samples.shape[1], samples.shape[2]
+    rc = lib.j40t_epf(
+        samples[0].ctypes.data, samples[1].ctypes.data,
+        samples[2].ctypes.data, h, w,
+        recip.ctypes.data, recip.shape[0], recip.shape[1],
+        f.epf_iters, f.epf_pass0_sigma_scale, f.epf_pass2_sigma_scale,
+        cs.ctypes.data, f.epf_border_sad_mul, f.epf_sigma_for_modular,
+        max(1, nthreads),
     )
     assert rc == 0

@@ -778,10 +778,13 @@ class VarDCTState:
                                 )
                         continue
                     if apply_f:
-                        # native samples -> numpy restoration filters ->
+                        # native samples -> native restoration filters ->
                         # native XYB (same per-LF-group mirrored-border
                         # filtering as the oracle path)
-                        from ..ops.filters import epf, gaborish
+                        from .native_combine import (
+                            epf_native,
+                            gaborish_native,
+                        )
 
                         samples = np.zeros(
                             (3, gg.height, gg.width), dtype=np.float32
@@ -791,11 +794,10 @@ class VarDCTState:
                             samples_only=True,
                         )
                         if f.gab_enabled:
-                            samples = gaborish(samples, f.gab_weights)
-                        samples = epf(samples, self, gg, is_modular=False)
+                            gaborish_native(samples, f.gab_weights, nthr)
+                        epf_native(samples, self, gg, nthr)
                         xyb_to_srgb_native(
-                            np.ascontiguousarray(samples, np.float32),
-                            self, im, f, dst, gg.top, gg.left, nthr,
+                            samples, self, im, f, dst, gg.top, gg.left, nthr,
                         )
                     else:
                         combine_lf_group_native(self, gg, im, dst, nthr)

@@ -98,6 +98,28 @@ def test_native_filtered_matches_oracle(photo, monkeypatch, mixed):
 
 
 @pytest.mark.skipif(not native_combine_available(), reason="no native lib")
+def test_native_filtered_3step_epf(photo, monkeypatch):
+    # custom restoration with epf_iters=3: exercises the 12-tap KERNELS12
+    # pass of the native EPF (plus custom gaborish weights and sigma params)
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+    cs = encode_vardct(
+        photo, VarDCTOptions(sharpness=5, custom_restoration=True,
+                             epf_iters=3)
+    )
+    ref = None
+    monkeypatch.setenv("J40T_NATIVE", "0")
+    d0 = Decoder(cs, backend="numpy", apply_filters=True)
+    d0.decode_frame()
+    ref = d0.render_rgba8()
+    monkeypatch.setenv("J40T_NATIVE", "1")
+    d1 = Decoder(cs, backend="auto", apply_filters=True, workers=4)
+    d1.decode_frame()
+    out = d1.render_rgba8()
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not native_combine_available(), reason="no native lib")
 def test_native_combine_int32_dst(photo, monkeypatch):
     # with the u8 fast path disabled the kernel writes int32 planes with the
     # oracle's int16 clip (the non-last-frame / blending layout)
