@@ -115,12 +115,6 @@ struct PrefixTable {
   }
 };
 
-static uint32_t rev_bits(uint32_t code, int32_t len) {
-  uint32_t out = 0;
-  for (int32_t i = 0; i < len; ++i) { out = (out << 1) | (code & 1); code >>= 1; }
-  return out;
-}
-
 // build from per-symbol entries (len | LSB-first pattern << 4); returns
 // false on invalid code.  Patterns travel explicitly because simple flat-4
 // codes are not canonical (j40.h:2091).
@@ -253,11 +247,17 @@ static bool build_alias(const int16_t* D, int32_t log_alpha, std::vector<AliasBu
 
 struct HybridConfig { int32_t split_exp, msb, lsb; };
 
+// fully-tabulated rANS step: for each 12-bit state residue, the symbol,
+// its frequency, and (alias offset + in-bucket position) pre-added — one
+// 8-byte load replaces the alias-bucket branch + D[] chase per symbol
+struct FlatEntry { uint16_t sym, dfreq, bias, pad; };
+
 struct Cluster {
   HybridConfig cfg;
   PrefixTable prefix;             // if use_prefix
   std::vector<int16_t> D;         // if ANS
   std::vector<AliasBucket> alias;
+  std::vector<FlatEntry> flat;    // 1<<12 entries, built from alias
 };
 
 struct CodeSpec {
@@ -267,6 +267,23 @@ struct CodeSpec {
   int32_t num_dist = 0, log_alpha = 0;
   std::vector<uint8_t> cluster_map;
   std::vector<Cluster> clusters;
+  // per-context direct tables (one load to the decode data instead of the
+  // cluster_map -> clusters[] -> vector-data pointer chase per symbol)
+  std::vector<const FlatEntry*> ctx_flat;
+  std::vector<const PrefixTable*> ctx_prefix;
+  std::vector<HybridConfig> ctx_cfg;
+
+  void build_ctx_tables() {
+    ctx_flat.resize((size_t)num_dist);
+    ctx_prefix.resize((size_t)num_dist);
+    ctx_cfg.resize((size_t)num_dist);
+    for (int32_t k = 0; k < num_dist; ++k) {
+      const Cluster& cl = clusters[cluster_map[k]];
+      ctx_flat[k] = cl.flat.empty() ? nullptr : cl.flat.data();
+      ctx_prefix[k] = &cl.prefix;
+      ctx_cfg[k] = cl.cfg;
+    }
+  }
 };
 
 struct CodeState {
@@ -290,29 +307,22 @@ static const uint8_t SPECIAL_DISTANCES[120] = {
   0xe5,0x05,0xf4,0xd7,0x17,0xe6,0x06,0xf5,0xe7,0x07,0xf6,0xf7,
 };
 
-static inline int32_t ans_code(Bits& br, CodeState& cs, const Cluster& cl, int32_t log_alpha) {
+static inline int32_t ans_code(Bits& br, CodeState& cs, const Cluster& cl) {
   uint32_t state = cs.ans_state;
-  if (state == 0) {
+  if (__builtin_expect(state == 0, 0)) {
     state = br.u(16);
     state |= (uint32_t)br.u(16) << 16;
   }
-  int32_t log_bucket = 12 - log_alpha;
-  int32_t index = (int32_t)(state & 0xfff);
-  int32_t i = index >> log_bucket;
-  int32_t pos = index & ((1 << log_bucket) - 1);
-  const AliasBucket& b = cl.alias[i];
-  int32_t symbol, offset;
-  if (pos < b.cutoff) { symbol = i; offset = 0; }
-  else { symbol = b.symbol; offset = b.offset; }
-  state = (uint32_t)cl.D[symbol] * (state >> 12) + (uint32_t)offset + (uint32_t)pos;
+  const FlatEntry e = cl.flat[state & 0xfff];
+  state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
   if (state < (1u << 16)) state = (state << 16) | br.u(16);
   cs.ans_state = state;
-  return symbol;
+  return e.sym;
 }
 
 static inline int32_t cluster_symbol(Bits& br, CodeState& cs, const Cluster& cl) {
   const CodeSpec& s = *cs.spec;
-  return s.use_prefix ? cl.prefix.decode(br) : ans_code(br, cs, cl, s.log_alpha);
+  return s.use_prefix ? cl.prefix.decode(br) : ans_code(br, cs, cl);
 }
 
 static inline int64_t hybrid_int(Bits& br, int32_t token, const HybridConfig& c) {
@@ -372,6 +382,30 @@ static int32_t code_one(Bits& br, CodeState& cs, int32_t ctx, int32_t dist_mult)
   return (int32_t)value;
 }
 
+// specialization for streams with LZ77 off (min_symbol unreachable, no
+// window bookkeeping) — the HF coefficient and simple-modular hot loops
+static inline int32_t code_one_nolz(Bits& br, CodeState& cs, int32_t ctx) {
+  const CodeSpec& s = *cs.spec;
+  int32_t token;
+  if (!s.use_prefix) {
+    uint32_t state = cs.ans_state;
+    if (__builtin_expect(state == 0, 0)) {
+      state = br.u(16);
+      state |= (uint32_t)br.u(16) << 16;
+    }
+    const FlatEntry e = s.ctx_flat[ctx][state & 0xfff];
+    state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
+    if (state < (1u << 16)) state = (state << 16) | br.u(16);
+    cs.ans_state = state;
+    token = e.sym;
+  } else {
+    token = s.ctx_prefix[ctx]->decode(br);
+  }
+  int64_t value = hybrid_int(br, token, s.ctx_cfg[ctx]);
+  if (__builtin_expect(value < 0, 0)) { cs.error = true; return 0; }
+  return (int32_t)value;
+}
+
 // -------------------------------------------------- spec blob deserializer
 //
 // int32 layout (produced by j40_tpu/native/bindings.py serialize_spec):
@@ -417,8 +451,21 @@ static bool parse_spec(const int32_t* blob, int64_t blob_len, CodeSpec* out) {
       for (int32_t k = 0; k < ts; ++k) cl.D[k] = (int16_t)blob[i + k];
       i += ts;
       if (!build_alias(cl.D.data(), out->log_alpha, &cl.alias)) return false;
+      // flatten the alias map over all 4096 state residues
+      cl.flat.resize((size_t)1 << 12);
+      const int32_t log_bucket = 12 - out->log_alpha;
+      for (int32_t idx = 0; idx < (1 << 12); ++idx) {
+        const int32_t bi = idx >> log_bucket;
+        const int32_t pos = idx & ((1 << log_bucket) - 1);
+        const AliasBucket& b = cl.alias[bi];
+        const int32_t sym = pos < b.cutoff ? bi : b.symbol;
+        const int32_t off = pos < b.cutoff ? 0 : b.offset;
+        cl.flat[idx] = FlatEntry{(uint16_t)sym, (uint16_t)cl.D[sym],
+                                 (uint16_t)(off + pos), 0};
+      }
     }
   }
+  out->build_ctx_tables();
   return true;
 }
 
@@ -590,6 +637,15 @@ J40T_API uint32_t j40t_stream_ans_state(const J40TStream* s) {
 // decode a run of symbols with explicit contexts (diagnostics / simple uses)
 J40T_API void j40t_decode_symbols(J40TStream* s, const int32_t* ctxs, int64_t n,
                                   int32_t dist_mult, int32_t* out) {
+  if (!s->spec.lz77) {
+    Bits b = s->bits;
+    CodeState cs = s->state;  // window empty when lz77 off; cheap copy
+    for (int64_t i = 0; i < n; ++i) out[i] = code_one_nolz(b, cs, ctxs[i]);
+    s->bits = b;
+    s->state.ans_state = cs.ans_state;
+    if (cs.error) s->state.error = true;
+    return;
+  }
   for (int64_t i = 0; i < n; ++i) out[i] = code_one(s->bits, s->state, ctxs[i], dist_mult);
 }
 
@@ -604,7 +660,7 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
                                      int32_t* out, int32_t stride,
                                      int64_t range_max) {
   const bool use_prefix = cs.spec->use_prefix;
-  const int32_t log_alpha = cs.spec->log_alpha;
+  const FlatEntry* flat = cl.flat.empty() ? nullptr : cl.flat.data();
   // register-local bit reader + ANS state: the struct references would
   // otherwise round-trip through memory every symbol (aliasing with out)
   Bits b = br;
@@ -616,21 +672,15 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
       token = cl.prefix.decode(b);
     } else {
       uint32_t state = ans_state;
-      if (state == 0) {
+      if (__builtin_expect(state == 0, 0)) {
         state = b.u(16);
         state |= (uint32_t)b.u(16) << 16;
       }
-      int32_t log_bucket = 12 - log_alpha;
-      int32_t index = (int32_t)(state & 0xfff);
-      int32_t i = index >> log_bucket;
-      int32_t pos = index & ((1 << log_bucket) - 1);
-      const AliasBucket& bk = cl.alias[i];
-      int32_t offset;
-      if (pos < bk.cutoff) { token = i; offset = 0; }
-      else { token = bk.symbol; offset = bk.offset; }
-      state = (uint32_t)cl.D[token] * (state >> 12) + (uint32_t)offset + (uint32_t)pos;
+      const FlatEntry e = flat[state & 0xfff];
+      state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
       if (state < (1u << 16)) state = (state << 16) | b.u(16);
       ans_state = state;
+      token = e.sym;
     }
     int64_t value = hybrid_int(b, token, cl.cfg);
     if (value < 0) { cs.error = true; return 3; }
@@ -796,7 +846,8 @@ J40T_API int32_t j40t_decode_modular_channel(
 // VarDCT HF coefficient decode for one (pass, group) (j40.h:6888-7005).
 // blocks: (gh8p, gw8p) slice of the LF group block map starting at the group's
 // top-left 8x8 position; arrays indexed per varblock by voff.
-J40T_API int32_t j40t_decode_hf_group(
+template <bool LZ>
+static int32_t decode_hf_group_impl(
     J40TStream* s,
     int32_t ctxoff,
     const int32_t* blocks, int32_t blocks_stride,  // full LF-group width8
@@ -826,6 +877,41 @@ J40T_API int32_t j40t_decode_hf_group(
   static const int32_t YXB2XYB[3] = {1, 0, 2};
 
   std::vector<int8_t> nonzeros((size_t)gw8 * gh8 * 3, 0);
+
+  // register-local bit reader + ANS state for the no-LZ77 fast path: the
+  // J40TStream fields would otherwise round-trip through memory per symbol
+  const CodeSpec& spec = s->spec;
+  Bits b = s->bits;
+  uint32_t ans = s->state.ans_state;
+  bool err = false;
+  auto code_fast = [&](int32_t ctx) -> int32_t {
+    int32_t token;
+    if (!spec.use_prefix) {
+      uint32_t state = ans;
+      if (__builtin_expect(state == 0, 0)) {
+        state = b.u(16);
+        state |= (uint32_t)b.u(16) << 16;
+      }
+      const FlatEntry e = spec.ctx_flat[ctx][state & 0xfff];
+      state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
+      if (state < (1u << 16)) state = (state << 16) | b.u(16);
+      ans = state;
+      token = e.sym;
+    } else {
+      token = spec.ctx_prefix[ctx]->decode(b);
+    }
+    int64_t value = hybrid_int(b, token, spec.ctx_cfg[ctx]);
+    if (__builtin_expect(value < 0, 0)) { err = true; return 0; }
+    return (int32_t)value;
+  };
+  auto finish = [&](int32_t ret) -> int32_t {
+    if (!LZ) {
+      s->bits = b;
+      s->state.ans_state = ans;
+      if (err) s->state.error = true;
+    }
+    return ret;
+  };
 
   for (int32_t y8 = 0; y8 < gh8; ++y8) {
     for (int32_t x8 = 0; x8 < gw8; ++x8) {
@@ -860,8 +946,8 @@ J40T_API int32_t j40t_decode_hf_group(
           nz = y8 > 0 ? nonzeros[(size_t)(nzpos - gw8) * 3 + c] : 32;
         }
         int32_t nzctx = ctxoff + bctx + (nz < 8 ? nz : 4 + nz / 2) * nb_block_ctx;
-        nz = code_one(s->bits, s->state, nzctx, 0);
-        if (nz > (63 << (log_size - 6))) return 1;
+        nz = LZ ? code_one(s->bits, s->state, nzctx, 0) : code_fast(nzctx);
+        if (nz > (63 << (log_size - 6))) return finish(1);
         int32_t llf = 1 << (log_size - 6);
         int32_t qnz = (nz + llf - 1) >> (log_size - 6);
         for (int32_t i = 0; i < (1 << (log_rows - 3)); ++i)
@@ -872,15 +958,40 @@ J40T_API int32_t j40t_decode_hf_group(
         for (int32_t i = llf; nz > 0 && i < (1 << log_size); ++i) {
           int32_t ctx = cctx + TWICE_NNZ[(nz + llf - 1) >> (log_size - 6)] +
                         TWICE_FREQ[i >> (log_size - 6)] + prev;
-          int32_t ucoeff = code_one(s->bits, s->state, ctx, 0);
+          int32_t ucoeff = LZ ? code_one(s->bits, s->state, ctx, 0)
+                              : code_fast(ctx);
           int32_t sv = (ucoeff & 1) ? -((ucoeff >> 1) + 1) : (ucoeff >> 1);
           cf[order[i]] += (float)sv;
           prev = ucoeff != 0 ? 1 : 0;
           nz -= prev;
         }
-        if (nz != 0) return 1;
+        if (nz != 0) return finish(1);
       }
     }
   }
+  finish(0);
   return (s->bits.overrun || s->state.error) ? 3 : 0;
+}
+
+J40T_API int32_t j40t_decode_hf_group(
+    J40TStream* s,
+    int32_t ctxoff,
+    const int32_t* blocks, int32_t blocks_stride,
+    int32_t gw8, int32_t gh8,
+    const int64_t* vb_coeffoff,
+    const int32_t* vb_qfidx,
+    const uint8_t* lfindices, int32_t lf_stride,
+    int32_t gx8_in_gg, int32_t gy8_in_gg,
+    const uint8_t* block_ctx_map,
+    int32_t nb_block_ctx, int32_t nb_qf_thr, int32_t lfidx_size,
+    const int32_t* dct_select,
+    const int32_t* const* orders,
+    float* const* coeffs)
+{
+  const bool lz = s->state.spec->lz77;
+  auto fn = lz ? decode_hf_group_impl<true> : decode_hf_group_impl<false>;
+  return fn(s, ctxoff, blocks, blocks_stride, gw8, gh8, vb_coeffoff,
+            vb_qfidx, lfindices, lf_stride, gx8_in_gg, gy8_in_gg,
+            block_ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size, dct_select,
+            orders, coeffs);
 }
