@@ -722,45 +722,47 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
   return (br.overrun || cs.error) ? 3 : 0;
 }
 
-// decode one modular channel; returns 0 on success, 1 on range error ("povf"),
-// 2 on tree/ref error, 3 on bitstream overrun
-J40T_API int32_t j40t_decode_modular_channel(
-    J40TStream* s,
-    const int32_t* tree, int32_t ntree,
-    const int32_t* wp_params,       // p1,p2,p3[5],w[4] (11 ints)
-    int32_t dist_mult,
-    int32_t cidx, int64_t sidx,
+// generic modular channel loop, templated on the LZ77 flag so the no-LZ77
+// case keeps the bit reader + ANS state register-local across all pixels
+template <bool LZ>
+static int32_t modular_generic(
+    J40TStream* s, const TreeNode* nodes, bool single_leaf, bool use_wp,
+    WpState& wp, int32_t dist_mult, int32_t cidx, int64_t sidx,
     int32_t width, int32_t height,
-    const int32_t* const* refs, int32_t nrefs,  // previous same-shape channels
-    int32_t* out,
-    int32_t out_stride,     // row stride in elements (== width if contiguous)
-    int32_t ref_stride,
-    int64_t range_max) {    // 32767 for 16-bit buffers, INT32_MAX for wide
-  const TreeNode* nodes = (const TreeNode*)tree;
-
-  // does the tree need the weighted predictor?
-  bool use_wp = false;
-  for (int32_t i = 0; i < ntree; ++i) {
-    if (nodes[i].prop == 15 || (nodes[i].prop < 0 && nodes[i].predictor == 6)) {
-      use_wp = true;
-      break;
+    const int32_t* const* refs, int32_t nrefs,
+    int32_t* out, int32_t out_stride, int32_t ref_stride, int64_t range_max) {
+  const CodeSpec& spec = s->spec;
+  Bits b = s->bits;
+  uint32_t ans = s->state.ans_state;
+  bool err = false;
+  auto code_fast = [&](int32_t ctx) -> int32_t {
+    int32_t token;
+    if (!spec.use_prefix) {
+      uint32_t state = ans;
+      if (__builtin_expect(state == 0, 0)) {
+        state = b.u(16);
+        state |= (uint32_t)b.u(16) << 16;
+      }
+      const FlatEntry e = spec.ctx_flat[ctx][state & 0xfff];
+      state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
+      if (state < (1u << 16)) state = (state << 16) | b.u(16);
+      ans = state;
+      token = e.sym;
+    } else {
+      token = spec.ctx_prefix[ctx]->decode(b);
     }
-  }
-  WpState wp;
-  if (use_wp) wp.init(width, wp_params);
-
-  const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
-
-  if (single_leaf && !s->spec.lz77 && nodes[0].multiplier == 1 &&
-      nodes[0].offset == 0 &&
-      (nodes[0].predictor == 5 || nodes[0].predictor == 0)) {
-    const Cluster& cl = s->spec.clusters[s->spec.cluster_map[nodes[0].ctx]];
-    return nodes[0].predictor == 5
-               ? decode_channel_simple<5>(s->bits, s->state, cl, width, height,
-                                          out, out_stride, range_max)
-               : decode_channel_simple<0>(s->bits, s->state, cl, width, height,
-                                          out, out_stride, range_max);
-  }
+    int64_t value = hybrid_int(b, token, spec.ctx_cfg[ctx]);
+    if (__builtin_expect(value < 0, 0)) { err = true; return 0; }
+    return (int32_t)value;
+  };
+  auto finish = [&](int32_t ret) -> int32_t {
+    if (!LZ) {
+      s->bits = b;
+      s->state.ans_state = ans;
+      if (err) s->state.error = true;
+    }
+    return ret;
+  };
 
   for (int32_t y = 0; y < height; ++y) {
     int32_t* row = out + (size_t)y * out_stride;
@@ -811,7 +813,7 @@ J40T_API int32_t j40t_decode_modular_channel(
             }
             default: {
               int32_t refcidx = (node->prop - 16) / 4;
-              if (refcidx >= nrefs) return 2;
+              if (refcidx >= nrefs) return finish(2);
               const int32_t* rc = refs[refcidx];
               int64_t v = rc[(size_t)y * ref_stride + x];
               if (node->prop & 2) {
@@ -829,18 +831,65 @@ J40T_API int32_t j40t_decode_modular_channel(
         }
       }
 
-      int32_t token = code_one(s->bits, s->state, node->ctx, dist_mult);
+      int32_t token = LZ ? code_one(s->bits, s->state, node->ctx, dist_mult)
+                         : code_fast(node->ctx);
       int64_t uv = (token & 1) ? -((int64_t)(token / 2) + 1) : token / 2;
       int64_t val = uv * node->multiplier + node->offset;
       val += predict(node->predictor, use_wp ? &wp : nullptr, w_, n_, nw, ne, nn,
                      nee, ww);
-      if (val < -range_max - 1 || val > range_max) return 1;
+      if (val < -range_max - 1 || val > range_max) return finish(1);
       row[x] = (int32_t)val;
       if (use_wp) wp_after(wp, x, y, val);
     }
   }
+  finish(0);
   if (s->bits.overrun || s->state.error) return 3;
   return 0;
+}
+
+// decode one modular channel; returns 0 on success, 1 on range error ("povf"),
+// 2 on tree/ref error, 3 on bitstream overrun
+J40T_API int32_t j40t_decode_modular_channel(
+    J40TStream* s,
+    const int32_t* tree, int32_t ntree,
+    const int32_t* wp_params,       // p1,p2,p3[5],w[4] (11 ints)
+    int32_t dist_mult,
+    int32_t cidx, int64_t sidx,
+    int32_t width, int32_t height,
+    const int32_t* const* refs, int32_t nrefs,  // previous same-shape channels
+    int32_t* out,
+    int32_t out_stride,     // row stride in elements (== width if contiguous)
+    int32_t ref_stride,
+    int64_t range_max) {    // 32767 for 16-bit buffers, INT32_MAX for wide
+  const TreeNode* nodes = (const TreeNode*)tree;
+
+  // does the tree need the weighted predictor?
+  bool use_wp = false;
+  for (int32_t i = 0; i < ntree; ++i) {
+    if (nodes[i].prop == 15 || (nodes[i].prop < 0 && nodes[i].predictor == 6)) {
+      use_wp = true;
+      break;
+    }
+  }
+  WpState wp;
+  if (use_wp) wp.init(width, wp_params);
+
+  const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
+
+  if (single_leaf && !s->spec.lz77 && nodes[0].multiplier == 1 &&
+      nodes[0].offset == 0 &&
+      (nodes[0].predictor == 5 || nodes[0].predictor == 0)) {
+    const Cluster& cl = s->spec.clusters[s->spec.cluster_map[nodes[0].ctx]];
+    return nodes[0].predictor == 5
+               ? decode_channel_simple<5>(s->bits, s->state, cl, width, height,
+                                          out, out_stride, range_max)
+               : decode_channel_simple<0>(s->bits, s->state, cl, width, height,
+                                          out, out_stride, range_max);
+  }
+
+  auto fn = s->spec.lz77 ? modular_generic<true> : modular_generic<false>;
+  return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
+            height, refs, nrefs, out, out_stride, ref_stride, range_max);
 }
 
 // VarDCT HF coefficient decode for one (pass, group) (j40.h:6888-7005).
