@@ -228,7 +228,7 @@ def _bench_device_compute(size: int = 1024) -> dict:
     # dependency) and the per-iteration time is (T_K - T_0) / K
     from j40_tpu.ops.pallas_kernels import reconstruct_dct8_pallas
 
-    K = 32
+    K = 256  # large enough that K iterations dwarf dispatch-RTT jitter
     fcoeffs = jax.device_put(
         rng.integers(-90, 90, (3, n, 64)).astype(np.float32)
     )
@@ -285,12 +285,46 @@ def _bench_device_compute(size: int = 1024) -> dict:
         mmchain(x, K).block_until_ready()
         mk = min(mk, time.perf_counter() - t0)
     peak_flops_s = 2 * m**3 * (K - 1) / max(mk - m1, 1e-9)
+
+    # measured HBM copy ceiling (the kernel is bandwidth-bound, not
+    # MXU-bound: each coefficient is read once and each sample written once,
+    # so the roofline that matters is bytes/s, not FLOP/s)
+    big = 1 << 24  # 16M f32 = 64 MiB
+    z = jax.device_put((rng.normal(size=(big,)) * 1e-3).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def bwchain(y, iters):
+        # roll forces a genuine read+write memory pass per iteration — a
+        # pure elementwise body would fuse into a single pass over the chain
+        return jax.lax.fori_loop(
+            0, iters, lambda _, yy: jnp.roll(yy, 1) * 1.000001, y
+        )
+
+    bwchain(z, 1).block_until_ready()
+    bwchain(z, K).block_until_ready()
+    b1 = bk = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        bwchain(z, 1).block_until_ready()
+        b1 = min(b1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        bwchain(z, K).block_until_ready()
+        bk = min(bk, time.perf_counter() - t0)
+    hbm_ceiling = 2 * big * 4 * (K - 1) / max(bk - b1, 1e-9)  # read + write
+
+    # per chained iteration the kernel reads coeffs + writes samples and the
+    # inter-iteration relayout reads + writes the same volume again
+    per_iter_bytes = 4 * (3 * n * 64 * 4)
+    kernel_bw = per_iter_bytes / dt
     return {
         "mpixps": round(mpixps, 1),
         "kernel_time_us": round(dt * 1e6, 1),
         "kernel_tflops": round(kernel_flops / dt / 1e12, 3),
         "measured_matmul_ceiling_tflops": round(peak_flops_s / 1e12, 1),
         "mfu_vs_ceiling": round(kernel_flops / dt / peak_flops_s, 4),
+        "kernel_GBps": round(kernel_bw / 1e9, 1),
+        "measured_hbm_ceiling_GBps": round(hbm_ceiling / 1e9, 1),
+        "hbm_roofline_fraction": round(kernel_bw / hbm_ceiling, 4),
         "image_px": size,
     }
 
