@@ -329,6 +329,53 @@ def _bench_device_compute(size: int = 1024) -> dict:
     }
 
 
+def _bench_device_filters(size: int = 1024) -> dict:
+    """Head-to-head: Pallas stripe EPF kernel vs the fused XLA chain on a
+    3-step 1MP EPF (chained timing, min-of-4).  The faster path is what
+    Decoder(apply_filters=True) uses on the device."""
+    import jax
+
+    from j40_tpu.ops.filters import _epf_steps_jit
+    from j40_tpu.ops.pallas_filters import epf_pallas
+
+    rng = np.random.default_rng(2)
+    H = W = size
+    ch = jax.device_put(rng.normal(size=(3, H, W)).astype(np.float32) * 50)
+    rs = jax.device_put(
+        np.abs(rng.normal(size=(H, W))).astype(np.float32) + 0.5)
+    kw = dict(iters=3, channel_scale=(40.0, 5.0, 3.5), p0_scale=0.9,
+              p2_scale=6.5, border_sad_mul=2.78)
+    xla = _epf_steps_jit()
+    K = 64
+
+    def timed(step):
+        @functools.partial(jax.jit, static_argnames=("iters_",))
+        def chain(c, iters_):
+            return jax.lax.fori_loop(
+                0, iters_, lambda _, cc: step(cc) * 0.999, c)
+
+        chain(ch, 1).block_until_ready()
+        chain(ch, K).block_until_ready()
+        t1 = tk = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            chain(ch, 1).block_until_ready()
+            t1 = min(t1, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            chain(ch, K).block_until_ready()
+            tk = min(tk, time.perf_counter() - t0)
+        return max((tk - t1) / (K - 1), 1e-9)
+
+    dt_x = timed(lambda c: xla(c, rs, **kw))
+    dt_p = timed(lambda c: epf_pallas(c, rs, **kw))
+    return {
+        "epf3_xla_us": round(dt_x * 1e6, 1),
+        "epf3_pallas_us": round(dt_p * 1e6, 1),
+        "pallas_speedup": round(dt_x / dt_p, 3),
+        "image_px": size,
+    }
+
+
 def main() -> None:
     sys.path.insert(0, str(REPO))
     try:
@@ -422,6 +469,12 @@ def main() -> None:
         print(f"# tunnel: {out['tunnel']}", file=sys.stderr)
         out["device_compute"] = _bench_device_compute()
         print(f"# device_compute: {out['device_compute']}", file=sys.stderr)
+        try:
+            out["device_filters"] = _bench_device_filters()
+            print(f"# device_filters: {out['device_filters']}",
+                  file=sys.stderr)
+        except Exception as e:  # keep the bench robust to kernel regressions
+            print(f"# device_filters probe failed: {e}", file=sys.stderr)
         if "vardct" in specs:
             # device END-TO-END on the same stream (not in the geomean: the
             # planner picks the host plan on this topology, but the device

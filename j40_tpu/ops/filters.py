@@ -327,7 +327,18 @@ def _epf_steps_jit():
 
 def epf_jax(channels, vs, gg, is_modular: bool = False):
     """Device EPF: all steps fused under one jit; only the tiny per-block
-    sigma plane is computed on host (entropy-coded sharpness lookup)."""
+    sigma plane is computed on host (entropy-coded sharpness lookup).
+
+    On a real TPU the Pallas stripe kernel (ops/pallas_filters.py) runs
+    instead — measured 660us vs 804us for this XLA chain on a 1MP 3-step
+    EPF (v5e); the XLA path remains the oracle-parity fallback and the
+    interpreter/CPU path."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .pallas_filters import epf_pallas_from_state
+
+        return epf_pallas_from_state(channels, vs, gg, is_modular=is_modular)
     import jax.numpy as jnp
 
     f = vs.fs.f

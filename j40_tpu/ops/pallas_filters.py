@@ -1,0 +1,316 @@
+"""Pallas TPU kernels for the restoration filters (gaborish + EPF).
+
+The XLA path (`ops.filters._epf_step_jax`) materializes 12 three-channel
+|Δ| distance planes per EPF step — the reference documents the same blowup
+("up to 36× input image size", j40.h:7599).  This kernel instead streams the
+image through VMEM in row stripes: each grid step DMAs a (3, T+6, W) window
+from HBM, computes every tap's distance, weight, and accumulation entirely
+on the VPU, and writes one (3, T, W) output stripe — HBM traffic is one read
++ one write per step regardless of tap count.
+
+Shapes are static per trace; halos come from a mirror pad done once in XLA
+(matching the reference's j40__mirror1d convention, j40.h:7328).  Math is
+kept in lockstep with ops/filters.epf_step (the numpy oracle), including the
+reference's latent (dx, dy)/(dy, dx) index swap between the distance and
+sampling steps — see the NOTE in ops/filters.py.
+
+See /opt/skills/guides/pallas_guide.md.  Off TPU the kernels run in
+interpreter mode (tests); production CPU paths use the native C++ filters.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .filters import KERNELS4, KERNELS12, POS_MULT, SIGMA_THRESHOLD
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _mirror_idx(n: int, pad: int) -> np.ndarray:
+    """Half-sample mirror indices for [-pad, n + pad) (j40.h:7328)."""
+    idx = np.arange(-pad, n + pad)
+    while (idx < 0).any() or (idx >= n).any():
+        idx = np.where(idx < 0, -idx - 1, idx)
+        idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+    return idx
+
+
+def _epf_step_kernel(
+    padded_hbm,   # (3, Hp + 8, Wp) in ANY/HBM, mirror-padded, W-extended
+    rs_ref,       # (1, T, Wp) per-pixel reciprocal sigma stripe (VMEM)
+    out_ref,      # (1, 3, T, Wp) output stripe (VMEM)
+    win_ref,      # VMEM scratch: (3, T + 8, Wp); center row offset is 4
+    sem,          # DMA semaphore
+    *,
+    T: int,
+    W: int,       # true output width (<= Wp - 6)
+    kernels: tuple,
+    cross: bool,
+    sigma_scale: float,
+    border_scale: float,
+    channel_scale: tuple,
+):
+    k = pl.program_id(0)
+    # window height T + 8 keeps the DMA slice 8-aligned in the sublane
+    # dimension (Mosaic tiling requirement); rows [4, 4 + T) are the stripe
+    dma = pltpu.make_async_copy(
+        padded_hbm.at[:, pl.ds(k * T, T + 8), :], win_ref, sem
+    )
+    dma.start()
+
+    # border pixels of each 8x8 block get a boosted sigma (j40.h:7516-7517);
+    # absolute y = stripe offset + local row
+    ys = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0) + k * T
+    xs = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    border = (((xs + 1) | (ys + 1)) & 7) < 2
+
+    dma.wait()
+
+    rs = rs_ref[0, :, 0:W]
+    inv_sigma = rs * jnp.where(
+        border, jnp.float32(border_scale), jnp.float32(sigma_scale)
+    )
+
+    # windows: center pixel (y, x) of the output maps to (y + 4, x + 3)
+    def win(c, dy, dx, h, w):
+        return win_ref[c, 4 + dy : 4 + dy + h, 3 + dx : 3 + dx + w]
+
+    scale = [jnp.float32(s) for s in channel_scale]
+    sum_w = jnp.ones((T, W), jnp.float32)
+    sums = [win(c, 0, 0, T, W) for c in range(3)]
+
+    for (k0, k1) in kernels:
+        # distances use (dx, dy) = (k0, k1); sampling uses the transposed
+        # (dy, dx) = (k0, k1) — reference parity (see module docstring)
+        dxD, dyD = k0, k1
+        dist = jnp.zeros((T, W), jnp.float32)
+        for c in range(3):
+            if cross:
+                # compute |Δ| once over a (T+2, W+2) window, then the
+                # 5-point cross is five shifted slices of it (the numpy
+                # oracle's D-plane trick, kept VMEM-resident here)
+                d = jnp.abs(
+                    win(c, -1, -1, T + 2, W + 2)
+                    - win(c, dyD - 1, dxD - 1, T + 2, W + 2)
+                )
+                dist = dist + scale[c] * (
+                    d[1 : 1 + T, 1 : 1 + W]
+                    + d[1 : 1 + T, 0:W] + d[0:T, 1 : 1 + W]
+                    + d[2 : 2 + T, 1 : 1 + W] + d[1 : 1 + T, 2 : 2 + W]
+                )
+            else:
+                v1 = win(c, 0, 0, T, W)
+                v2 = win(c, dyD, dxD, T, W)
+                dist = dist + scale[c] * jnp.abs(v1 - v2)
+        wgt = jnp.maximum(jnp.float32(0.0), jnp.float32(1.0) + dist * inv_sigma)
+        sum_w = sum_w + wgt
+        dyS, dxS = k0, k1
+        for c in range(3):
+            sums[c] = sums[c] + win(c, dyS, dxS, T, W) * wgt
+
+    inv = jnp.float32(1.0) / sum_w
+    skip = rs < 0.0  # sigma below threshold: block passes through
+    for c in range(3):
+        out_ref[0, c, :, 0:W] = jnp.where(skip, win(c, 0, 0, T, W), sums[c] * inv)
+
+
+def _gaborish_kernel(
+    padded_hbm,   # (3, Hp + 8, Wp) edge-padded
+    out_ref,      # (1, 3, T, Wp)
+    win_ref,      # (3, T + 8, Wp); center row offset is 4
+    sem,
+    *,
+    T: int,
+    W: int,
+    weights: tuple,  # ((w0, w1, w2) normalized) * 3
+):
+    k = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        padded_hbm.at[:, pl.ds(k * T, T + 8), :], win_ref, sem
+    )
+    dma.start()
+    dma.wait()
+    for c in range(3):
+        w0, w1, w2 = (jnp.float32(w) for w in weights[c])
+
+        def win(dy, dx):
+            return win_ref[c, 4 + dy : 4 + dy + T, 1 + dx : 1 + dx + W]
+
+        out_ref[0, c, :, 0:W] = (
+            win(-1, -1) * w2 + win(-1, 0) * w1 + win(-1, 1) * w2
+            + win(0, -1) * w1 + win(0, 0) * w0 + win(0, 1) * w1
+            + win(1, -1) * w2 + win(1, 0) * w1 + win(1, 1) * w2
+        )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernels", "cross", "sigma_scale", "border_scale", "channel_scale",
+        "tile",
+    ),
+)
+def _epf_step_pallas(
+    channels,     # (3, H, W) float32
+    rs_px,        # (H, W) float32 (negative = skip)
+    *,
+    kernels: tuple,
+    cross: bool,
+    sigma_scale: float,
+    border_scale: float,
+    channel_scale: tuple,
+    tile: int = 24,
+):
+    _, H, W = channels.shape
+    T = min(tile, _round_up(H, 8))
+    Hp = _round_up(H, T)
+    Wp = _round_up(W + 6, 128)
+
+    # mirror pad rows/cols per the reference convention (half-sample mirror
+    # == "symmetric"); the extra rows/lanes to the tile/128 boundary
+    # replicate edges so every tap reads defined values (their rs is -1, so
+    # those outputs pass through and are sliced off)
+    if H >= 4 and W >= 3:
+        padded = jnp.pad(channels, ((0, 0), (4, 4), (3, 3)), mode="symmetric")
+    else:  # tiny planes: looped half-sample mirror via gather
+        padded = channels[:, _mirror_idx(H, 4)][:, :, _mirror_idx(W, 3)]
+    padded = jnp.pad(
+        padded,
+        ((0, 0), (0, Hp - H), (0, Wp - (W + 6))),
+        mode="edge",
+    )
+
+    rs = jnp.pad(rs_px, ((0, Hp - H), (0, Wp - W)), constant_values=-1.0)
+    rs = rs.reshape(Hp // T, T, Wp)
+
+    grid = (Hp // T,)
+    out = pl.pallas_call(
+        functools.partial(
+            _epf_step_kernel,
+            T=T, W=Wp - 6, kernels=kernels, cross=cross,
+            sigma_scale=sigma_scale, border_scale=border_scale,
+            channel_scale=channel_scale,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, T, Wp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, T, Wp), lambda k: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp // T, 3, T, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, T + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(padded, rs)
+    return out.transpose(1, 0, 2, 3).reshape(3, Hp, Wp)[:, :H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "tile"))
+def _gaborish_pallas(channels, *, weights: tuple, tile: int = 128):
+    _, H, W = channels.shape
+    T = min(tile, _round_up(H, 8))
+    Hp = _round_up(H, T)
+    Wp = _round_up(W + 2, 128)
+
+    # edge-replicating pad (clamp), matching ops/filters.gaborish
+    padded = jnp.pad(channels, ((0, 0), (4, 4), (1, 1)), mode="edge")
+    padded = jnp.pad(
+        padded, ((0, 0), (0, Hp - H), (0, Wp - (W + 2))), mode="edge"
+    )
+
+    grid = (Hp // T,)
+    out = pl.pallas_call(
+        functools.partial(_gaborish_kernel, T=T, W=Wp - 2, weights=weights),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 3, T, Wp), lambda k: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp // T, 3, T, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, T + 8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(padded)
+    return out.transpose(1, 0, 2, 3).reshape(3, Hp, Wp)[:, :H, :W]
+
+
+def gaborish_pallas(channels, weights):
+    """Pallas dual of ops/filters.gaborish: (3, H, W) float32 in/out."""
+    norm = []
+    for c in range(3):
+        w1, w2 = float(weights[c][0]), float(weights[c][1])
+        ws = 1.0 + 4 * w1 + 4 * w2
+        norm.append((1.0 / ws, w1 / ws, w2 / ws))
+    return _gaborish_pallas(jnp.asarray(channels), weights=tuple(norm))
+
+
+def epf_pallas(channels, rs_px, *, iters: int, channel_scale,
+               p0_scale: float, p2_scale: float, border_sad_mul: float):
+    """Pallas dual of ops/filters epf step chain (j40.h:7578-7622).
+
+    channels: (3, H, W) float32; rs_px: (H, W) per-pixel reciprocal sigma
+    with negatives marking skipped blocks."""
+    channels = jnp.asarray(channels)
+    rs_px = jnp.asarray(rs_px)
+    cs = tuple(float(s) for s in channel_scale)
+
+    def step(ch, sscale, kern, cross):
+        ss = float(sscale) * POS_MULT
+        return _epf_step_pallas(
+            ch, rs_px, kernels=tuple(kern), cross=cross, sigma_scale=ss,
+            border_scale=ss * float(border_sad_mul), channel_scale=cs,
+        )
+
+    if iters >= 3:
+        channels = step(channels, p0_scale, KERNELS12, True)
+    if iters >= 1:
+        channels = step(channels, 1.0, KERNELS4, True)
+    if iters >= 2:
+        channels = step(channels, p2_scale, KERNELS4, False)
+    return channels
+
+
+def epf_pallas_from_state(channels, vs, gg, is_modular: bool = False):
+    """Device EPF via Pallas with per-block sigmas from the frame state
+    (same contract as ops/filters.epf_jax)."""
+    from .filters import epf_recip_sigmas
+
+    f = vs.fs.f
+    if f.epf_iters <= 0:
+        return jnp.asarray(channels)
+    _, H, W = channels.shape
+    if is_modular:
+        if f.epf_sigma_for_modular < SIGMA_THRESHOLD:
+            return jnp.asarray(channels)
+        recip = np.full(((H + 7) // 8, (W + 7) // 8),
+                        1.0 / f.epf_sigma_for_modular, dtype=np.float32)
+    else:
+        recip = epf_recip_sigmas(vs, gg)
+    rs_px = jnp.repeat(jnp.repeat(jnp.asarray(recip), 8, 0), 8, 1)[:H, :W]
+    return epf_pallas(
+        channels, rs_px,
+        iters=int(f.epf_iters),
+        channel_scale=tuple(float(s) for s in f.epf_channel_scale),
+        p0_scale=float(f.epf_pass0_sigma_scale),
+        p2_scale=float(f.epf_pass2_sigma_scale),
+        border_sad_mul=float(f.epf_border_sad_mul),
+    )

@@ -106,3 +106,32 @@ def test_epf_jax_full_parity():
     ref = epf(img, vs, None, is_modular=True)
     out = np.asarray(epf_jax(img, vs, None, is_modular=True))
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_epf_pallas_parity():
+    """Pallas stripe EPF (interpreter mode off-TPU) vs the numpy oracle."""
+    from j40_tpu.ops.filters import KERNELS4, KERNELS12, epf_step
+    from j40_tpu.ops.pallas_filters import epf_pallas, gaborish_pallas
+    from j40_tpu.ops.filters import gaborish
+
+    rng = np.random.default_rng(11)
+    H, W = 40, 72  # ragged vs the 24-row stripe and 128-lane tiles
+    ch = rng.normal(size=(3, H, W)).astype(np.float32) * 50
+    rs8 = np.abs(rng.normal(size=((H + 7) // 8, (W + 7) // 8))).astype(
+        np.float32) + 0.5
+    rs8[0, 1] = -1.0  # a skipped block must pass through untouched
+    rs_px = np.repeat(np.repeat(rs8, 8, 0), 8, 1)[:H, :W]
+
+    ref = ch.copy()
+    cs = (40.0, 5.0, 3.5)
+    ref = epf_step(ref, 0.9, rs8, KERNELS12, True, cs, 2.78)
+    ref = epf_step(ref, 1.0, rs8, KERNELS4, True, cs, 2.78)
+    ref = epf_step(ref, 6.5, rs8, KERNELS4, False, cs, 2.78)
+    out = np.asarray(epf_pallas(
+        ch, rs_px, iters=3, channel_scale=cs, p0_scale=0.9, p2_scale=6.5,
+        border_sad_mul=2.78))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+    gw = ((0.115, 0.061), (0.1, 0.05), (0.12, 0.06))
+    np.testing.assert_allclose(
+        np.asarray(gaborish_pallas(ch, gw)), gaborish(ch, gw), atol=1e-3)
