@@ -312,6 +312,44 @@ def _bench_device_compute(size: int = 1024) -> dict:
         bk = min(bk, time.perf_counter() - t0)
     hbm_ceiling = 2 * big * 4 * (K - 1) / max(bk - b1, 1e-9)  # read + write
 
+    # the production dispatch: one fused Pallas kernel from raw coefficients
+    # to quantized sRGB (dequant+CfL+IDCT+XYB in block layout)
+    from j40_tpu.ops.pallas_kernels import reconstruct_dct8_full
+
+    exc_i = jax.device_put(np.zeros(64, np.int32))
+    exc_v = jax.device_put(np.zeros(64, np.int32))
+    aux = jax.device_put(
+        np.abs(rng.normal(size=(6, n))).astype(np.float32) * 0.05 + 0.01)
+    c22 = jax.device_put(np.concatenate([
+        [2.0, 0.8, 1.2, 0.94, 0.98, 0.94, 0.22, 0.0],
+        np.eye(3).ravel() * 4.0, [0.0038] * 3, [1.0, 255.0],
+    ]).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def fullchain(c, iters):
+        def body(_, cc):
+            out = reconstruct_dct8_full(
+                cc, exc_i, exc_v, aux, weights, c22, h8, w8, to_u8=True)
+            dep = out[:3].astype(jnp.float32)
+            return (
+                dep.reshape(3, h8, 8, w8, 8)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(3, n, 64) * 1e-3
+            )
+        return jax.lax.fori_loop(0, iters, body, c)
+
+    fullchain(fcoeffs, 1).block_until_ready()
+    fullchain(fcoeffs, K).block_until_ready()
+    f1 = fk = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        fullchain(fcoeffs, 1).block_until_ready()
+        f1 = min(f1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fullchain(fcoeffs, K).block_until_ready()
+        fk = min(fk, time.perf_counter() - t0)
+    dt_full = max((fk - f1) / (K - 1), 1e-9)
+
     # per chained iteration the kernel reads coeffs + writes samples and the
     # inter-iteration relayout reads + writes the same volume again
     per_iter_bytes = 4 * (3 * n * 64 * 4)
@@ -325,6 +363,8 @@ def _bench_device_compute(size: int = 1024) -> dict:
         "kernel_GBps": round(kernel_bw / 1e9, 1),
         "measured_hbm_ceiling_GBps": round(hbm_ceiling / 1e9, 1),
         "hbm_roofline_fraction": round(kernel_bw / hbm_ceiling, 4),
+        "fused_to_srgb_us": round(dt_full * 1e6, 1),
+        "fused_to_srgb_mpixps": round(size * size / dt_full / 1e6, 1),
         "image_px": size,
     }
 

@@ -167,13 +167,9 @@ def _mixed_full(
         )
         flat = flat.at[:, bidx].set(s.reshape(3, -1))
     plane = flat.reshape(3, h8 * 8, w8 * 8)
-    out = xyb_to_srgb_u8(
-        plane,
-        consts22[8:17].reshape(3, 3),
-        consts22[17:20],
-        consts22[20],
-        consts22[21],
-    )
+    from .pallas_kernels import xyb_to_srgb_pallas
+
+    out = xyb_to_srgb_pallas(plane, consts22)
     if to_u8:
         out = jnp.clip(out, 0, 255).astype(jnp.uint8)
     return out
@@ -455,13 +451,23 @@ def combine_lf_group_jax_async(vs, gg, im):
             plane = gaborish_jax(plane, f.gab_weights)
         plane = epf_jax(plane, vs, gg, is_modular=False)
 
-    out = xyb_to_srgb_u8(
-        plane,
-        jnp.asarray(im.opsin_inv_mat, dtype=jnp.float32),
-        jnp.asarray(im.opsin_bias, dtype=jnp.float32),
-        jnp.float32(255.0 / im.intensity_target),
-        jnp.float32((1 << im.bpp) - 1),
-    )
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import xyb_to_srgb_pallas
+
+        c22 = np.zeros(22, np.float32)
+        c22[8:17] = np.asarray(im.opsin_inv_mat, np.float32).ravel()
+        c22[17:20] = np.asarray(im.opsin_bias, np.float32)
+        c22[20] = 255.0 / im.intensity_target
+        c22[21] = (1 << im.bpp) - 1
+        out = xyb_to_srgb_pallas(plane, _cached_device(("xyb22",) + tuple(c22.tolist()), c22))
+    else:
+        out = xyb_to_srgb_u8(
+            plane,
+            jnp.asarray(im.opsin_inv_mat, dtype=jnp.float32),
+            jnp.asarray(im.opsin_bias, dtype=jnp.float32),
+            jnp.float32(255.0 / im.intensity_target),
+            jnp.float32((1 << im.bpp) - 1),
+        )
     if im.bpp == 8:
         # clamp on device and fetch uint8: 4x less device->host traffic (the
         # render stage clips to [0, 255] anyway)

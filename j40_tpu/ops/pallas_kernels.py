@@ -136,6 +136,192 @@ def reconstruct_dct8_pallas(
     )
 
 
+def _srgb_kernel(
+    coeffs_ref,     # (3, bn, 64)
+    llf_ref,        # (3, bn)
+    scalars_ref,    # (3, bn): hfmul_inv, kx, kb
+    weights_ref,    # (64, 3)
+    k_ref,          # (64, 64)
+    consts_ref,     # (22,): [8 dequant][9 opsin_inv][3 opsin_bias][itscale, maxval]
+    out_ref,        # (3, bn, 64) int32 sRGB (block layout, pre-clamp)
+):
+    """Fully fused dequant + CfL + IDCT + XYB→sRGB quantization, all in the
+    block layout.  Keeping XYB in-kernel removes the XLA elementwise stage
+    between the IDCT custom call and the relayout — measured ~1.2ms of
+    composition overhead per MP on v5e (layout/fusion pathology), vs ~90us
+    for this whole kernel."""
+    gs_inv = consts_ref[0]
+    qmv = (jnp.float32(1.0) * consts_ref[1], jnp.float32(1.0), consts_ref[2])
+    qbv = (consts_ref[3], consts_ref[4], consts_ref[5])
+    qbnum = consts_ref[6]
+
+    hfmul_inv = scalars_ref[0, :]
+    kx = scalars_ref[1, :]
+    kb = scalars_ref[2, :]
+    pos = jax.lax.broadcasted_iota(jnp.int32, coeffs_ref.shape[1:], 1)
+    k = k_ref[:]
+
+    def dequant(c):
+        q = coeffs_ref[c]
+        small = jnp.abs(q) <= 1.0
+        safe = jnp.where(q == 0.0, 1.0, q)
+        adj = jnp.where(small, q * qbv[c], q - qbnum / safe)
+        mult = (gs_inv * qmv[c]) * hfmul_inv[:, None]
+        return adj * mult / weights_ref[:, c][None, :]
+
+    d0, d1, d2 = dequant(0), dequant(1), dequant(2)
+    planes = (d0 + d1 * kx[:, None], d1, d2 + d1 * kb[:, None])
+    xyb = []
+    for c in range(3):
+        cf = jnp.where(pos == 0, llf_ref[c, :][:, None], planes[c])
+        xyb.append(jax.lax.dot_general(
+            cf, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+
+    # XYB -> linear sRGB -> gamma -> quantize (j40.h:7208-7241), pointwise
+    # so the block layout is preserved; math mirrors reconstruct.xyb_to_srgb_u8
+    itscale = consts_ref[20]
+    maxval = consts_ref[21]
+    X, Y, B = xyb
+    p = (Y + X, Y - X, B)
+    mixed = []
+    for d in range(3):
+        bias = consts_ref[17 + d]
+        # sign-safe cube root via exp/log (Mosaic has no cbrt primitive)
+        ab = jnp.maximum(jnp.abs(bias), jnp.float32(1e-38))
+        cbrt_bias = jnp.where(
+            bias == 0.0,
+            jnp.float32(0.0),
+            jnp.sign(bias) * jnp.exp(jnp.log(ab) * jnp.float32(1.0 / 3.0)),
+        )
+        pp = p[d] - cbrt_bias
+        mixed.append((pp * pp * pp + bias) * itscale)
+    for c in range(3):
+        v = (mixed[0] * consts_ref[8 + c * 3]
+             + mixed[1] * consts_ref[9 + c * 3]
+             + mixed[2] * consts_ref[10 + c * 3])
+        # pow(x, 1/2.4) via exp/log (Mosaic-friendly; exact same where-guard
+        # as the XLA path)
+        gam = jnp.float32(1.055) * jnp.exp(
+            jnp.log(jnp.maximum(v, jnp.float32(1e-30))) * jnp.float32(1.0 / 2.4)
+        ) - jnp.float32(0.055)
+        srgb = jnp.where(v <= jnp.float32(0.0031308), jnp.float32(12.92) * v, gam)
+        out_ref[c] = (maxval * srgb + jnp.float32(0.5)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("h8", "w8", "tile"))
+def reconstruct_dct8_srgb_pallas(
+    coeffs,      # (3, h8*w8, 64) float32
+    llf,         # (3, h8*w8)
+    hfmul_inv, kx, kb,
+    weights,     # (64, 3)
+    consts22,    # (22,) packed floats (see _srgb_kernel)
+    h8: int,
+    w8: int,
+    tile: int = 512,
+):
+    """One-kernel reconstruction to quantized sRGB: returns (3, h8*8, w8*8)
+    int32 samples (pre-clamp), raster layout."""
+    n = h8 * w8
+    coeffs = coeffs.astype(jnp.float32)
+    llf = llf.astype(jnp.float32)
+    k = jnp.asarray(idct8_matrix())
+    scalars = jnp.stack([hfmul_inv, kx, kb])
+
+    tile = min(tile, n)
+    npad = -n % tile
+    if npad:
+        coeffs = jnp.pad(coeffs, ((0, 0), (0, npad), (0, 0)))
+        llf = jnp.pad(llf, ((0, 0), (0, npad)))
+        scalars = jnp.pad(scalars, ((0, 0), (0, npad)))
+    grid = ((n + npad) // tile,)
+
+    blocks = pl.pallas_call(
+        _srgb_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, tile, 64), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tile, 64), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n + npad, 64), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(coeffs, llf, scalars, weights, k, consts22)
+    if npad:
+        blocks = blocks[:, :n]
+    return (
+        blocks.reshape(3, h8, w8, 8, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, h8 * 8, w8 * 8)
+    )
+
+
+def _xyb_kernel(plane_ref, consts_ref, out_ref):
+    """Pointwise XYB→sRGB quantization on a (3, T, W) raster tile (same math
+    as reconstruct.xyb_to_srgb_u8; kept as a Pallas kernel because XLA's
+    fusion of this stage with neighboring transposes/custom-calls measured
+    ~8x slower than the arithmetic itself on v5e)."""
+    itscale = consts_ref[20]
+    maxval = consts_ref[21]
+    X = plane_ref[0]
+    Y = plane_ref[1]
+    B = plane_ref[2]
+    p = (Y + X, Y - X, B)
+    mixed = []
+    for d in range(3):
+        bias = consts_ref[17 + d]
+        ab = jnp.maximum(jnp.abs(bias), jnp.float32(1e-38))
+        cbrt_bias = jnp.where(
+            bias == 0.0,
+            jnp.float32(0.0),
+            jnp.sign(bias) * jnp.exp(jnp.log(ab) * jnp.float32(1.0 / 3.0)),
+        )
+        pp = p[d] - cbrt_bias
+        mixed.append((pp * pp * pp + bias) * itscale)
+    for c in range(3):
+        v = (mixed[0] * consts_ref[8 + c * 3]
+             + mixed[1] * consts_ref[9 + c * 3]
+             + mixed[2] * consts_ref[10 + c * 3])
+        gam = jnp.float32(1.055) * jnp.exp(
+            jnp.log(jnp.maximum(v, jnp.float32(1e-30))) * jnp.float32(1.0 / 2.4)
+        ) - jnp.float32(0.055)
+        srgb = jnp.where(v <= jnp.float32(0.0031308), jnp.float32(12.92) * v, gam)
+        out_ref[c] = (maxval * srgb + jnp.float32(0.5)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def xyb_to_srgb_pallas(plane, consts22, tile: int = 256):
+    """(3, H, W) float32 XYB → (3, H, W) int32 quantized sRGB (pre-clamp)."""
+    _, H, W = plane.shape
+    T = min(tile, -(-H // 8) * 8)
+    Hp = -(-H // T) * T
+    if Hp != H:
+        plane = jnp.pad(plane, ((0, 0), (0, Hp - H), (0, 0)))
+    out = pl.pallas_call(
+        _xyb_kernel,
+        grid=(Hp // T,),
+        in_specs=[
+            pl.BlockSpec((3, T, W), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, T, W), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Hp, W), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(plane, consts22)
+    return out[:, :H] if Hp != H else out
+
+
 def pallas_available() -> bool:
     import os
 
@@ -160,15 +346,13 @@ def reconstruct_dct8_full(
     w8: int,
     to_u8: bool = True,
 ):
-    """Single-dispatch reconstruction: fused Pallas dequant+CfL+IDCT, then
-    XYB→sRGB quantization, clamped uint8 output.  One host→device transfer
-    for all per-group data and one device→host fetch — the tunnel-latency
-    optimal shape for this dev host.  Coefficients arrive as a clipped int8
-    plane plus an exact-value exception list (typically <0.5% of entries), a
-    ~2x smaller upload than int16; the scatter rebuilds the exact plane in
-    XLA before the Pallas kernel."""
-    from .reconstruct import xyb_to_srgb_u8
-
+    """Single-dispatch reconstruction: one fused Pallas kernel carries
+    dequant+CfL+IDCT+XYB→sRGB; clamped uint8 output.  One host→device
+    transfer for all per-group data and one device→host fetch — the
+    tunnel-latency optimal shape for this dev host.  Coefficients arrive as
+    a clipped int8 plane plus an exact-value exception list (typically
+    <0.5% of entries), a ~2x smaller upload than int16; the scatter
+    rebuilds the exact plane in XLA before the Pallas kernel."""
     dense = coeffs.astype(jnp.float32)
     dense = (
         dense.reshape(-1)
@@ -176,15 +360,8 @@ def reconstruct_dct8_full(
         .set(exc_val.astype(jnp.float32))
         .reshape(dense.shape)
     )
-    samples = reconstruct_dct8_pallas(
-        dense, aux[0:3], aux[3], aux[4], aux[5], weights, consts[:8], h8, w8
-    )
-    out = xyb_to_srgb_u8(
-        samples,
-        consts[8:17].reshape(3, 3),
-        consts[17:20],
-        consts[20],
-        consts[21],
+    out = reconstruct_dct8_srgb_pallas(
+        dense, aux[0:3], aux[3], aux[4], aux[5], weights, consts, h8, w8
     )
     if to_u8:
         out = jnp.clip(out, 0, 255).astype(jnp.uint8)
