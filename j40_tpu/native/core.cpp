@@ -320,6 +320,39 @@ static inline int32_t ans_code(Bits& br, CodeState& cs, const Cluster& cl) {
   return e.sym;
 }
 
+static inline int64_t hybrid_int(Bits& br, int32_t token, const HybridConfig& c);
+
+// ---- fast path (no-LZ77 streams) -------------------------------------------
+//
+// Shared by code_one_nolz and the register-local HF / modular loops.  The
+// renorm and hybrid-split branches stay branches: measured branchless
+// (select-based) variants lost 5-15% on both low- and high-entropy streams
+// — the predictor handles them well and the extra ALU work is pure cost.
+
+static inline int32_t ans_symbol_fast(Bits& b, uint32_t& ans,
+                                      const FlatEntry* flat) {
+  uint32_t state = ans;
+  if (__builtin_expect(state == 0, 0)) {
+    state = b.u(16);
+    state |= (uint32_t)b.u(16) << 16;
+  }
+  const FlatEntry e = flat[state & 0xfff];
+  state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
+  if (state < (1u << 16)) state = (state << 16) | b.u(16);
+  ans = state;
+  return e.sym;
+}
+
+static inline int32_t code_symbol_fast(Bits& b, uint32_t& ans,
+                                       const CodeSpec& s, int32_t ctx,
+                                       bool* err) {
+  const int32_t token = s.use_prefix ? s.ctx_prefix[ctx]->decode(b)
+                                     : ans_symbol_fast(b, ans, s.ctx_flat[ctx]);
+  const int64_t value = hybrid_int(b, token, s.ctx_cfg[ctx]);
+  if (__builtin_expect(value < 0, 0)) { *err = true; return 0; }
+  return (int32_t)value;
+}
+
 static inline int32_t cluster_symbol(Bits& br, CodeState& cs, const Cluster& cl) {
   const CodeSpec& s = *cs.spec;
   return s.use_prefix ? cl.prefix.decode(br) : ans_code(br, cs, cl);
@@ -385,25 +418,10 @@ static int32_t code_one(Bits& br, CodeState& cs, int32_t ctx, int32_t dist_mult)
 // specialization for streams with LZ77 off (min_symbol unreachable, no
 // window bookkeeping) — the HF coefficient and simple-modular hot loops
 static inline int32_t code_one_nolz(Bits& br, CodeState& cs, int32_t ctx) {
-  const CodeSpec& s = *cs.spec;
-  int32_t token;
-  if (!s.use_prefix) {
-    uint32_t state = cs.ans_state;
-    if (__builtin_expect(state == 0, 0)) {
-      state = br.u(16);
-      state |= (uint32_t)br.u(16) << 16;
-    }
-    const FlatEntry e = s.ctx_flat[ctx][state & 0xfff];
-    state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
-    if (state < (1u << 16)) state = (state << 16) | br.u(16);
-    cs.ans_state = state;
-    token = e.sym;
-  } else {
-    token = s.ctx_prefix[ctx]->decode(br);
-  }
-  int64_t value = hybrid_int(br, token, s.ctx_cfg[ctx]);
-  if (__builtin_expect(value < 0, 0)) { cs.error = true; return 0; }
-  return (int32_t)value;
+  bool err = false;
+  int32_t v = code_symbol_fast(br, cs.ans_state, *cs.spec, ctx, &err);
+  if (__builtin_expect(err, 0)) cs.error = true;
+  return v;
 }
 
 // -------------------------------------------------- spec blob deserializer
@@ -471,12 +489,15 @@ static bool parse_spec(const int32_t* blob, int64_t blob_len, CodeSpec* out) {
 
 // ----------------------------------------------------- modular channel
 
-struct WpState {
+// I = int32_t for 16-bit planes (the reference's wp32, j40.h:3938: error
+// magnitudes for |pixel| <= 2^15 fit comfortably), int64_t for wide planes
+template <typename I>
+struct WpStateT {
   int32_t width;
   int32_t p1, p2, p3[5], w[4];
-  std::vector<int64_t> errors;  // width*2 rows of 5
-  int64_t pred[5];
-  int64_t trueerrw, trueerrn, trueerrnw, trueerrne;
+  std::vector<I> errors;  // width*2 rows of 5
+  I pred[5];
+  I trueerrw, trueerrn, trueerrnw, trueerrne;
 
   void init(int32_t wdt, const int32_t* params) {
     width = wdt;
@@ -488,6 +509,7 @@ struct WpState {
     trueerrw = trueerrn = trueerrnw = trueerrne = 0;
   }
 };
+using WpState = WpStateT<int64_t>;
 
 static const int64_t DIV24[64] = {
   0x1000000,0x800000,0x555555,0x400000,0x333333,0x2aaaaa,0x249249,0x200000,
@@ -504,17 +526,21 @@ static inline int32_t floor_lg64(uint64_t x) {
   return x ? 63 - __builtin_clzll(x) : -1;
 }
 
-static void wp_before(WpState& wp, int32_t x, int32_t y,
-                      int64_t pw, int64_t pn, int64_t pnw, int64_t pne, int64_t pnn) {
-  static const int64_t ZERO[5] = {0, 0, 0, 0, 0};
-  int64_t* err = wp.errors.data() + ((y & 1) ? (size_t)wp.width * 5 : 0);
-  int64_t* nerr = wp.errors.data() + ((y & 1) ? 0 : (size_t)wp.width * 5);
-  const int64_t* errw = x > 0 ? err + (size_t)(x - 1) * 5 : ZERO;
-  const int64_t* errn = y > 0 ? nerr + (size_t)x * 5 : ZERO;
-  const int64_t* errnw = (x > 0 && y > 0) ? nerr + (size_t)(x - 1) * 5 : errn;
-  const int64_t* errne = (x + 1 < wp.width && y > 0) ? nerr + (size_t)(x + 1) * 5 : errn;
-  const int64_t* errww = x > 1 ? err + (size_t)(x - 2) * 5 : ZERO;
-  const int64_t* errw2 = x + 1 < wp.width ? ZERO : errw;
+template <typename I>
+static void wp_before(WpStateT<I>& wp, int32_t x, int32_t y,
+                      int64_t pw64, int64_t pn64, int64_t pnw64, int64_t pne64,
+                      int64_t pnn64) {
+  const I pw = (I)pw64, pn = (I)pn64, pnw = (I)pnw64, pne = (I)pne64,
+          pnn = (I)pnn64;
+  static const I ZERO[5] = {0, 0, 0, 0, 0};
+  I* err = wp.errors.data() + ((y & 1) ? (size_t)wp.width * 5 : 0);
+  I* nerr = wp.errors.data() + ((y & 1) ? 0 : (size_t)wp.width * 5);
+  const I* errw = x > 0 ? err + (size_t)(x - 1) * 5 : ZERO;
+  const I* errn = y > 0 ? nerr + (size_t)x * 5 : ZERO;
+  const I* errnw = (x > 0 && y > 0) ? nerr + (size_t)(x - 1) * 5 : errn;
+  const I* errne = (x + 1 < wp.width && y > 0) ? nerr + (size_t)(x + 1) * 5 : errn;
+  const I* errww = x > 1 ? err + (size_t)(x - 2) * 5 : ZERO;
+  const I* errw2 = x + 1 < wp.width ? ZERO : errw;
 
   wp.trueerrw = x > 0 ? err[(size_t)(x - 1) * 5 + 4] : 0;
   wp.trueerrn = y > 0 ? nerr[(size_t)x * 5 + 4] : 0;
@@ -522,38 +548,42 @@ static void wp_before(WpState& wp, int32_t x, int32_t y,
   wp.trueerrne = (x + 1 < wp.width && y > 0) ? nerr[(size_t)(x + 1) * 5 + 4] : wp.trueerrn;
 
   wp.pred[0] = (pw + pne - pn) * 8;
-  wp.pred[1] = pn * 8 - (((wp.trueerrw + wp.trueerrn + wp.trueerrne) * wp.p1) >> 5);
-  wp.pred[2] = pw * 8 - (((wp.trueerrw + wp.trueerrn + wp.trueerrnw) * wp.p2) >> 5);
-  wp.pred[3] = pn * 8 - ((wp.trueerrnw * wp.p3[0] + wp.trueerrn * wp.p3[1] +
-                          wp.trueerrne * wp.p3[2] + (pnn - pn) * 8 * wp.p3[3] +
-                          (pnw - pw) * 8 * wp.p3[4]) >> 5);
-  int64_t w[4], wsum = 0, sum = 0;
+  wp.pred[1] = pn * 8 - (I)(((wp.trueerrw + wp.trueerrn + wp.trueerrne) * wp.p1) >> 5);
+  wp.pred[2] = pw * 8 - (I)(((wp.trueerrw + wp.trueerrn + wp.trueerrnw) * wp.p2) >> 5);
+  wp.pred[3] = pn * 8 - (I)((wp.trueerrnw * wp.p3[0] + wp.trueerrn * wp.p3[1] +
+                             wp.trueerrne * wp.p3[2] + (pnn - pn) * 8 * wp.p3[3] +
+                             (pnw - pw) * 8 * wp.p3[4]) >> 5);
+  I w[4], wsum = 0;
+  int64_t sum = 0;
   for (int i = 0; i < 4; ++i) {
-    int64_t errsum = errn[i] + errw[i] + errnw[i] + errww[i] + errne[i] + errw2[i];
+    I errsum = errn[i] + errw[i] + errnw[i] + errww[i] + errne[i] + errw2[i];
     int32_t shift = floor_lg64((uint64_t)errsum + 1) - 5;
     if (shift < 0) shift = 0;
-    w[i] = 4 + ((wp.w[i] * DIV24[errsum >> shift]) >> shift);
+    // the two DIV24 products need 64-bit intermediates even in the 32-bit
+    // instantiation (the reference's wp32 does the same cast, j40.h:4060)
+    w[i] = (I)(4 + (((int64_t)wp.w[i] * DIV24[errsum >> shift]) >> shift));
   }
   int32_t logw = floor_lg64((uint64_t)(w[0] + w[1] + w[2] + w[3])) - 4;
   for (int i = 0; i < 4; ++i) {
     w[i] >>= logw;
     wsum += w[i];
-    sum += wp.pred[i] * w[i];
+    sum += (int64_t)wp.pred[i] * w[i];
   }
-  wp.pred[4] = ((sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24;
+  wp.pred[4] = (I)(((sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24);
   if (((wp.trueerrn ^ wp.trueerrw) | (wp.trueerrn ^ wp.trueerrnw)) <= 0) {
-    int64_t lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
-    int64_t hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;
+    I lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
+    I hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;
     if (wp.pred[4] < lo) wp.pred[4] = lo;
     if (wp.pred[4] > hi) wp.pred[4] = hi;
   }
 }
 
-static void wp_after(WpState& wp, int32_t x, int32_t y, int64_t val) {
-  int64_t* err = wp.errors.data() + (((y & 1) ? (size_t)wp.width : 0) + (size_t)x) * 5;
-  int64_t v8 = val * 8;
+template <typename I>
+static void wp_after(WpStateT<I>& wp, int32_t x, int32_t y, int64_t val) {
+  I* err = wp.errors.data() + (((y & 1) ? (size_t)wp.width : 0) + (size_t)x) * 5;
+  I v8 = (I)val * 8;
   for (int i = 0; i < 4; ++i) {
-    int64_t d = wp.pred[i] - v8;
+    I d = wp.pred[i] - v8;
     err[i] = ((d < 0 ? -d : d) + 3) >> 3;
   }
   err[4] = wp.pred[4] - v8;
@@ -568,7 +598,8 @@ static inline int64_t gradient64(int64_t w, int64_t n, int64_t nw) {
 
 static inline int64_t trunc_div2(int64_t v) { return v / 2; }  // C trunc
 
-static inline int64_t predict(int32_t p, const WpState* wp, int64_t w, int64_t n,
+template <typename W>
+static inline int64_t predict(int32_t p, const W* wp, int64_t w, int64_t n,
                               int64_t nw, int64_t ne, int64_t nn, int64_t nee,
                               int64_t ww) {
   switch (p) {
@@ -724,10 +755,10 @@ static int32_t decode_channel_simple(Bits& br, CodeState& cs, const Cluster& cl,
 
 // generic modular channel loop, templated on the LZ77 flag so the no-LZ77
 // case keeps the bit reader + ANS state register-local across all pixels
-template <bool LZ>
+template <bool LZ, typename I>
 static int32_t modular_generic(
     J40TStream* s, const TreeNode* nodes, bool single_leaf, bool use_wp,
-    WpState& wp, int32_t dist_mult, int32_t cidx, int64_t sidx,
+    WpStateT<I>& wp, int32_t dist_mult, int32_t cidx, int64_t sidx,
     int32_t width, int32_t height,
     const int32_t* const* refs, int32_t nrefs,
     int32_t* out, int32_t out_stride, int32_t ref_stride, int64_t range_max) {
@@ -736,24 +767,7 @@ static int32_t modular_generic(
   uint32_t ans = s->state.ans_state;
   bool err = false;
   auto code_fast = [&](int32_t ctx) -> int32_t {
-    int32_t token;
-    if (!spec.use_prefix) {
-      uint32_t state = ans;
-      if (__builtin_expect(state == 0, 0)) {
-        state = b.u(16);
-        state |= (uint32_t)b.u(16) << 16;
-      }
-      const FlatEntry e = spec.ctx_flat[ctx][state & 0xfff];
-      state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
-      if (state < (1u << 16)) state = (state << 16) | b.u(16);
-      ans = state;
-      token = e.sym;
-    } else {
-      token = spec.ctx_prefix[ctx]->decode(b);
-    }
-    int64_t value = hybrid_int(b, token, spec.ctx_cfg[ctx]);
-    if (__builtin_expect(value < 0, 0)) { err = true; return 0; }
-    return (int32_t)value;
+    return code_symbol_fast(b, ans, spec, ctx, &err);
   };
   auto finish = [&](int32_t ret) -> int32_t {
     if (!LZ) {
@@ -802,11 +816,11 @@ static int32_t modular_generic(
             case 14: val = w_ - ww; break;
             case 15: {
               if (use_wp) {
-                int64_t v = wp.trueerrw;
+                int64_t v = (int64_t)wp.trueerrw;
                 auto absl = [](int64_t t) { return t < 0 ? -t : t; };
-                if (absl(v) < absl(wp.trueerrn)) v = wp.trueerrn;
-                if (absl(v) < absl(wp.trueerrnw)) v = wp.trueerrnw;
-                if (absl(v) < absl(wp.trueerrne)) v = wp.trueerrne;
+                if (absl(v) < absl((int64_t)wp.trueerrn)) v = wp.trueerrn;
+                if (absl(v) < absl((int64_t)wp.trueerrnw)) v = wp.trueerrnw;
+                if (absl(v) < absl((int64_t)wp.trueerrne)) v = wp.trueerrne;
                 val = v;
               } else val = 0;
               break;
@@ -871,9 +885,6 @@ J40T_API int32_t j40t_decode_modular_channel(
       break;
     }
   }
-  WpState wp;
-  if (use_wp) wp.init(width, wp_params);
-
   const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
 
   if (single_leaf && !s->spec.lz77 && nodes[0].multiplier == 1 &&
@@ -887,7 +898,20 @@ J40T_API int32_t j40t_decode_modular_channel(
                                           out, out_stride, range_max);
   }
 
-  auto fn = s->spec.lz77 ? modular_generic<true> : modular_generic<false>;
+  // 16-bit planes run the int32 WP instantiation (the reference's wp32,
+  // j40.h:3938); wide planes keep 64-bit error state (wp64)
+  if (range_max <= 32767) {
+    WpStateT<int32_t> wp;
+    if (use_wp) wp.init(width, wp_params);
+    auto fn = s->spec.lz77 ? modular_generic<true, int32_t>
+                           : modular_generic<false, int32_t>;
+    return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
+              height, refs, nrefs, out, out_stride, ref_stride, range_max);
+  }
+  WpState wp;
+  if (use_wp) wp.init(width, wp_params);
+  auto fn = s->spec.lz77 ? modular_generic<true, int64_t>
+                         : modular_generic<false, int64_t>;
   return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
             height, refs, nrefs, out, out_stride, ref_stride, range_max);
 }
@@ -934,24 +958,7 @@ static int32_t decode_hf_group_impl(
   uint32_t ans = s->state.ans_state;
   bool err = false;
   auto code_fast = [&](int32_t ctx) -> int32_t {
-    int32_t token;
-    if (!spec.use_prefix) {
-      uint32_t state = ans;
-      if (__builtin_expect(state == 0, 0)) {
-        state = b.u(16);
-        state |= (uint32_t)b.u(16) << 16;
-      }
-      const FlatEntry e = spec.ctx_flat[ctx][state & 0xfff];
-      state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
-      if (state < (1u << 16)) state = (state << 16) | b.u(16);
-      ans = state;
-      token = e.sym;
-    } else {
-      token = spec.ctx_prefix[ctx]->decode(b);
-    }
-    int64_t value = hybrid_int(b, token, spec.ctx_cfg[ctx]);
-    if (__builtin_expect(value < 0, 0)) { err = true; return 0; }
-    return (int32_t)value;
+    return code_symbol_fast(b, ans, spec, ctx, &err);
   };
   auto finish = [&](int32_t ret) -> int32_t {
     if (!LZ) {
