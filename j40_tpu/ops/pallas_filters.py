@@ -197,6 +197,14 @@ def _epf_step_pallas(
         mode="edge",
     )
 
+    return _epf_call(padded, rs_px, H, W, Hp, Wp, T, kernels, cross,
+                     sigma_scale, border_scale, channel_scale)
+
+
+def _epf_call(padded, rs_px, H, W, Hp, Wp, T, kernels, cross, sigma_scale,
+              border_scale, channel_scale):
+    """Shared pallas_call wrapper: padded is (3, Hp + 8, Wp) with the stripe
+    content at rows [4, 4 + H) and columns [3, 3 + W)."""
     rs = jnp.pad(rs_px, ((0, Hp - H), (0, Wp - W)), constant_values=-1.0)
     rs = rs.reshape(Hp // T, T, Wp)
 
@@ -224,6 +232,39 @@ def _epf_step_pallas(
         interpret=_interpret(),
     )(padded, rs)
     return out.transpose(1, 0, 2, 3).reshape(3, Hp, Wp)[:, :H, :W]
+
+
+def epf_step_pallas_rows(
+    rows,         # (3, H + 6, W): stripe with 3 pre-exchanged halo rows
+    rs_px,        # (H, W)
+    *,
+    kernels: tuple,
+    cross: bool,
+    sigma_scale: float,
+    border_scale: float,
+    channel_scale: tuple,
+    tile: int = 24,
+):
+    """EPF step for a row shard whose halos already arrived via ppermute
+    (ops/sharded_filters).  The shard's global row offset must be 8-aligned
+    so the 8x8 border/sigma mask is shard-local (sharded_epf asserts it)."""
+    _, h6, W = rows.shape
+    H = h6 - 6
+    T = min(tile, _round_up(H, 8))
+    Hp = _round_up(H, T)
+    Wp = _round_up(W + 6, 128)
+    # one extra edge row per side brings the 6-row halo to the kernel's
+    # 8-aligned DMA window; taps never reach those rows
+    padded = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    if W >= 3:
+        padded = jnp.pad(padded, ((0, 0), (0, 0), (3, 3)), mode="symmetric")
+    else:
+        padded = padded[:, :, _mirror_idx(W, 3)]
+    padded = jnp.pad(
+        padded, ((0, 0), (0, Hp - H), (0, Wp - (W + 6))), mode="edge"
+    )
+    return _epf_call(padded, rs_px, H, W, Hp, Wp, T, kernels, cross,
+                     sigma_scale, border_scale, channel_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("weights", "tile"))

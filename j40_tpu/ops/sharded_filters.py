@@ -78,12 +78,14 @@ def sharded_epf(channels: np.ndarray, rs_px: np.ndarray, mesh: Mesh,
     reciprocal-sigma plane (see ops.filters.epf_recip_sigmas, expanded to
     pixels).  Shard heights must be multiples of 8 so the 8x8 border/sigma
     blocks stay shard-local."""
-    from .filters import KERNELS4, KERNELS12, _epf_step_jax_rows
+    from .filters import KERNELS4, KERNELS12, _epf_step_jax_rows, POS_MULT
+    from .pallas_kernels import pallas_available
 
     n = mesh.devices.size
     H = channels.shape[1]
     assert H % n == 0 and (H // n) % 8 == 0, "shard rows must be 8-aligned"
     shard_h = H // n
+    use_pallas = pallas_available()
 
     def exchange(x):
         # 3-row halos from mesh neighbors; outer shards mirror their own edge
@@ -105,21 +107,37 @@ def sharded_epf(channels: np.ndarray, rs_px: np.ndarray, mesh: Mesh,
         y0 = idx * shard_h
         kw = dict(channel_scale=tuple(channel_scale),
                   border_sad_mul=border_sad_mul)
+
+        def one(x, sscale, kern, cross):
+            if use_pallas:
+                # per-shard Pallas stripe kernel on the pre-exchanged halos
+                # (shard_h is 8-aligned, so the in-kernel 8x8 border mask is
+                # shard-local and needs no y0)
+                from .pallas_filters import epf_step_pallas_rows
+
+                ss = float(sscale) * POS_MULT
+                return epf_step_pallas_rows(
+                    exchange(x), rs, kernels=tuple(kern), cross=cross,
+                    sigma_scale=ss, border_scale=ss * float(border_sad_mul),
+                    channel_scale=tuple(channel_scale),
+                )
+            return _epf_step_jax_rows(exchange(x), x, rs, y0, sscale, kern,
+                                      cross, **kw)
+
         if iters >= 3:
-            x = _epf_step_jax_rows(exchange(x), x, rs, y0, p0_scale,
-                                   KERNELS12, True, **kw)
+            x = one(x, p0_scale, KERNELS12, True)
         if iters >= 1:
-            x = _epf_step_jax_rows(exchange(x), x, rs, y0, 1.0,
-                                   KERNELS4, True, **kw)
+            x = one(x, 1.0, KERNELS4, True)
         if iters >= 2:
-            x = _epf_step_jax_rows(exchange(x), x, rs, y0, p2_scale,
-                                   KERNELS4, False, **kw)
+            x = one(x, p2_scale, KERNELS4, False)
         return x
 
     fn = jax.shard_map(
         step_fn, mesh=mesh,
         in_specs=(P(None, axis, None), P(axis, None)),
         out_specs=P(None, axis, None),
+        # pallas_call outputs don't carry vma annotations yet
+        check_vma=not use_pallas,
     )
     return jax.jit(fn)(
         jnp.asarray(channels, jnp.float32), jnp.asarray(rs_px, jnp.float32)

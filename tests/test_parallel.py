@@ -139,6 +139,30 @@ def test_sharded_epf_matches_unsharded():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_sharded_epf_pallas_matches_unsharded(monkeypatch):
+    # same parity with the per-shard Pallas stripe kernel (interpreter mode
+    # off-TPU; on a real TPU mesh this is the default path)
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.ops.filters import _epf_steps_jit
+    from j40_tpu.ops.sharded_filters import sharded_epf
+
+    monkeypatch.setenv("J40T_PALLAS", "interp")
+    rng = np.random.default_rng(46)
+    img = (rng.normal(size=(3, 64, 48)) * 0.1).astype(np.float32)
+    rs = rng.uniform(0.5, 2.5, size=(8, 6)).astype(np.float32)
+    rs[1, 1] = -1.0
+    rs_px = np.repeat(np.repeat(rs, 8, 0), 8, 1)
+    ref = np.asarray(_epf_steps_jit()(
+        img, rs_px, iters=3, channel_scale=(40.0, 5.0, 3.5),
+        p0_scale=0.9, p2_scale=6.5, border_sad_mul=2 / 3,
+    ))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    out = np.asarray(sharded_epf(img, rs_px, mesh, iters=3))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_sharded_decode_real_bitstream_multi_lf_group():
     # the full multi-chip path on a REAL bitstream: TOC byte ranges scattered
     # over owner workers, block rows striped over an 8-device mesh, parity
