@@ -39,10 +39,17 @@ YXB2XYB = (1, 0, 2)
 def srgb_to_xyb(rgb: np.ndarray, intensity_target: float = 255.0) -> np.ndarray:
     """(h, w, 3) uint8 sRGB -> (3, h, w) float32 XYB, inverting the decoder's
     XYB -> sRGB path (j40.h:7208-7241)."""
-    srgb = rgb.astype(np.float64) / 255.0
-    linear = np.where(
-        srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4
-    )
+    if rgb.dtype == np.uint8:
+        # gamma expansion via a 256-entry LUT: bit-identical to the direct
+        # formula (the input has 256 distinct values) and skips ~10M pow calls
+        s = np.arange(256, dtype=np.float64) / 255.0
+        lut = np.where(s <= 0.04045, s / 12.92, ((s + 0.055) / 1.055) ** 2.4)
+        linear = lut[rgb]
+    else:
+        srgb = rgb.astype(np.float64) / 255.0
+        linear = np.where(
+            srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4
+        )
     inv = np.array(OPSIN_INV_MAT, dtype=np.float64)
     fwd = np.linalg.inv(inv)
     mixed = np.einsum("ij,hwj->hwi", fwd, linear)  # "scaled-cubed" domain
@@ -50,10 +57,11 @@ def srgb_to_xyb(rgb: np.ndarray, intensity_target: float = 255.0) -> np.ndarray:
     bias = np.array([OPSIN_BIAS] * 3)
     cbrt_bias = np.cbrt(bias)
     p = np.cbrt(np.maximum(mixed / itscale - bias, 0.0)) + cbrt_bias
-    X = (p[:, :, 0] - p[:, :, 1]) / 2.0
-    Y = (p[:, :, 0] + p[:, :, 1]) / 2.0
-    B = p[:, :, 2]
-    return np.stack([X, Y, B]).astype(np.float32)
+    out = np.empty((3,) + rgb.shape[:2], np.float32)
+    out[0] = (p[:, :, 0] - p[:, :, 1]) / 2.0
+    out[1] = (p[:, :, 0] + p[:, :, 1]) / 2.0
+    out[2] = p[:, :, 2]
+    return out
 
 
 @dataclass
