@@ -11,6 +11,8 @@ comparison) and the benchmark input generator.
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 
 import numpy as np
@@ -56,7 +58,16 @@ def srgb_to_xyb(rgb: np.ndarray, intensity_target: float = 255.0) -> np.ndarray:
     itscale = 255.0 / intensity_target
     bias = np.array([OPSIN_BIAS] * 3)
     cbrt_bias = np.cbrt(bias)
-    p = np.cbrt(np.maximum(mixed / itscale - bias, 0.0)) + cbrt_bias
+    # in-place chain (bit-identical to the expression form): these are 8
+    # bytes/px/channel passes, and fresh 10s-of-MB temporaries per op are
+    # minor-fault-bound on this host (huge pages are off, see __init__)
+    p = mixed
+    if itscale != 1.0:
+        np.divide(p, itscale, out=p)
+    np.subtract(p, bias, out=p)
+    np.maximum(p, 0.0, out=p)
+    np.cbrt(p, out=p)
+    np.add(p, cbrt_bias, out=p)
     out = np.empty((3,) + rgb.shape[:2], np.float32)
     out[0] = (p[:, :, 0] - p[:, :, 1]) / 2.0
     out[1] = (p[:, :, 0] + p[:, :, 1]) / 2.0
@@ -557,6 +568,17 @@ def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8, ctxoff=0):
     enc.add_arrays(all_ctx[all_ok], all_val[all_ok], stream)
 
 
+@functools.lru_cache(maxsize=None)
+def _default_dq64(param_idx: int) -> np.ndarray:
+    """Library dequant table for one param set, float64 (per-varblock reuse)."""
+    return load_dq_matrix(param_idx, DqMatrix()).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_matrix64(n: int) -> np.ndarray:
+    return forward_matrix(n).astype(np.float64)
+
+
 def encode_vardct_mixed(image: np.ndarray,
                         options: VarDCTOptions | None = None,
                         t16: float = 1e-3, t32: float = 5e-4,
@@ -644,7 +666,7 @@ def encode_vardct_mixed(image: np.ndarray,
         return q
 
     # vectorized tokens for every 8x8 cell (the dominant class)
-    wgt8 = load_dq_matrix(0, DqMatrix()).astype(np.float64)
+    wgt8 = _default_dq64(0)
     hf8 = _quantize(Wc8, wgt8[None, None])  # (3, h8, w8, 64)
     hf8[:, :, :, 0] = 0
 
@@ -655,13 +677,13 @@ def encode_vardct_mixed(image: np.ndarray,
             q = hf8[:, y8, x8, :]
             return [q[0], q[1], q[2]]
         blk = xyb[:, y8 * 8 : y8 * 8 + N, x8 * 8 : x8 * 8 + M]
-        FN = forward_matrix(N).astype(np.float64)
-        FM = forward_matrix(M).astype(np.float64)
+        FN = _fwd_matrix64(N)
+        FM = _fwd_matrix64(M)
         C = np.einsum("ij,cjk,lk->cil", FN, blk, FM) / (N * M)
         # canonical storage is (2^min, 2^max); C is W when M > N,
         # else W^T (includes square blocks) — vardct/dct.py:108-117
         flat = (C if M > N else C.transpose(0, 2, 1)).reshape(3, N * M)
-        wgt = load_dq_matrix(param_idx, DqMatrix()).astype(np.float64)[: N * M]
+        wgt = _default_dq64(param_idx)[: N * M]
         q = _quantize(flat, wgt)
         # LLF positions are not HF-coded (decoder fills them from LF)
         vbh8, vbw8 = 1 << (min(log_vh, log_vw) - 3), 1 << (max(log_vh, log_vw) - 3)
