@@ -288,6 +288,12 @@ def _fused_mixed_dispatch(
     cup, exc_idx, exc_val = _pack_i8(dense)
     consts22 = _pack_consts22(vs, im, f, consts)
     p8 = DCT_SELECT[0][2]
+    if vs.dq_weights[p8] is None:
+        # the dense-grid kernel always runs the DCT8 table, even when the
+        # stream itself has no 8x8 varblocks (lazy loading skips it then)
+        from ..vardct.dequant import load_dq_matrix
+
+        vs.dq_weights[p8] = load_dq_matrix(p8, vs.dq_matrix[p8])
     return _mixed_full(
         jnp.asarray(cup),
         jnp.asarray(exc_idx),
