@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 
 #define J40T_API extern "C" __attribute__((visibility("default")))
@@ -553,23 +554,27 @@ static void wp_before(WpStateT<I>& wp, int32_t x, int32_t y,
   wp.pred[3] = pn * 8 - (I)((wp.trueerrnw * wp.p3[0] + wp.trueerrn * wp.p3[1] +
                              wp.trueerrne * wp.p3[2] + (pnn - pn) * 8 * wp.p3[3] +
                              (pnw - pw) * 8 * wp.p3[4]) >> 5);
-  I w[4], wsum = 0;
-  int64_t sum = 0;
+  // accumulation widths mirror the reference's wp32/wp64 exactly (int2P_t
+  // w/wsum/sum, uint2P_t floor_lg operands, j40.h:4021-4048): only the two
+  // DIV24 products widen to 64-bit.  Wrapping adds go through the unsigned
+  // twin so out-of-range streams wrap like the oracle instead of UB.
+  using U = typename std::make_unsigned<I>::type;
+  I w[4], wsum = 0, sum = 0;
   for (int i = 0; i < 4; ++i) {
-    I errsum = errn[i] + errw[i] + errnw[i] + errww[i] + errne[i] + errw2[i];
-    int32_t shift = floor_lg64((uint64_t)errsum + 1) - 5;
+    I errsum = (I)((U)errn[i] + (U)errw[i] + (U)errnw[i] + (U)errww[i] +
+                   (U)errne[i] + (U)errw2[i]);
+    int32_t shift = floor_lg64((uint64_t)((U)errsum + 1)) - 5;
     if (shift < 0) shift = 0;
-    // the two DIV24 products need 64-bit intermediates even in the 32-bit
-    // instantiation (the reference's wp32 does the same cast, j40.h:4060)
     w[i] = (I)(4 + (((int64_t)wp.w[i] * DIV24[errsum >> shift]) >> shift));
   }
-  int32_t logw = floor_lg64((uint64_t)(w[0] + w[1] + w[2] + w[3])) - 4;
+  int32_t logw =
+      floor_lg64((uint64_t)(U)((U)w[0] + (U)w[1] + (U)w[2] + (U)w[3])) - 4;
   for (int i = 0; i < 4; ++i) {
     w[i] >>= logw;
-    wsum += w[i];
-    sum += (int64_t)wp.pred[i] * w[i];
+    wsum = (I)((U)wsum + (U)w[i]);
+    sum = (I)((U)sum + (U)((int64_t)wp.pred[i] * w[i]));
   }
-  wp.pred[4] = (I)(((sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24);
+  wp.pred[4] = (I)((((int64_t)sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24);
   if (((wp.trueerrn ^ wp.trueerrw) | (wp.trueerrn ^ wp.trueerrnw)) <= 0) {
     I lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
     I hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;

@@ -99,6 +99,20 @@ def _pack_i8(arr: np.ndarray):
     return cup, exc_idx, exc_val
 
 
+def _opsin_tail14(im) -> np.ndarray:
+    """consts[8:22]: opsin_inv (9) | opsin_bias (3) | itscale | maxval —
+    the XYB->sRGB section consumed by index in the Pallas kernels."""
+    return np.concatenate(
+        [
+            np.asarray(im.opsin_inv_mat, np.float32).ravel(),
+            np.asarray(im.opsin_bias, np.float32),
+            np.asarray(
+                [255.0 / im.intensity_target, (1 << im.bpp) - 1], np.float32
+            ),
+        ]
+    )
+
+
 def _pack_consts22(vs, im, f, consts) -> np.ndarray:
     return np.concatenate(
         [
@@ -115,11 +129,7 @@ def _pack_consts22(vs, im, f, consts) -> np.ndarray:
                 ],
                 dtype=np.float32,
             ),
-            np.asarray(im.opsin_inv_mat, np.float32).ravel(),
-            np.asarray(im.opsin_bias, np.float32),
-            np.asarray(
-                [255.0 / im.intensity_target, (1 << im.bpp) - 1], np.float32
-            ),
+            _opsin_tail14(im),
         ]
     )
 
@@ -460,12 +470,9 @@ def combine_lf_group_jax_async(vs, gg, im):
     if jax.default_backend() == "tpu":
         from .pallas_kernels import xyb_to_srgb_pallas
 
-        c22 = np.zeros(22, np.float32)
-        c22[8:17] = np.asarray(im.opsin_inv_mat, np.float32).ravel()
-        c22[17:20] = np.asarray(im.opsin_bias, np.float32)
-        c22[20] = 255.0 / im.intensity_target
-        c22[21] = (1 << im.bpp) - 1
-        out = xyb_to_srgb_pallas(plane, _cached_device(("xyb22",) + tuple(c22.tolist()), c22))
+        c22 = np.concatenate([np.zeros(8, np.float32), _opsin_tail14(im)])
+        out = xyb_to_srgb_pallas(
+            plane, _cached_device(("xyb22",) + tuple(c22.tolist()), c22))
     else:
         out = xyb_to_srgb_u8(
             plane,

@@ -32,7 +32,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .filters import KERNELS4, KERNELS12, POS_MULT, SIGMA_THRESHOLD
+from .filters import (
+    KERNELS4,
+    KERNELS12,
+    POS_MULT,
+    SIGMA_THRESHOLD,
+    _mirror_index,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -40,12 +46,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _mirror_idx(n: int, pad: int) -> np.ndarray:
-    """Half-sample mirror indices for [-pad, n + pad) (j40.h:7328)."""
-    idx = np.arange(-pad, n + pad)
-    while (idx < 0).any() or (idx >= n).any():
-        idx = np.where(idx < 0, -idx - 1, idx)
-        idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
-    return idx
+    """Half-sample mirror indices for [-pad, n + pad) (the oracle's
+    _mirror_index over the padded range, j40.h:7328)."""
+    return _mirror_index(np.arange(-pad, n + pad), n)
 
 
 def _epf_step_kernel(

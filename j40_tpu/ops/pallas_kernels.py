@@ -136,6 +136,38 @@ def reconstruct_dct8_pallas(
     )
 
 
+def _xyb_to_srgb_block(xyb, consts_ref):
+    """XYB -> quantized sRGB int32, pointwise over same-shape planes
+    (j40.h:7208-7241); shared by _srgb_kernel and _xyb_kernel.  cbrt and
+    pow go through exp/log (Mosaic has no cbrt/pow primitives)."""
+    itscale = consts_ref[20]
+    maxval = consts_ref[21]
+    X, Y, B = xyb
+    p = (Y + X, Y - X, B)
+    mixed = []
+    for d in range(3):
+        bias = consts_ref[17 + d]
+        ab = jnp.maximum(jnp.abs(bias), jnp.float32(1e-38))
+        cbrt_bias = jnp.where(
+            bias == 0.0,
+            jnp.float32(0.0),
+            jnp.sign(bias) * jnp.exp(jnp.log(ab) * jnp.float32(1.0 / 3.0)),
+        )
+        pp = p[d] - cbrt_bias
+        mixed.append((pp * pp * pp + bias) * itscale)
+    out = []
+    for c in range(3):
+        v = (mixed[0] * consts_ref[8 + c * 3]
+             + mixed[1] * consts_ref[9 + c * 3]
+             + mixed[2] * consts_ref[10 + c * 3])
+        gam = jnp.float32(1.055) * jnp.exp(
+            jnp.log(jnp.maximum(v, jnp.float32(1e-30))) * jnp.float32(1.0 / 2.4)
+        ) - jnp.float32(0.055)
+        srgb = jnp.where(v <= jnp.float32(0.0031308), jnp.float32(12.92) * v, gam)
+        out.append((maxval * srgb + jnp.float32(0.5)).astype(jnp.int32))
+    return out
+
+
 def _srgb_kernel(
     coeffs_ref,     # (3, bn, 64)
     llf_ref,        # (3, bn)
@@ -181,35 +213,9 @@ def _srgb_kernel(
             precision=jax.lax.Precision.HIGHEST,
         ))
 
-    # XYB -> linear sRGB -> gamma -> quantize (j40.h:7208-7241), pointwise
-    # so the block layout is preserved; math mirrors reconstruct.xyb_to_srgb_u8
-    itscale = consts_ref[20]
-    maxval = consts_ref[21]
-    X, Y, B = xyb
-    p = (Y + X, Y - X, B)
-    mixed = []
-    for d in range(3):
-        bias = consts_ref[17 + d]
-        # sign-safe cube root via exp/log (Mosaic has no cbrt primitive)
-        ab = jnp.maximum(jnp.abs(bias), jnp.float32(1e-38))
-        cbrt_bias = jnp.where(
-            bias == 0.0,
-            jnp.float32(0.0),
-            jnp.sign(bias) * jnp.exp(jnp.log(ab) * jnp.float32(1.0 / 3.0)),
-        )
-        pp = p[d] - cbrt_bias
-        mixed.append((pp * pp * pp + bias) * itscale)
+    srgb = _xyb_to_srgb_block(tuple(xyb), consts_ref)
     for c in range(3):
-        v = (mixed[0] * consts_ref[8 + c * 3]
-             + mixed[1] * consts_ref[9 + c * 3]
-             + mixed[2] * consts_ref[10 + c * 3])
-        # pow(x, 1/2.4) via exp/log (Mosaic-friendly; exact same where-guard
-        # as the XLA path)
-        gam = jnp.float32(1.055) * jnp.exp(
-            jnp.log(jnp.maximum(v, jnp.float32(1e-30))) * jnp.float32(1.0 / 2.4)
-        ) - jnp.float32(0.055)
-        srgb = jnp.where(v <= jnp.float32(0.0031308), jnp.float32(12.92) * v, gam)
-        out_ref[c] = (maxval * srgb + jnp.float32(0.5)).astype(jnp.int32)
+        out_ref[c] = srgb[c]
 
 
 @functools.partial(jax.jit, static_argnames=("h8", "w8", "tile"))
@@ -270,32 +276,10 @@ def _xyb_kernel(plane_ref, consts_ref, out_ref):
     as reconstruct.xyb_to_srgb_u8; kept as a Pallas kernel because XLA's
     fusion of this stage with neighboring transposes/custom-calls measured
     ~8x slower than the arithmetic itself on v5e)."""
-    itscale = consts_ref[20]
-    maxval = consts_ref[21]
-    X = plane_ref[0]
-    Y = plane_ref[1]
-    B = plane_ref[2]
-    p = (Y + X, Y - X, B)
-    mixed = []
-    for d in range(3):
-        bias = consts_ref[17 + d]
-        ab = jnp.maximum(jnp.abs(bias), jnp.float32(1e-38))
-        cbrt_bias = jnp.where(
-            bias == 0.0,
-            jnp.float32(0.0),
-            jnp.sign(bias) * jnp.exp(jnp.log(ab) * jnp.float32(1.0 / 3.0)),
-        )
-        pp = p[d] - cbrt_bias
-        mixed.append((pp * pp * pp + bias) * itscale)
+    srgb = _xyb_to_srgb_block(
+        (plane_ref[0], plane_ref[1], plane_ref[2]), consts_ref)
     for c in range(3):
-        v = (mixed[0] * consts_ref[8 + c * 3]
-             + mixed[1] * consts_ref[9 + c * 3]
-             + mixed[2] * consts_ref[10 + c * 3])
-        gam = jnp.float32(1.055) * jnp.exp(
-            jnp.log(jnp.maximum(v, jnp.float32(1e-30))) * jnp.float32(1.0 / 2.4)
-        ) - jnp.float32(0.055)
-        srgb = jnp.where(v <= jnp.float32(0.0031308), jnp.float32(12.92) * v, gam)
-        out_ref[c] = (maxval * srgb + jnp.float32(0.5)).astype(jnp.int32)
+        out_ref[c] = srgb[c]
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
