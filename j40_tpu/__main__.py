@@ -28,6 +28,8 @@ def main(argv=None) -> int:
                     help="apply gaborish/EPF restoration filters")
     ap.add_argument("--all-frames", action="store_true",
                     help="write every displayed animation frame")
+    ap.add_argument("--info", action="store_true",
+                    help="print header info without decoding pixels")
     ap.add_argument("--time", action="store_true", help="print decode time")
     ap.add_argument("--stats", action="store_true", help="print stage timings")
     ap.add_argument("--profile", metavar="DIR",
@@ -42,6 +44,33 @@ def main(argv=None) -> int:
     except OSError as e:
         print(f"Error: cannot open `{args.input}`: {e}", file=sys.stderr)
         return 1
+
+    if args.info:
+        try:
+            dec = Decoder(data, backend="numpy")
+        except J40Error as e:
+            print(f"Error: cannot parse `{args.input}`: {e}", file=sys.stderr)
+            return 1
+        im = dec.image
+        kind = "bare codestream" if dec.container.is_bare else "container"
+        print(f"JPEG XL {kind}, {len(dec.codestream)} codestream bytes")
+        depth = f"{im.bpp}-bit int" if not im.exp_bits else (
+            f"{im.bpp}-bit float (exp {im.exp_bits})")
+        print(f"  image: {im.width}x{im.height}, {depth}, "
+              f"orientation {im.orientation.name}")
+        print(f"  color: {'XYB' if im.xyb_encoded else im.cspace.name}, "
+              f"intensity target {im.intensity_target:g} nits"
+              + (", ICC profile "
+                 + (f"({len(im.icc)} bytes)" if im.icc else "(present)")
+                 if im.want_icc else ""))
+        for i, ec in enumerate(im.ec_info):
+            print(f"  extra channel {i}: {ec.type.name.lower()}, "
+                  f"{ec.bpp}-bit" + (f", name '{ec.name}'" if ec.name else ""))
+        if im.anim_tps_num:
+            print(f"  animation: {im.anim_tps_num}/{im.anim_tps_denom} tps, "
+                  + ("infinite loops" if im.anim_nloops == 0
+                     else f"{im.anim_nloops} loops"))
+        return 0
 
     import contextlib
 

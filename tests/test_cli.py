@@ -70,3 +70,18 @@ def test_all_frames_apng(tmp_path):
     r = _run([str(p), str(out), "--all-frames"])
     assert r.returncode == 0 and "(3 frames)" in r.stderr
     assert getattr(PILImage.open(out), "n_frames", 1) == 3
+
+
+def test_cli_info(tmp_path, capsys):
+    import numpy as np
+
+    from j40_tpu.__main__ import main
+    from j40_tpu.encode.encoder import encode_modular
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 32, 4)).astype(np.uint8)
+    p = tmp_path / "t.jxl"
+    p.write_bytes(encode_modular(img))
+    assert main([str(p), "--info"]) == 0
+    out = capsys.readouterr().out
+    assert "32x24" in out and "alpha" in out and "bare codestream" in out
