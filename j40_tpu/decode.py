@@ -388,6 +388,13 @@ class Decoder:
             self._upsample_frame(f, state.gmodular)
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
         self.stats["total_s"] = time.perf_counter() - prog.t0
+        try:
+            import resource
+
+            self.stats["peak_rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+        except Exception:
+            pass
         # position the main reader at the next frame's byte boundary
         self.r.seek_bits(toc.end_codeoff * 8)
         self._prog = None
