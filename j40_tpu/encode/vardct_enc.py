@@ -949,7 +949,13 @@ def _collect_group_tokens_generic(opt, enc, stream, placements, hf_tokens,
     for (y8, x8, dctsel), q_all, hfmul in zip(placements, hf_tokens, hfmul_list):
         log_rows, log_columns, _, order_idx = DCT_SELECT[dctsel]
         log_size = log_rows + log_columns
-        order = natural_order(*LOG_ORDER_SIZE[order_idx])
+        if order_idx == 0:
+            # the signaled used_orders covers order 0 only (_write_hf_pass);
+            # coefficients must be emitted in the same (possibly permuted)
+            # order the decoder will read them in
+            order = _effective_order(opt)
+        else:
+            order = natural_order(*LOG_ORDER_SIZE[order_idx])
         nzpos = y8 * gw8 + x8
         hfmul_m1 = hfmul - 1
         qfidx = sum(1 for t in qf_thr if hfmul_m1 >= t)

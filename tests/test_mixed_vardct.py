@@ -112,6 +112,22 @@ def test_encode_mixed_vs_dj40(dj40, tmp_path, flatphoto):
     assert psnr >= dpsnr - 0.05 and psnr > 28, (psnr, dpsnr)
 
 
+def test_encode_mixed_custom_order_vs_dj40(dj40, tmp_path, flatphoto):
+    # mixed layout + Lehmer-permuted order 0: the permuted DCT8 cells and
+    # the natural-order big classes must coexist (regression: the mixed
+    # collector once emitted 8x8 coefficients in natural order while the
+    # header signaled the permutation)
+    from j40_tpu.encode.vardct_enc import VarDCTOptions
+
+    cs = encode_vardct_mixed(flatphoto, options=VarDCTOptions(custom_order=True))
+    ref = _dj40(dj40, cs, tmp_path)
+    _, ours = decode_file(cs)
+    assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
+    err = ours[:, :, :3].astype(float) - flatphoto
+    psnr = 10 * np.log10(255**2 / np.mean(err**2))
+    assert psnr > 28, psnr
+
+
 def test_encode_mixed_jax_backend(dj40, tmp_path, flatphoto):
     """The device reconstruction path on a mixed multi-group stream."""
     cs = encode_vardct_mixed(flatphoto)
