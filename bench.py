@@ -458,14 +458,16 @@ def main() -> None:
         return encode_vardct(img)
 
     def vd_12mp():
-        # mixed DctSelect layout (config-4 "variable blocks"): flat regions
-        # merge into 16x16/32x32/16x8/8x16 varblocks
-        from j40_tpu.encode.vardct_enc import encode_vardct_mixed
+        # mixed DctSelect layout + Lehmer-permuted HF order (config-4
+        # "variable blocks, HF ordering"): flat regions merge into
+        # 16x16/32x32/16x8/8x16 varblocks
+        from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct_mixed
 
         img12 = _test_image(4096, 3072, seed=777)
         img12[:768, :1024] = img12[10, 10]  # flat band -> large varblocks
         stats: dict = {}
-        data = encode_vardct_mixed(img12, stats_out=stats)
+        data = encode_vardct_mixed(
+            img12, options=VarDCTOptions(custom_order=True), stats_out=stats)
         print(f"# vardct_12mp mix: {stats['dctsel_counts']}", file=sys.stderr)
         return data
 
@@ -473,7 +475,7 @@ def main() -> None:
         "modular": ("modular", mod_simple, "numpy", (SIZE, SIZE)),
         "modular_e3": ("modular_e3", mod_e3, "numpy", (SIZE, SIZE)),
         "vardct": (f"vardct", vd_1mp, device_backend, (SIZE, SIZE)),
-        "vardct_12mp": ("vardct_12mp", vd_12mp, device_backend, (4096, 3072)),
+        "vardct_12mp": ("vardct_12mp_ord", vd_12mp, device_backend, (4096, 3072)),
     }
     if ONLY:
         specs = {k: v for k, v in specs.items() if k in ONLY}

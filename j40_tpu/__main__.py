@@ -4,7 +4,8 @@ Usage:
   python -m j40_tpu input.jxl [output.png] [--backend jax|numpy] [--workers N]
          [--filters] [--all-frames]
 
-Decodes to PNG (or prints image info when no output is given).  For animated
+Decodes to PNG (or prints image info when no output is given); --info
+prints header metadata without decoding pixels.  For animated
 inputs the final composited frame is written; `--all-frames` writes every
 displayed frame as `output-NNN.png` (or an animated PNG if the name ends in
 `.apng`).
