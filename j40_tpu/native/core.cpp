@@ -866,6 +866,41 @@ static int32_t modular_generic(
   return 0;
 }
 
+// LZ77 single-leaf predictor-0 fast path: copy runs bulk through the
+// window ring without re-entering the per-symbol decoder (screen-content
+// style streams are mostly copies; the generic loop costs ~6x more per
+// copied pixel).  Values in the window are raw tokens; pixels are their
+// zigzag unpack (predictor 0, multiplier 1, offset 0).
+static int32_t decode_channel_simple_lz0(
+    Bits& br, CodeState& cs, int32_t leaf_ctx, int32_t dist_mult,
+    int32_t width, int32_t height, int32_t* out, int32_t stride,
+    int64_t range_max) {
+  const int32_t MASK = 0xfffff;
+  for (int32_t y = 0; y < height; ++y) {
+    int32_t* row = out + (size_t)y * stride;
+    for (int32_t x = 0; x < width;) {
+      if (cs.num_to_copy > 0) {
+        int32_t n = cs.num_to_copy < width - x ? cs.num_to_copy : width - x;
+        for (int32_t k = 0; k < n; ++k) {
+          int32_t v = cs.window[cs.copy_pos++ & MASK];
+          cs.window[cs.num_decoded++ & MASK] = v;
+          int64_t val = (v & 1) ? -((int64_t)(v >> 1) + 1) : (v >> 1);
+          if (val < -range_max - 1 || val > range_max) return 1;
+          row[x + k] = (int32_t)val;
+        }
+        cs.num_to_copy -= n;
+        x += n;
+      } else {
+        int32_t v = code_one(br, cs, leaf_ctx, dist_mult);
+        int64_t val = (v & 1) ? -((int64_t)(v >> 1) + 1) : (v >> 1);
+        if (val < -range_max - 1 || val > range_max) return 1;
+        row[x++] = (int32_t)val;
+      }
+    }
+  }
+  return (br.overrun || cs.error) ? 3 : 0;
+}
+
 // decode one modular channel; returns 0 on success, 1 on range error ("povf"),
 // 2 on tree/ref error, 3 on bitstream overrun
 J40T_API int32_t j40t_decode_modular_channel(
@@ -892,6 +927,12 @@ J40T_API int32_t j40t_decode_modular_channel(
   }
   const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
 
+  if (single_leaf && s->spec.lz77 && nodes[0].multiplier == 1 &&
+      nodes[0].offset == 0 && nodes[0].predictor == 0) {
+    return decode_channel_simple_lz0(s->bits, s->state, nodes[0].ctx,
+                                     dist_mult, width, height, out,
+                                     out_stride, range_max);
+  }
   if (single_leaf && !s->spec.lz77 && nodes[0].multiplier == 1 &&
       nodes[0].offset == 0 &&
       (nodes[0].predictor == 5 || nodes[0].predictor == 0)) {
