@@ -97,10 +97,15 @@ class Decoder:
     def __init__(self, data: bytes, limits: Limits = MAIN_LV5, backend: str = "numpy",
                  apply_filters: bool = False, workers: int = 1,
                  max_passes: int | None = None, render_spot: bool = False,
-                 streaming: bool = False):
+                 streaming: bool = False, keep_device_output: bool = False):
         self.backend = resolve_backend(backend)
         self.apply_filters = apply_filters
         self.workers = workers
+        #: keep per-LF-group device arrays from the jax reconstruction so
+        #: render_rgba8_device() can assemble RGBA on-chip (serving
+        #: pipelines: decoded pixels feed a jax model with no host hop)
+        self.keep_device_output = keep_device_output
+        self._device_planes = None  # [(top, left, h, w, dev_u8)], frame dims
         #: progressive decode: only the first `max_passes` passes of each
         #: frame are decoded (coarser but complete image; the TOC's per-pass
         #: sections make the rest skippable — spec §9.4)
@@ -198,6 +203,7 @@ class Decoder:
             state = FrameState(im, f, self.limits)
             state.backend = self.backend
             state.apply_filters = self.apply_filters
+            state.keep_device_output = self.keep_device_output
             state.workers = self.workers
             state.lf_global(r)
             if not f.is_modular:
@@ -213,6 +219,7 @@ class Decoder:
                 prog.state = FrameState(im, f, self.limits)
                 prog.state.backend = self.backend
                 prog.state.apply_filters = self.apply_filters
+                prog.state.keep_device_output = self.keep_device_output
                 prog.state.workers = self.workers
             state = prog.state
 
@@ -384,6 +391,9 @@ class Decoder:
         prog = self._prog
         t_finish = time.perf_counter()
         state.finish()
+        if self.keep_device_output:
+            self._device_planes = getattr(state.vardct, "device_planes", None) \
+                if state.vardct is not None else None
         if f.log_upsampling:
             self._upsample_frame(f, state.gmodular)
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
@@ -545,6 +555,42 @@ class Decoder:
         """Render the decoded frame to (h, w, 4) uint8 RGBA, matching the
         reference's clamp+scale semantics (j40.h:7910-7962)."""
         return self._render(8)
+
+    def render_rgba8_device(self):
+        """(h, w, 4) uint8 RGBA as a device-resident jax.Array.
+
+        Serving fast path: when the frame reconstructed on the device
+        (`backend="jax"`, VarDCT, 8bpp, orientation TL, no extra channels,
+        `keep_device_output=True`), the per-LF-group u8 planes are assembled
+        into the RGBA canvas on-chip with zero host round-trip — decoded
+        pixels feed a jax model directly.  Anything else falls back to
+        uploading the host render (correct, one extra hop)."""
+        import jax
+        import jax.numpy as jnp
+
+        f = self.frame
+        assert f is not None, "decode a frame first"
+        im = self.image
+        planes = self._device_planes
+        fh = f.header
+        fast = (
+            planes
+            and im.bpp == 8
+            and im.orientation.value == 1  # TL
+            and not im.ec_info
+            and fh.width == im.width
+            and fh.height == im.height
+            and all(dev.dtype == jnp.uint8 for *_x, dev, _h, _w in planes)
+        )
+        if not fast:
+            return jax.device_put(self.render_rgba8())
+        h, w = im.height, im.width
+        out = jnp.full((4, h, w), jnp.uint8(255))
+        for top, left, gh, gw, dev, _ggh, _ggw in planes:
+            out = jax.lax.dynamic_update_slice(
+                out, dev[:, :gh, :gw], (0, top, left)
+            )
+        return out.transpose(1, 2, 0)
 
     def _render(self, depth: int) -> np.ndarray:
         im = self.image

@@ -833,6 +833,12 @@ class VarDCTState:
                     gmodular.channels[c].data = np.zeros(
                         (f.height, f.width), dtype=np.uint8
                     )
+            if getattr(self.fs, "keep_device_output", False):
+                # retain the on-device u8 planes for render_rgba8_device()
+                self.device_planes = [
+                    (gg.top, gg.left, gg.height, gg.width, dev, ggh, ggw)
+                    for gg, (dev, ggh, ggw) in pending
+                ]
             for gg, (dev, ggh, ggw) in pending:
                 arr = np.asarray(dev)[:, :ggh, :ggw]
                 dst_dtype = gmodular.channels[0].data.dtype

@@ -204,3 +204,20 @@ def test_row_u16x4():
     assert im.next_frame()
     fr = im.current_frame()
     np.testing.assert_array_equal(fr.row_u16x4(3), fr.pixels_u16x4()[3])
+
+
+def test_render_rgba8_device():
+    """Device-resident RGBA (serving fast path) matches the host render,
+    and the fallback (modular / no device planes) round-trips."""
+    import numpy as np
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import encode_vardct
+
+    rng = np.random.default_rng(7)
+    img = (np.cumsum(rng.integers(-2, 3, size=(72, 96, 3)), axis=1)
+           % 200 + 20).astype(np.uint8)
+    d = Decoder(encode_vardct(img), backend="jax", keep_device_output=True)
+    d.decode_frame()
+    dev = d.render_rgba8_device()
+    assert np.array_equal(np.asarray(dev), d.render_rgba8())
