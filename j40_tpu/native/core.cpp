@@ -13,7 +13,10 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <type_traits>
+#include <unordered_map>
 #include <vector>
 
 #define J40T_API extern "C" __attribute__((visibility("default")))
@@ -639,9 +642,52 @@ struct TreeNode {
 // persistent decode context for one entropy-coded stream
 struct J40TStream {
   Bits bits;
-  CodeSpec spec;
+  std::shared_ptr<const CodeSpec> spec_holder;
   CodeState state;
 };
+
+// parsed-spec cache: a frame's HfGlobal coefficient spec (with its flat
+// rANS tables / prefix LUTs) is shared by EVERY pass-group section, so
+// parsing + table building per section is pure rework (0.5-1 ms per
+// section on wide-context specs).  Keyed by an FNV-1a hash of the blob
+// with a full byte compare on hit; shared_ptr keeps evicted specs alive
+// for streams still using them.
+namespace speccache {
+std::mutex mu;
+struct Entry {
+  std::vector<int32_t> blob;
+  std::shared_ptr<const CodeSpec> spec;
+};
+std::unordered_map<uint64_t, Entry> map;
+
+static uint64_t fnv1a(const int32_t* p, int64_t n) {
+  uint64_t h = 1469598103934665603ull;
+  const uint8_t* b = (const uint8_t*)p;
+  for (int64_t i = 0; i < n * 4; ++i) h = (h ^ b[i]) * 1099511628211ull;
+  return h;
+}
+
+static std::shared_ptr<const CodeSpec> get(const int32_t* blob, int64_t n) {
+  const uint64_t h = fnv1a(blob, n);
+  {
+    std::lock_guard<std::mutex> lock(mu);
+    auto it = map.find(h);
+    if (it != map.end() && (int64_t)it->second.blob.size() == n &&
+        memcmp(it->second.blob.data(), blob, (size_t)n * 4) == 0)
+      return it->second.spec;
+  }
+  auto spec = std::make_shared<CodeSpec>();
+  if (!parse_spec(blob, n, const_cast<CodeSpec*>(spec.get()))) return nullptr;
+  {
+    std::lock_guard<std::mutex> lock(mu);
+    if (map.size() > 512) map.clear();  // bound memory (fuzzers churn specs)
+    Entry& e = map[h];
+    e.blob.assign(blob, blob + n);
+    e.spec = spec;
+  }
+  return spec;
+}
+}  // namespace speccache
 
 J40T_API J40TStream* j40t_stream_new(const uint8_t* data, int64_t size,
                                      int64_t bitpos, const int32_t* spec_blob,
@@ -651,8 +697,9 @@ J40T_API J40TStream* j40t_stream_new(const uint8_t* data, int64_t size,
   s->bits.data = data;
   s->bits.size = size;
   s->bits.seek_bits(bitpos);
-  if (!parse_spec(spec_blob, blob_len, &s->spec)) { delete s; return nullptr; }
-  s->state.spec = &s->spec;
+  s->spec_holder = speccache::get(spec_blob, blob_len);
+  if (!s->spec_holder) { delete s; return nullptr; }
+  s->state.spec = s->spec_holder.get();
   return s;
 }
 
@@ -673,7 +720,7 @@ J40T_API uint32_t j40t_stream_ans_state(const J40TStream* s) {
 // decode a run of symbols with explicit contexts (diagnostics / simple uses)
 J40T_API void j40t_decode_symbols(J40TStream* s, const int32_t* ctxs, int64_t n,
                                   int32_t dist_mult, int32_t* out) {
-  if (!s->spec.lz77) {
+  if (!s->state.spec->lz77) {
     Bits b = s->bits;
     CodeState cs = s->state;  // window empty when lz77 off; cheap copy
     for (int64_t i = 0; i < n; ++i) out[i] = code_one_nolz(b, cs, ctxs[i]);
@@ -767,7 +814,7 @@ static int32_t modular_generic(
     int32_t width, int32_t height,
     const int32_t* const* refs, int32_t nrefs,
     int32_t* out, int32_t out_stride, int32_t ref_stride, int64_t range_max) {
-  const CodeSpec& spec = s->spec;
+  const CodeSpec& spec = *s->state.spec;
   Bits b = s->bits;
   uint32_t ans = s->state.ans_state;
   bool err = false;
@@ -927,16 +974,16 @@ J40T_API int32_t j40t_decode_modular_channel(
   }
   const bool single_leaf = ntree == 1 && nodes[0].prop < 0;
 
-  if (single_leaf && s->spec.lz77 && nodes[0].multiplier == 1 &&
+  if (single_leaf && s->state.spec->lz77 && nodes[0].multiplier == 1 &&
       nodes[0].offset == 0 && nodes[0].predictor == 0) {
     return decode_channel_simple_lz0(s->bits, s->state, nodes[0].ctx,
                                      dist_mult, width, height, out,
                                      out_stride, range_max);
   }
-  if (single_leaf && !s->spec.lz77 && nodes[0].multiplier == 1 &&
+  if (single_leaf && !s->state.spec->lz77 && nodes[0].multiplier == 1 &&
       nodes[0].offset == 0 &&
       (nodes[0].predictor == 5 || nodes[0].predictor == 0)) {
-    const Cluster& cl = s->spec.clusters[s->spec.cluster_map[nodes[0].ctx]];
+    const Cluster& cl = s->state.spec->clusters[s->state.spec->cluster_map[nodes[0].ctx]];
     return nodes[0].predictor == 5
                ? decode_channel_simple<5>(s->bits, s->state, cl, width, height,
                                           out, out_stride, range_max)
@@ -949,14 +996,14 @@ J40T_API int32_t j40t_decode_modular_channel(
   if (range_max <= 32767) {
     WpStateT<int32_t> wp;
     if (use_wp) wp.init(width, wp_params);
-    auto fn = s->spec.lz77 ? modular_generic<true, int32_t>
+    auto fn = s->state.spec->lz77 ? modular_generic<true, int32_t>
                            : modular_generic<false, int32_t>;
     return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
               height, refs, nrefs, out, out_stride, ref_stride, range_max);
   }
   WpState wp;
   if (use_wp) wp.init(width, wp_params);
-  auto fn = s->spec.lz77 ? modular_generic<true, int64_t>
+  auto fn = s->state.spec->lz77 ? modular_generic<true, int64_t>
                          : modular_generic<false, int64_t>;
   return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
             height, refs, nrefs, out, out_stride, ref_stride, range_max);
@@ -999,7 +1046,7 @@ static int32_t decode_hf_group_impl(
 
   // register-local bit reader + ANS state for the no-LZ77 fast path: the
   // J40TStream fields would otherwise round-trip through memory per symbol
-  const CodeSpec& spec = s->spec;
+  const CodeSpec& spec = *s->state.spec;
   Bits b = s->bits;
   uint32_t ans = s->state.ans_state;
   bool err = false;
@@ -1057,15 +1104,33 @@ static int32_t decode_hf_group_impl(
             nonzeros[(size_t)(nzpos + i * gw8 + j) * 3 + c] = (int8_t)qnz;
         int32_t cctx = ctxoff + 458 * bctx + 37 * nb_block_ctx;
         int32_t prev = nz <= (1 << (log_size - 4)) ? 1 : 0;
-        for (int32_t i = llf; nz > 0 && i < (1 << log_size); ++i) {
-          int32_t ctx = cctx + TWICE_NNZ[(nz + llf - 1) >> (log_size - 6)] +
-                        TWICE_FREQ[i >> (log_size - 6)] + prev;
-          int32_t ucoeff = LZ ? code_one(s->bits, s->state, ctx, 0)
-                              : code_fast(ctx);
-          int32_t sv = (ucoeff & 1) ? -((ucoeff >> 1) + 1) : (ucoeff >> 1);
-          cf[order[i]] += (float)sv;
-          prev = ucoeff != 0 ? 1 : 0;
-          nz -= prev;
+        if (!LZ && log_size == 6) {
+          // 8x8 specialization (the dominant class): llf = 1 and both
+          // table shifts are no-ops; the nnz bucket only moves when a
+          // nonzero lands
+          int32_t nnz_tab = TWICE_NNZ[nz];
+          for (int32_t i = 1; nz > 0 && i < 64; ++i) {
+            int32_t ucoeff = code_fast(cctx + nnz_tab + TWICE_FREQ[i] + prev);
+            int32_t sv = (ucoeff & 1) ? -((ucoeff >> 1) + 1) : (ucoeff >> 1);
+            cf[order[i]] += (float)sv;
+            if (ucoeff != 0) {
+              prev = 1;
+              nnz_tab = TWICE_NNZ[--nz];
+            } else {
+              prev = 0;
+            }
+          }
+        } else {
+          for (int32_t i = llf; nz > 0 && i < (1 << log_size); ++i) {
+            int32_t ctx = cctx + TWICE_NNZ[(nz + llf - 1) >> (log_size - 6)] +
+                          TWICE_FREQ[i >> (log_size - 6)] + prev;
+            int32_t ucoeff = LZ ? code_one(s->bits, s->state, ctx, 0)
+                                : code_fast(ctx);
+            int32_t sv = (ucoeff & 1) ? -((ucoeff >> 1) + 1) : (ucoeff >> 1);
+            cf[order[i]] += (float)sv;
+            prev = ucoeff != 0 ? 1 : 0;
+            nz -= prev;
+          }
         }
         if (nz != 0) return finish(1);
       }
