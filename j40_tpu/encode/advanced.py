@@ -42,9 +42,21 @@ from .modular_enc import (
 U32_BEGIN_C = ((0, 3), (8, 6), (72, 10), (1096, 13))
 
 
+def _cluster_map(opt, num_ctx: int) -> list[int] | None:
+    if not getattr(opt, "complex_cluster_map", False):
+        return None
+    # contiguous cluster ids (decoder checks seen == range(n)), a few
+    # contexts per cluster
+    n_cl = max(1, (num_ctx + 3) // 4)
+    return [min(i * n_cl // num_ctx, n_cl - 1) for i in range(num_ctx)]
+
+
 @dataclass
 class AdvancedOptions:
     use_prefix: bool = True
+    #: emit the context->cluster map via the nested-entropy+MTF form, with
+    #: one cluster per up-to-4 contexts (decoder coverage: j40.h:2550-2599)
+    complex_cluster_map: bool = False
     group_size_shift: int = 8
     tree: list[TreeNode] | None = None  # default: single leaf gradient
     rct_type: int | None = None  # e.g. 6 for YCgCo
@@ -198,7 +210,9 @@ def _write_header_and_streams(
             sw.u32(((0, 0), (1, 4), (9, 6), (41, 8)), 0)  # num_sq=0: implicit
         write_tree(sw, tree, opt.use_prefix)
         # leaf code spec + globally decoded channel tokens
-        genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix)
+        genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
+                      cluster_map=_cluster_map(opt, num_ctx),
+                      complex_cluster_map=opt.complex_cluster_map)
         n_global = m.num_channels if single else m.nb_meta_channels
         for ci in range(n_global):
             for ctx, tok in encode_channel_tokens(m, ci, tree, opt.wp_params, 0):
@@ -255,7 +269,9 @@ def _write_header_and_streams(
         sw.u(1, 1)  # default WP
         sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms in groups
         write_tree(sw, tree, opt.use_prefix)
-        genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix)
+        genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
+                      cluster_map=_cluster_map(opt, num_ctx),
+                      complex_cluster_map=opt.complex_cluster_map)
         for ci in range(sub.num_channels):
             for ctx, tok in encode_channel_tokens(sub, ci, tree, opt.wp_params, sidx):
                 genc.add(ctx, tok)

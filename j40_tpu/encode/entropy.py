@@ -314,7 +314,12 @@ class EntropyEncoder:
                  cluster_map: list[int] | None = None,
                  config: HybridIntConfig = HybridIntConfig(4, 1, 0),
                  lz77: bool = False, dist_mult: int = 0,
-                 lz_min_symbol: int = 224, lz_min_length: int = 3):
+                 lz_min_symbol: int = 224, lz_min_length: int = 3,
+                 complex_cluster_map: bool = False):
+        #: emit the cluster map via the nested-entropy + MTF encoding
+        #: (j40.h:2550-2599) instead of the simple form — coverage for the
+        #: decoder's recursive path (cjxl uses it for wide context sets)
+        self.complex_cluster_map = complex_cluster_map
         self.num_dist = num_dist
         self.use_prefix = use_prefix
         self.lz77 = lz77
@@ -527,7 +532,22 @@ class EntropyEncoder:
             w.u(1, 0)  # lz77_enabled = false
         total_dist = self.num_dist + (1 if self.lz77 else 0)
         # cluster map (nothing to write when total_dist == 1)
-        if total_dist > 1:
+        if total_dist > 1 and self.complex_cluster_map:
+            w.u(1, 0)  # not simple
+            w.u(1, 1)  # use_mtf
+            # forward MTF of the map values, then a nested 1-context stream
+            mtf = list(range(256))
+            idxs = []
+            for v in self.cluster_map:
+                j = mtf.index(v)
+                idxs.append(j)
+                mtf.pop(j)
+                mtf.insert(0, v)
+            nested = EntropyEncoder(1, use_prefix=True)
+            for j in idxs:
+                nested.add(0, j)
+            nested.write(w)
+        elif total_dist > 1:
             w.u(1, 1)  # is_simple
             nbits = (self.num_clusters - 1).bit_length()
             w.u(2, nbits)

@@ -116,3 +116,22 @@ def test_squeeze_multigroup():
         % 256
     ).astype(np.uint8)
     _roundtrip(img, AdvancedOptions(squeeze=True))
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_complex_mtf_cluster_map_vs_dj40(dj40, tmp_path, use_prefix):
+    """Cluster map via the nested-entropy + MTF encoding (j40.h:2550-2599):
+    the decoder's recursive map path, unreachable from the simple-map
+    encoder default."""
+    from j40_tpu.encode.modular_enc import branch, leaf
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (96, 120, 3)).astype(np.uint8)
+    tree = [branch(6, 100, 1, 2), branch(7, 100, 3, 4),
+            leaf(5), leaf(2), leaf(1)]
+    cs = encode_modular_advanced(
+        img, options=AdvancedOptions(tree=tree, complex_cluster_map=True,
+                                     use_prefix=use_prefix))
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+    _check_vs_dj40(dj40, tmp_path, img, cs, rgba)
