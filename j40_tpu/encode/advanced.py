@@ -57,6 +57,9 @@ class AdvancedOptions:
     #: emit the context->cluster map via the nested-entropy+MTF form, with
     #: one cluster per up-to-4 contexts (decoder coverage: j40.h:2550-2599)
     complex_cluster_map: bool = False
+    #: emit ANS distributions in the flat "evenly distributed" mode 2
+    #: (decoder coverage: j40.h:2640-2649); only meaningful with ANS coding
+    flat_ans_dists: bool = False
     group_size_shift: int = 8
     tree: list[TreeNode] | None = None  # default: single leaf gradient
     rct_type: int | None = None  # e.g. 6 for YCgCo
@@ -212,7 +215,8 @@ def _write_header_and_streams(
         # leaf code spec + globally decoded channel tokens
         genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
                       cluster_map=_cluster_map(opt, num_ctx),
-                      complex_cluster_map=opt.complex_cluster_map)
+                      complex_cluster_map=opt.complex_cluster_map,
+                      flat_ans_dists=opt.flat_ans_dists)
         n_global = m.num_channels if single else m.nb_meta_channels
         for ci in range(n_global):
             for ctx, tok in encode_channel_tokens(m, ci, tree, opt.wp_params, 0):
@@ -271,7 +275,8 @@ def _write_header_and_streams(
         write_tree(sw, tree, opt.use_prefix)
         genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
                       cluster_map=_cluster_map(opt, num_ctx),
-                      complex_cluster_map=opt.complex_cluster_map)
+                      complex_cluster_map=opt.complex_cluster_map,
+                      flat_ans_dists=opt.flat_ans_dists)
         for ci in range(sub.num_channels):
             for ctx, tok in encode_channel_tokens(sub, ci, tree, opt.wp_params, sidx):
                 genc.add(ctx, tok)

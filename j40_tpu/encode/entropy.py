@@ -224,19 +224,22 @@ def normalize_distribution(freqs: list[int]) -> list[int]:
     return D
 
 
+def _write_ans_u8(w: BitWriter, v: int) -> None:
+    if v == 0:
+        w.u(1, 0)
+    else:
+        n = v.bit_length() - 1
+        w.u(1, 1)
+        w.u(3, n)
+        w.u(n, v - (1 << n))
+
+
 def write_ans_distribution(w: BitWriter, D: list[int]) -> None:
     """Emit an ANS distribution header (matches read_ans_table)."""
     nonzero = [i for i, v in enumerate(D) if v]
     table_size = len(D)
 
-    def write_u8(v: int) -> None:
-        if v == 0:
-            w.u(1, 0)
-        else:
-            n = v.bit_length() - 1
-            w.u(1, 1)
-            w.u(3, n)
-            w.u(n, v - (1 << n))
+    write_u8 = lambda v: _write_ans_u8(w, v)  # noqa: E731
 
     if len(nonzero) == 1:
         w.u(2, 1)  # mode: singleton
@@ -315,11 +318,16 @@ class EntropyEncoder:
                  config: HybridIntConfig = HybridIntConfig(4, 1, 0),
                  lz77: bool = False, dist_mult: int = 0,
                  lz_min_symbol: int = 224, lz_min_length: int = 3,
-                 complex_cluster_map: bool = False):
+                 complex_cluster_map: bool = False,
+                 flat_ans_dists: bool = False):
         #: emit the cluster map via the nested-entropy + MTF encoding
         #: (j40.h:2550-2599) instead of the simple form — coverage for the
         #: decoder's recursive path (cjxl uses it for wide context sets)
         self.complex_cluster_map = complex_cluster_map
+        #: emit every ANS distribution in the "evenly distributed" mode 2
+        #: (j40.h:2640-2649) — decoder coverage for the flat branch; symbols
+        #: then code against the flat distribution (valid, less dense)
+        self.flat_ans_dists = flat_ans_dists
         self.num_dist = num_dist
         self.use_prefix = use_prefix
         self.lz77 = lz77
@@ -604,8 +612,17 @@ class EntropyEncoder:
                 freqs = [hists[cl].get(t, 0) for t in range(table_size)]
                 if sum(freqs) == 0:
                     freqs[0] = 1  # unused cluster still needs a distribution
-                D = normalize_distribution(freqs)
-                write_ans_distribution(w, D)
+                if self.flat_ans_dists:
+                    alpha = max(
+                        (t for t, f in enumerate(freqs) if f), default=0) + 1
+                    d, bias = divmod(1 << DIST_BITS, alpha)
+                    D = [(d + 1 if i < bias else d) if i < alpha else 0
+                         for i in range(table_size)]
+                    w.u(2, 2)  # mode: evenly distributed
+                    _write_ans_u8(w, alpha - 1)
+                else:
+                    D = normalize_distribution(freqs)
+                    write_ans_distribution(w, D)
                 Ds.append(D)
                 encoders.append(AnsEncoder(D, log_alpha_size))
             self._Ds = Ds

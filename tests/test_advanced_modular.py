@@ -135,3 +135,18 @@ def test_complex_mtf_cluster_map_vs_dj40(dj40, tmp_path, use_prefix):
     _, rgba = decode_file(cs)
     np.testing.assert_array_equal(rgba[:, :, :3], img)
     _check_vs_dj40(dj40, tmp_path, img, cs, rgba)
+
+
+def test_flat_ans_distributions_vs_dj40(dj40, tmp_path):
+    """ANS mode-2 ("evenly distributed") tables — the decoder's flat branch
+    (j40.h:2640-2649), unreachable from the histogram-normalizing default."""
+    from j40_tpu.encode.modular_enc import branch, leaf
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    tree = [branch(6, 100, 1, 2), leaf(5), leaf(2)]
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=tree, use_prefix=False, flat_ans_dists=True))
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+    _check_vs_dj40(dj40, tmp_path, img, cs, rgba)
