@@ -281,11 +281,29 @@ def write_ans_distribution(w: BitWriter, D: list[int]) -> None:
     from ..entropy.code import LOGCOUNT_CODE
 
     lc = prefix_codewords(LOGCOUNT_CODE)
-    # phase 1: all log-count codes; phase 2: all extra bits (the reader
-    # collects codes first and reads value bits in a second pass)
-    for c in exps:
-        ln, pat = lc[c]
-        w.u(ln, pat)
+    # phase 1: all log-count codes, RLE-compressing zero runs (code 13 +
+    # u8(rep-4) repeats the previous D value, j40.h:2664-2667); phase 2:
+    # all extra bits (the reader collects codes first, then value bits)
+    i = 0
+    while i < len(exps):
+        c = exps[i]
+        run = 1
+        if c == 0 and i != omit_pos:
+            while (i + run < len(exps) and exps[i + run] == 0
+                   and i + run != omit_pos):
+                run += 1
+        if c == 0 and run >= 6 and run - 1 <= 255 + 4:
+            # one literal zero, then a repeat covering the rest of the run
+            ln, pat = lc[0]
+            w.u(ln, pat)
+            ln, pat = lc[13]
+            w.u(ln, pat)
+            _write_ans_u8(w, run - 1 - 4)  # reader: rep = u8() + 4
+            i += run
+        else:
+            ln, pat = lc[c]
+            w.u(ln, pat)
+            i += 1
     for i, c in enumerate(exps):
         if i == omit_pos or c < 2:
             continue

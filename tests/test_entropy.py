@@ -251,3 +251,28 @@ def test_simple_flat4_code_vs_dj40_mapping():
     r = BitReader(w.finish())
     pc = read_prefix_code(r, 8)
     assert pc.by_len[2] == {0: 3, 1: 4, 2: 6, 3: 7}
+
+
+def test_ans_rle_zero_runs_roundtrip():
+    """Sparse alphabets emit logcount code-13 repeats (j40.h:2664-2667);
+    the run must survive the two-phase reader."""
+    import random
+
+    from j40_tpu.encode.entropy import EntropyEncoder
+    from j40_tpu.encode.bitwriter import BitWriter
+    from j40_tpu.entropy.code import CodeState, read_code_spec
+    from j40_tpu.io.bits import BitReader
+
+    rng = random.Random(9)
+    events = [(0, 0 if rng.random() < 0.9 else 5000) for _ in range(4000)]
+    enc = EntropyEncoder(1, use_prefix=False)
+    for c, v in events:
+        enc.add(c, v)
+    w = BitWriter()
+    enc.write(w)
+    r = BitReader(w.finish())
+    spec = read_code_spec(r, 1)
+    code = CodeState(spec)
+    assert [code.code(r, c) for c, _ in events] == [v for _, v in events]
+    code.finish(r)
+    r.no_more_bytes()
