@@ -400,9 +400,11 @@ class Decoder:
         self.stats["total_s"] = time.perf_counter() - prog.t0
         try:
             import resource
+            import sys as _sys
 
+            div = 1024 * 1024 if _sys.platform == "darwin" else 1024
             self.stats["peak_rss_mb"] = round(
-                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / div, 1)
         except Exception:
             pass
         # position the main reader at the next frame's byte boundary
@@ -573,9 +575,11 @@ class Decoder:
         im = self.image
         planes = self._device_planes
         fh = f.header
+        from .vardct.state import _use_u8_planes
+
         fast = (
             planes
-            and im.bpp == 8
+            and _use_u8_planes(im, fh)  # full-frame REPLACE, no crop/blend
             and im.orientation.value == 1  # TL
             and not im.ec_info
             and fh.width == im.width

@@ -47,7 +47,7 @@ def _cluster_map(opt, num_ctx: int) -> list[int] | None:
         return None
     # contiguous cluster ids (decoder checks seen == range(n)), a few
     # contexts per cluster
-    n_cl = max(1, (num_ctx + 3) // 4)
+    n_cl = min(256, max(1, (num_ctx + 3) // 4))  # map indices cap at 256
     return [min(i * n_cl // num_ctx, n_cl - 1) for i in range(num_ctx)]
 
 

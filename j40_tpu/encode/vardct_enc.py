@@ -945,6 +945,7 @@ def _collect_group_tokens_generic(opt, enc, stream, placements, hf_tokens,
     from ..vardct.tables import DCT_SELECT, LOG_ORDER_SIZE
 
     ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size, lfidx_plane, qf_thr = setup
+    order0 = _effective_order(opt)  # loop-invariant (possibly permuted)
     nonzeros = np.zeros((gh8 * gw8, 3), dtype=np.int32)
     for (y8, x8, dctsel), q_all, hfmul in zip(placements, hf_tokens, hfmul_list):
         log_rows, log_columns, _, order_idx = DCT_SELECT[dctsel]
@@ -953,7 +954,7 @@ def _collect_group_tokens_generic(opt, enc, stream, placements, hf_tokens,
             # the signaled used_orders covers order 0 only (_write_hf_pass);
             # coefficients must be emitted in the same (possibly permuted)
             # order the decoder will read them in
-            order = _effective_order(opt)
+            order = order0
         else:
             order = natural_order(*LOG_ORDER_SIZE[order_idx])
         nzpos = y8 * gw8 + x8
