@@ -402,7 +402,8 @@ def _write_lf_global(w: BitWriter, opt: VarDCTOptions, alpha=None,
 
 
 def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
-                     coeff_encs: list) -> None:
+                     coeff_encs: list,
+                     used_order_indices: tuple = (0,)) -> None:
     if opt.custom_dq:
         w.u(1, 0)  # custom dq matrices follow
         _write_dq_matrices(w, opt)
@@ -411,20 +412,29 @@ def _write_hf_global(w: BitWriter, opt: VarDCTOptions, num_groups: int,
     assert opt.num_hf_presets <= num_groups
     w.u(ceil_lg(num_groups), opt.num_hf_presets - 1)
     for coeff_enc in coeff_encs:
-        _write_hf_pass(w, opt, coeff_enc)
+        _write_hf_pass(w, opt, coeff_enc, used_order_indices)
 
 
-def _write_hf_pass(w: BitWriter, opt: VarDCTOptions, coeff_enc) -> None:
+def _write_hf_pass(w: BitWriter, opt: VarDCTOptions, coeff_enc,
+                   used_order_indices: tuple = (0,)) -> None:
     if opt.custom_order:
-        # used_orders = 1: Lehmer-permuted order for order_idx 0 (DCT8x8)
+        # Lehmer-permuted orders for every order index the stream uses
+        # (the reader walks set bits ascending, 3 channels each,
+        # state.py:204-218 / j40.h:6844-6857)
+        from ..vardct.tables import LOG_ORDER_SIZE
         from .permute import add_permutation_tokens, lehmer_encode
 
-        w.u32(((0x5F, 0), (0x13, 0), (0, 0), (0, 13)), 1)
+        used_bits = 0
+        for j in used_order_indices:
+            used_bits |= 1 << j
+        w.u32(((0x5F, 0), (0x13, 0), (0, 0), (0, 13)), used_bits)
         enc = EntropyEncoder(8, use_prefix=opt.use_prefix)
-        perm = _custom_order_perm()
-        lehmer = lehmer_encode(perm)
-        for _c in range(3):
-            add_permutation_tokens(enc, lehmer, 64, 1)
+        for j in sorted(used_order_indices):
+            size = 1 << (LOG_ORDER_SIZE[j][0] + LOG_ORDER_SIZE[j][1])
+            skip = size // 64
+            lehmer = lehmer_encode(_custom_order_perm(size - skip))
+            for _c in range(3):
+                add_permutation_tokens(enc, lehmer, size, skip)
         enc.write(w)
     else:
         # HfPass for pass 0: used_orders = 0 (all natural)
@@ -433,18 +443,27 @@ def _write_hf_pass(w: BitWriter, opt: VarDCTOptions, coeff_enc) -> None:
     coeff_enc.write_spec(w)
 
 
-def _custom_order_perm() -> list[int]:
-    """Deterministic nontrivial shuffle of the 63 post-LLF positions."""
-    idx = list(range(63))
-    return idx[::-1]
+def _custom_order_perm(n: int = 63) -> list[int]:
+    """Deterministic nontrivial shuffle of the n post-LLF positions."""
+    return list(range(n))[::-1]
+
+
+def _effective_order_for(opt: VarDCTOptions, order_idx: int):
+    """Coefficient order for one order index, Lehmer-permuted when
+    opt.custom_order (the decoder mirror is state.py orders_lehmer)."""
+    from ..vardct.tables import LOG_ORDER_SIZE
+
+    base = list(natural_order(*LOG_ORDER_SIZE[order_idx]))
+    if not opt.custom_order:
+        return base
+    size = len(base)
+    skip = size // 64
+    perm = _custom_order_perm(size - skip)
+    return base[:skip] + [base[skip + p] for p in perm]
 
 
 def _effective_order(opt: VarDCTOptions):
-    base = list(natural_order(3, 3))
-    if not opt.custom_order:
-        return base
-    perm = _custom_order_perm()
-    return base[:1] + [base[1 + p] for p in perm]
+    return _effective_order_for(opt, 0)
 
 
 def _write_lf_group(w: BitWriter, opt: VarDCTOptions, lf_int, h8, w8,
@@ -841,10 +860,14 @@ def synthesize_vardct(
         )
         return sw.finish()
 
+    used_order_idxs = tuple(sorted(
+        {DCT_SELECT[sel][3] for _, _, sel in placements} or {0}))
+
     if num_groups == 1:
         sw = BitWriter()
         _write_lf_global(sw, opt)
-        _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc])
+        _write_hf_global(sw, opt, num_groups=1, coeff_encs=[coeff_enc],
+                         used_order_indices=used_order_idxs)
         _write_lf_group(sw, opt, lf_int, h8, w8,
                         dctsels=[p[2] for p in placements],
                         xfromy=xfromy, bfromy=bfromy,
@@ -866,7 +889,8 @@ def synthesize_vardct(
     for ggidx in range(gg_rows * gg_cols):
         sections.append(lf_group_section(ggidx))
     sw = BitWriter()
-    _write_hf_global(sw, opt, num_groups=num_groups, coeff_encs=[coeff_enc])
+    _write_hf_global(sw, opt, num_groups=num_groups, coeff_encs=[coeff_enc],
+                     used_order_indices=used_order_idxs)
     sections.append(sw.finish())
     for g in range(num_groups):
         sw = BitWriter()
@@ -945,18 +969,17 @@ def _collect_group_tokens_generic(opt, enc, stream, placements, hf_tokens,
     from ..vardct.tables import DCT_SELECT, LOG_ORDER_SIZE
 
     ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size, lfidx_plane, qf_thr = setup
-    order0 = _effective_order(opt)  # loop-invariant (possibly permuted)
+    eff_orders: dict[int, list[int]] = {}  # order_idx -> effective order
     nonzeros = np.zeros((gh8 * gw8, 3), dtype=np.int32)
     for (y8, x8, dctsel), q_all, hfmul in zip(placements, hf_tokens, hfmul_list):
         log_rows, log_columns, _, order_idx = DCT_SELECT[dctsel]
         log_size = log_rows + log_columns
-        if order_idx == 0:
-            # the signaled used_orders covers order 0 only (_write_hf_pass);
+        order = eff_orders.get(order_idx)
+        if order is None:
             # coefficients must be emitted in the same (possibly permuted)
-            # order the decoder will read them in
-            order = order0
-        else:
-            order = natural_order(*LOG_ORDER_SIZE[order_idx])
+            # order the decoder will read them in; _write_hf_pass signals a
+            # used_orders bit for every index this stream touches
+            order = eff_orders[order_idx] = _effective_order_for(opt, order_idx)
         nzpos = y8 * gw8 + x8
         hfmul_m1 = hfmul - 1
         qfidx = sum(1 for t in qf_thr if hfmul_m1 >= t)
