@@ -60,6 +60,9 @@ class AdvancedOptions:
     #: emit ANS distributions in the flat "evenly distributed" mode 2
     #: (decoder coverage: j40.h:2640-2649); only meaningful with ANS coding
     flat_ans_dists: bool = False
+    #: bit-counts shift < 13 quantizes ANS table values (decoder coverage
+    #: for the truncated-extra-bits branch, j40.h:2680-2686)
+    ans_shift: int = 13
     group_size_shift: int = 8
     tree: list[TreeNode] | None = None  # default: single leaf gradient
     rct_type: int | None = None  # e.g. 6 for YCgCo
@@ -216,7 +219,8 @@ def _write_header_and_streams(
         genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
                       cluster_map=_cluster_map(opt, num_ctx),
                       complex_cluster_map=opt.complex_cluster_map,
-                      flat_ans_dists=opt.flat_ans_dists)
+                      flat_ans_dists=opt.flat_ans_dists,
+                      ans_shift=opt.ans_shift)
         n_global = m.num_channels if single else m.nb_meta_channels
         for ci in range(n_global):
             for ctx, tok in encode_channel_tokens(m, ci, tree, opt.wp_params, 0):
@@ -276,7 +280,8 @@ def _write_header_and_streams(
         genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
                       cluster_map=_cluster_map(opt, num_ctx),
                       complex_cluster_map=opt.complex_cluster_map,
-                      flat_ans_dists=opt.flat_ans_dists)
+                      flat_ans_dists=opt.flat_ans_dists,
+                      ans_shift=opt.ans_shift)
         for ci in range(sub.num_channels):
             for ctx, tok in encode_channel_tokens(sub, ci, tree, opt.wp_params, sidx):
                 genc.add(ctx, tok)

@@ -234,7 +234,37 @@ def _write_ans_u8(w: BitWriter, v: int) -> None:
         w.u(n, v - (1 << n))
 
 
-def write_ans_distribution(w: BitWriter, D: list[int]) -> None:
+def quantize_distribution_for_shift(D: list[int], shift: int) -> list[int]:
+    """Make every non-omitted entry exactly representable at the given
+    bit-counts shift (the reader reconstructs value = 2^cc + extra << (cc -
+    bitcount)); the first max-exponent entry absorbs the rounding residue
+    (it is the implicit/omitted one, j40.h:2669-2671)."""
+    if shift >= 13:
+        return D
+    total_sum = sum(D)
+    q = list(D)
+    for i, v in enumerate(q):
+        if v < 2:
+            continue
+        cc = v.bit_length() - 1
+        bitcount = min(max(0, shift - ((12 - cc) >> 1)), cc)
+        step = 1 << (cc - bitcount)
+        q[i] = (1 << cc) + ((v - (1 << cc)) // step) * step
+    # give the residue to the first max-exponent entry (the omitted one)
+    def expcode(v: int) -> int:
+        return 0 if v == 0 else (1 if v == 1 else v.bit_length())
+
+    omit = max(range(len(q)), key=lambda i: (expcode(q[i]), -i))
+    # max(key) returns the first max only with the -i tiebreak above
+    q[omit] += total_sum - sum(q)
+    assert q[omit] > 0 and sum(q) == total_sum
+    # the boosted entry must still carry the maximum exponent code so the
+    # reader omits the same position (boosting can only raise its exponent)
+    assert expcode(q[omit]) == max(expcode(v) for v in q)
+    return q
+
+
+def write_ans_distribution(w: BitWriter, D: list[int], shift: int = 13) -> None:
     """Emit an ANS distribution header (matches read_ans_table)."""
     nonzero = [i for i, v in enumerate(D) if v]
     table_size = len(D)
@@ -252,15 +282,25 @@ def write_ans_distribution(w: BitWriter, D: list[int]) -> None:
         write_u8(v2)
         w.u(DIST_BITS, D[v1])
         return
-    # general: bit-counts mode with shift=13 (all values exactly representable)
+    # general: bit-counts mode (shift=13 keeps all values exactly
+    # representable; callers pass smaller shifts for the quantized branch
+    # after quantize_distribution_for_shift)
     w.u(1, 0)
     w.u(1, 0)  # mode bits: false,false -> general; composed as two Bool()s
-    # len selector for shift: three chained bits
-    w.u(1, 1)
-    w.u(1, 1)
-    w.u(1, 1)
-    shift_ = 13
-    w.u(3, shift_ - 7)  # shift = u(3) + 2^3 - 1
+    shift_ = shift
+    assert 0 <= shift_ <= 13
+    # len selector: chained bits then u(len); shift = u(len) + 2^len - 1
+    if shift_ == 0:
+        w.u(1, 0)
+    elif shift_ <= 2:
+        w.u(1, 1); w.u(1, 0)
+        w.u(1, shift_ - 1)
+    elif shift_ <= 6:
+        w.u(1, 1); w.u(1, 1); w.u(1, 0)
+        w.u(2, shift_ - 3)
+    else:
+        w.u(1, 1); w.u(1, 1); w.u(1, 1)
+        w.u(3, shift_ - 7)
     alpha_size = len(nonzero) and (max(nonzero) + 1)
     write_u8(alpha_size - 3)
 
@@ -337,7 +377,8 @@ class EntropyEncoder:
                  lz77: bool = False, dist_mult: int = 0,
                  lz_min_symbol: int = 224, lz_min_length: int = 3,
                  complex_cluster_map: bool = False,
-                 flat_ans_dists: bool = False):
+                 flat_ans_dists: bool = False,
+                 ans_shift: int = 13):
         #: emit the cluster map via the nested-entropy + MTF encoding
         #: (j40.h:2550-2599) instead of the simple form — coverage for the
         #: decoder's recursive path (cjxl uses it for wide context sets)
@@ -346,6 +387,10 @@ class EntropyEncoder:
         #: (j40.h:2640-2649) — decoder coverage for the flat branch; symbols
         #: then code against the flat distribution (valid, less dense)
         self.flat_ans_dists = flat_ans_dists
+        #: bit-counts shift for ANS tables; < 13 quantizes values to the
+        #: reader's truncated-extra-bits grid (decoder coverage for the
+        #: shift branch, j40.h:2680-2686)
+        self.ans_shift = ans_shift
         self.num_dist = num_dist
         self.use_prefix = use_prefix
         self.lz77 = lz77
@@ -640,7 +685,9 @@ class EntropyEncoder:
                     _write_ans_u8(w, alpha - 1)
                 else:
                     D = normalize_distribution(freqs)
-                    write_ans_distribution(w, D)
+                    if self.ans_shift < 13:
+                        D = quantize_distribution_for_shift(D, self.ans_shift)
+                    write_ans_distribution(w, D, self.ans_shift)
                 Ds.append(D)
                 encoders.append(AnsEncoder(D, log_alpha_size))
             self._Ds = Ds

@@ -150,3 +150,19 @@ def test_flat_ans_distributions_vs_dj40(dj40, tmp_path):
     _, rgba = decode_file(cs)
     np.testing.assert_array_equal(rgba[:, :, :3], img)
     _check_vs_dj40(dj40, tmp_path, img, cs, rgba)
+
+
+@pytest.mark.parametrize("shift", [11, 9, 6])
+def test_ans_shift_quantized_tables_vs_dj40(dj40, tmp_path, shift):
+    """Bit-counts shift < 13: table values quantize to the truncated
+    extra-bits grid (j40.h:2680-2686) — the last read_ans_table branch."""
+    from j40_tpu.encode.modular_enc import branch, leaf
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (96, 110, 3)).astype(np.uint8)
+    tree = [branch(6, 100, 1, 2), leaf(5), leaf(2)]
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=tree, use_prefix=False, ans_shift=shift))
+    _, rgba = decode_file(cs)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+    _check_vs_dj40(dj40, tmp_path, img, cs, rgba)
