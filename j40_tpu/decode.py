@@ -601,7 +601,9 @@ class Decoder:
         f = self.frame
         assert f is not None and f.canvas is not None
         canvas = f.canvas
-        check(im.bpp >= 8, "TODO", "<8bpp render")
+        # bpp < 8 renders with the same scale-to-depth math (the reference
+        # rejects it, j40.h:7919 "bpp >= 8"); bilevel/paletted-depth images
+        # are legal level-5 streams
         check(im.exp_bits == 0, "TODO", "float samples")
         h, w = canvas[0].shape
         maxpixel = (1 << im.bpp) - 1

@@ -206,3 +206,17 @@ def test_lz77_long_runs_ans(dj40, tmp_path):
     for use_prefix in (False, True):
         opt = EncodeOptions(use_prefix=use_prefix, lz77=True, predictor=0)
         _roundtrip(dj40, tmp_path, img, opt)
+
+
+@pytest.mark.parametrize("bpp", [1, 2, 4, 6])
+def test_low_bpp_render(bpp):
+    """bpp < 8 renders with the generic scale-to-depth math (beyond the
+    reference, which rejects bpp < 8 at render, j40.h:7919)."""
+    maxv = (1 << bpp) - 1
+    rng = np.random.default_rng(bpp)
+    img = rng.integers(0, maxv + 1, (40, 56, 3)).astype(np.uint8)
+    cs = encode_modular(img, bpp=bpp)
+    _, out = decode_file(cs)
+    half = 1 << (bpp - 1)
+    exp = ((img.astype(np.int64) * 255 + half) // maxv).astype(np.uint8)
+    assert np.array_equal(out[:, :, :3], exp)
