@@ -10,7 +10,11 @@ Run:  python examples/serve_device.py  (uses a synthetic test image)
 
 from __future__ import annotations
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
