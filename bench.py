@@ -161,6 +161,11 @@ def _bench_batch64(backend: str, n: int = 64, size: int = 512) -> dict:
         "images": n,
         "image_px": size,
         "backend": resolved,
+        # the single-stream baseline already saturates this host's 4 cores
+        # (sections decode on a thread pool), so aggregate/1-stream measures
+        # batching overhead absorption, not core scaling; per-core scaling
+        # is the workers=1 vs workers=N delta in the config legs
+        "note": "baseline saturates all host cores; ~1.0 = no batch overhead",
     }
 
 
