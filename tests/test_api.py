@@ -93,7 +93,11 @@ def test_sections_decoded_exactly_once_while_streaming():
     from j40_tpu.decode import decode_file
 
     _, ref = decode_file(cs)
-    np.testing.assert_array_equal(im.current_frame().pixels_u8x4(), ref)
+    # the API resolves backend 'auto' (device path when the native library
+    # is disabled), decode_file defaults to numpy: allow the one-gray-level
+    # float-reassociation skew between reconstruction backends
+    got = im.current_frame().pixels_u8x4()
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
 
 
 def test_streaming_multiframe_animation_chunks():
