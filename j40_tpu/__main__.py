@@ -22,8 +22,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="j40_tpu", description=__doc__)
     ap.add_argument("input")
     ap.add_argument("output", nargs="?")
-    ap.add_argument("--backend", default="numpy",
-                    choices=["numpy", "jax", "device"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "numpy", "jax", "device"])
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--filters", action="store_true",
                     help="apply gaborish/EPF restoration filters")
