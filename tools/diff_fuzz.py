@@ -112,6 +112,9 @@ def main(budget_s: float) -> int:
                               if rng.integers(0, 2) else None),
                     squeeze=bool(rng.integers(0, 2)) and False,  # dj40 rejects
                     palette=False,
+                    complex_cluster_map=bool(rng.integers(0, 3) == 0),
+                    flat_ans_dists=bool(rng.integers(0, 4) == 0),
+                    ans_shift=int(rng.choice([13, 13, 11, 8, 5])),
                 )
                 if rng.integers(0, 3) == 0:
                     opt.palette = True  # possibly chained after RCT
