@@ -23,7 +23,7 @@ shard before every filter stage, so the sharded output is identical to the
 single-device `Decoder(apply_filters=...)` result for any height.
 
 Scope: all-DCT8x8 VarDCT frames (the hot production shape; mixed DctSelect
-classes raise Unsupported and fall back to the single-device path).
+classes reconstruct up front into a sharded sample overlay).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..errors import Unsupported, check
+from ..errors import check
 from ..headers.frame import FRAME_REGULAR, read_frame_header, read_toc
 from ..vardct.tables import QM_SCALE
 
@@ -56,6 +56,12 @@ class _Plan:
     fparams: np.ndarray     # [global_scale_inv, x_qm, b_qm]
     f: object               # FrameHeader
     im: object              # ImageMetadata
+    #: mixed-DctSelect support: non-8x8 varblocks reconstruct up front
+    #: (per-class batched transforms) into a full-size sample overlay that
+    #: shards as data — varblocks never cross group boundaries, so the
+    #: overlay never needs a cross-shard scatter
+    overlay: np.ndarray | None = None   # (3, H, W) float32 XYB samples
+    overlay_mask: np.ndarray | None = None  # (h8, w8) bool, True = overlaid
 
 
 def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
@@ -142,48 +148,120 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
     kx_lf = np.float32(vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor)
     kb_lf = np.float32(vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor)
 
+    overlay = None
+    overlay_mask = None
     for ggidx, gg in vs.lf_groups.items():
-        if np.asarray(gg.vb_dctsel).any():
-            raise Unsupported(message="sharded decode: mixed DctSelect classes")
         gy0, gx0 = gg.top // 8, gg.left // 8
         blocks = np.asarray(gg.blocks)
-        assert ((blocks >> 20) == 2).all(), "non-corner block in DCT8x8 frame"
-        voff = blocks & 0xFFFFF  # (ggh8, ggw8)
-        offs = np.asarray(gg.vb_coeffoff)[voff]  # coefficient offsets
-        cidx = offs[..., None] + np.arange(64)[None, None, :]
+        sel = blocks >> 20
+        is8 = sel == 2
         ly, lx = np.mgrid[0 : gg.height8, 0 : gg.width8]
         gidx = (gy0 + ly) * w8 + (gx0 + lx)
-        gflat = gidx.ravel()
-        for c in range(3):
-            coeffs[c, gflat] = gg.coeffs[c][cidx].reshape(-1, 64)
-        l0 = gg.llfcoeffs[0][offs >> 6]
-        l1 = gg.llfcoeffs[1][offs >> 6]
-        l2 = gg.llfcoeffs[2][offs >> 6]
-        llf[0, gflat] = (l0 + l1 * kx_lf).ravel()
-        llf[1, gflat] = l1.ravel()
-        llf[2, gflat] = (l2 + l1 * kb_lf).ravel()
-        hfmul_inv[gflat] = np.asarray(gg.vb_hfmul_inv)[voff].ravel()
-        kx[gflat] = (
+        # dense grid: DCT8x8 cells only; big-varblock cells keep zero
+        # coefficients (the dense kernel yields zeros there, replaced by the
+        # overlay inside each shard)
+        if is8.any():
+            voff8 = (blocks & 0xFFFFF)[is8]
+            offs = np.asarray(gg.vb_coeffoff)[voff8]
+            cidx = offs[:, None] + np.arange(64)[None, :]
+            gflat = gidx[is8]
+            for c in range(3):
+                coeffs[c, gflat] = gg.coeffs[c][cidx]
+            l0 = gg.llfcoeffs[0][offs >> 6]
+            l1 = gg.llfcoeffs[1][offs >> 6]
+            l2 = gg.llfcoeffs[2][offs >> 6]
+            llf[0, gflat] = l0 + l1 * kx_lf
+            llf[1, gflat] = l1
+            llf[2, gflat] = l2 + l1 * kb_lf
+            hfmul_inv[gflat] = np.asarray(gg.vb_hfmul_inv)[voff8]
+        gflat_all = gidx.ravel()
+        kx[gflat_all] = (
             vs.base_corr_x
             + vs.inv_colour_factor * np.asarray(gg.xfromy)[ly // 8, lx // 8]
         ).ravel()
-        kb[gflat] = (
+        kb[gflat_all] = (
             vs.base_corr_b
             + vs.inv_colour_factor * np.asarray(gg.bfromy)[ly // 8, lx // 8]
         ).ravel()
         if f.epf_iters > 0:
             rs = epf_recip_sigmas(vs, gg)
             rs_blocks[gy0 : gy0 + gg.height8, gx0 : gx0 + gg.width8] = rs
+        if not bool((~is8).any()):
+            continue
+        # non-8x8 classes: per-class batched inverse transforms (the same
+        # gather as ops.combine_jax), scattered into the overlay plane
+        from ..ops.combine_jax import _class_pipeline
+        from ..vardct.tables import DCT_SELECT, QM_SCALE as _QM
+
+        if overlay is None:
+            overlay = np.zeros((3, f.height, f.width), np.float32)
+            overlay_mask = np.zeros((h8, w8), bool)
+        overlay_mask[gy0 : gy0 + gg.height8, gx0 : gx0 + gg.width8] |= ~is8
+        cyv, cxv = np.nonzero(sel > 2)
+        ds_all = sel[cyv, cxv] - 2
+        voff_all = blocks[cyv, cxv] & 0xFFFFF
+        for ds in np.unique(ds_all):
+            mask_c = ds_all == ds
+            voffs = voff_all[mask_c]
+            y8s, x8s = cyv[mask_c], cxv[mask_c]
+            log_rows, log_columns, param_idx, _ = DCT_SELECT[int(ds)]
+            rows, cols = 1 << log_rows, 1 << log_columns
+            size = rows * cols
+            vh8 = 1 << (min(log_rows, log_columns) - 3)
+            vw8 = 1 << (max(log_rows, log_columns) - 3)
+            llfsize = vh8 * vw8
+            offs = np.asarray(gg.vb_coeffoff)[voffs]
+            cidx = offs[:, None] + np.arange(size)[None, :]
+            bc = np.stack(
+                [gg.coeffs[c][cidx] for c in range(3)]).astype(np.float32)
+            lidx = (offs[:, None] >> 6) + np.arange(llfsize)[None, :]
+            l0 = gg.llfcoeffs[0][lidx]
+            l1 = gg.llfcoeffs[1][lidx]
+            l2 = gg.llfcoeffs[2][lidx]
+            bllf = np.stack([l0 + l1 * kx_lf, l1, l2 + l1 * kb_lf])
+            bhf = np.asarray(gg.vb_hfmul_inv)[voffs].astype(np.float32)
+            bkx = (vs.base_corr_x + vs.inv_colour_factor
+                   * np.asarray(gg.xfromy)[y8s // 8, x8s // 8]).astype(np.float32)
+            bkb = (vs.base_corr_b + vs.inv_colour_factor
+                   * np.asarray(gg.bfromy)[y8s // 8, x8s // 8]).astype(np.float32)
+            llf_idx = np.array(
+                [y * (vw8 * 8) + x for y in range(vh8) for x in range(vw8)],
+                np.int32)
+            import jax.numpy as jnp
+
+            samples = np.asarray(_class_pipeline(
+                jnp.asarray(bc), jnp.asarray(bllf), jnp.asarray(llf_idx),
+                jnp.asarray(bhf), jnp.asarray(bkx), jnp.asarray(bkb),
+                jnp.asarray(vs.dq_weights[param_idx]),
+                jnp.float32(65536.0 / vs.global_scale),
+                jnp.asarray([_QM[f.x_qm_scale], 1.0, _QM[f.b_qm_scale]],
+                            dtype=jnp.float32),
+                jnp.asarray(im.quant_bias, jnp.float32),
+                jnp.float32(im.quant_bias_num),
+                int(ds),
+            ))  # (3, n, rows, cols)
+            for k in range(len(voffs)):
+                py = gg.top + int(y8s[k]) * 8
+                px = gg.left + int(x8s[k]) * 8
+                hh = min(samples.shape[2], f.height - py)
+                ww = min(samples.shape[3], f.width - px)
+                overlay[:, py : py + hh, px : px + ww] = samples[:, k, :hh, :ww]
 
     fparams = np.array(
         [65536.0 / vs.global_scale, QM_SCALE[f.x_qm_scale], QM_SCALE[f.b_qm_scale]],
         dtype=np.float32,
     )
+    dq8 = vs.dq_weights[0]
+    if dq8 is None:
+        from ..vardct.dequant import load_dq_matrix
+
+        dq8 = load_dq_matrix(0, vs.dq_matrix[0])
     return _Plan(
         width=f.width, height=f.height, h8=h8, w8=w8,
         coeffs=coeffs, llf=llf, hfmul_inv=hfmul_inv, kx=kx, kb=kb,
-        rs_blocks=rs_blocks, dq_weights=np.asarray(vs.dq_weights[0]),
+        rs_blocks=rs_blocks, dq_weights=np.asarray(dq8),
         fparams=fparams, f=f, im=im,
+        overlay=overlay, overlay_mask=overlay_mask,
     )
 
 
@@ -291,11 +369,22 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
         rs_px = np.repeat(np.repeat(plan.rs_blocks, 8, 0), 8, 1)[:, :W]
         rs_pad = np.full((h8p * 8, W), -1.0, np.float32)
         rs_pad[: rs_px.shape[0]] = rs_px
-        return (
+        base = (
             padb(plan.coeffs), padb(plan.llf), padb(plan.hfmul_inv, 1.0),
             padb(plan.kx), padb(plan.kb), rs_pad, plan.fparams,
         )
+        if not has_overlay:
+            return base
+        ov = np.zeros((3, h8p * 8, W), np.float32)
+        mk = np.zeros((h8p * 8, W), np.float32)
+        if plan.overlay is not None:
+            ov[:, :H] = plan.overlay
+            mk[:H] = np.repeat(
+                np.repeat(plan.overlay_mask.astype(np.float32), 8, 0), 8, 1
+            )[:H, :W]
+        return base + (ov, mk)
 
+    has_overlay = any(p.overlay is not None for p in plans)
     stacked = [np.stack(a) for a in zip(*(padded(p) for p in plans))]
 
     quant_bias = np.asarray(im.quant_bias, np.float32)
@@ -328,7 +417,8 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
         bottom = jnp.where(idx == n_rows - 1, bot_own, from_below)
         return jnp.concatenate([top, x, bottom], axis=1)
 
-    def per_shard(coeffs, llf, hfmul_inv, kx, kb, rs_px, fparams):
+    def per_shard(coeffs, llf, hfmul_inv, kx, kb, rs_px, fparams,
+                  overlay=None, ov_mask=None):
         # coeffs (3, nb, 64), llf (3, nb), scalars (nb,), rs_px (shard_h, W)
         gsi, x_qm, b_qm = fparams[0], fparams[1], fparams[2]
         qm = jnp.stack([x_qm, jnp.float32(1.0), b_qm])
@@ -348,6 +438,10 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
             .transpose(0, 1, 3, 2, 4)
             .reshape(3, shard_h, w8 * 8)[:, :, :W]
         )
+        if overlay is not None:
+            # pre-reconstructed non-8x8 varblocks replace their cells; the
+            # overlay shards as data (varblocks never cross group rows)
+            samples = jnp.where(ov_mask[None] > 0, overlay, samples)
 
         idx = jax.lax.axis_index(row_axis)
         is_last = idx == n_rows - 1
@@ -391,6 +485,9 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
             P(img_p, row_axis), P(img_p, row_axis), P(img_p, row_axis),
             P(img_p, row_axis, None), P(img_p, None),
         )
+        if has_overlay:
+            specs = specs + (P(img_p, None, row_axis, None),
+                             P(img_p, row_axis, None))
         out_spec = P(img_p, None, row_axis, None)
     else:
         fn = per_shard
@@ -399,6 +496,8 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
             P(None, row_axis, None), P(None, row_axis), P(row_axis),
             P(row_axis), P(row_axis), P(row_axis, None), P(None),
         )
+        if has_overlay:
+            specs = specs + (P(None, row_axis, None), P(row_axis, None))
         out_spec = P(None, row_axis, None)
 
     sharded = jax.jit(

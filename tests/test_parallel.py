@@ -240,3 +240,31 @@ def test_sharded_decode_batch_2d_mesh():
     for blob, out in zip(blobs, outs):
         _, ref = decode_file(blob)
         assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
+
+
+def test_sharded_decode_mixed_dctselect():
+    # mixed-DctSelect streams shard too: non-8x8 classes reconstruct into a
+    # full-size overlay that shards as data (varblocks never need a
+    # cross-shard scatter); parity vs the single-device decoder
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.vardct_enc import encode_vardct_mixed
+    from j40_tpu.parallel.sharded_decode import decode_sharded
+
+    _require_devices(8)
+    rng = np.random.default_rng(7)
+    img = (np.cumsum(rng.integers(-2, 3, size=(320, 512, 3)), axis=1)
+           % 200 + 20).astype(np.uint8)
+    img[:96, :192] = img[4, 4]
+    stats: dict = {}
+    cs = encode_vardct_mixed(img, stats_out=stats)
+    assert sum(stats["dctsel_counts"].get(s, 0) for s in (4, 5, 6, 7)) > 0
+    from j40_tpu.decode import Decoder
+
+    d = Decoder(cs, apply_filters=True)
+    d.decode_frame()
+    ref = d.render_rgba8()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
+    out = decode_sharded(cs, mesh=mesh, apply_filters=True)
+    assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
