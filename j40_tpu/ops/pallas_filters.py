@@ -45,6 +45,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fit_tile(tile: int, H: int, Wp: int) -> int:
+    """Stripe height that keeps the kernel's VMEM working set in budget for
+    any image width (wide stripes OOM scoped VMEM at W >= ~4k: the analytic
+    set is ~(12T + 24) * Wp * 4 bytes and Mosaic's pipelining multiplies
+    it ~4x against the 16 MB limit)."""
+    budget = 3_300_000
+    t_max = int(budget // (Wp * 4) - 24) // 12
+    return max(8, min(tile, (t_max // 8) * 8, _round_up(H, 8)))
+
+
+def _too_wide(Wp: int) -> bool:
+    # even an 8-row stripe overflows scoped VMEM beyond ~7k lanes; such
+    # planes take the fused-XLA step instead (decode-path planes are per
+    # LF group, <= 2048 wide, so this only triggers for whole-image use)
+    return (12 * 8 + 24) * Wp * 4 > 3_300_000
+
+
 def _mirror_idx(n: int, pad: int) -> np.ndarray:
     """Half-sample mirror indices for [-pad, n + pad) (the oracle's
     _mirror_index over the padded range, j40.h:7328)."""
@@ -182,9 +199,15 @@ def _epf_step_pallas(
     tile: int = 24,
 ):
     _, H, W = channels.shape
-    T = min(tile, _round_up(H, 8))
-    Hp = _round_up(H, T)
     Wp = _round_up(W + 6, 128)
+    if _too_wide(Wp):
+        from .filters import _epf_step_jax
+
+        return _epf_step_jax(channels, rs_px, sigma_scale / POS_MULT, kernels,
+                             cross, channel_scale,
+                             border_scale / sigma_scale)
+    T = _fit_tile(tile, H, Wp)
+    Hp = _round_up(H, T)
 
     # mirror pad rows/cols per the reference convention (half-sample mirror
     # == "symmetric"); the extra rows/lanes to the tile/128 boundary
@@ -253,9 +276,15 @@ def epf_step_pallas_rows(
     so the 8x8 border/sigma mask is shard-local (sharded_epf asserts it)."""
     _, h6, W = rows.shape
     H = h6 - 6
-    T = min(tile, _round_up(H, 8))
-    Hp = _round_up(H, T)
     Wp = _round_up(W + 6, 128)
+    if _too_wide(Wp):
+        from .filters import _epf_step_jax_rows
+
+        return _epf_step_jax_rows(
+            rows, rows[:, 3:-3], rs_px, 0, sigma_scale / POS_MULT, kernels,
+            cross, channel_scale, border_scale / sigma_scale)
+    T = _fit_tile(tile, H, Wp)
+    Hp = _round_up(H, T)
     # one extra edge row per side brings the 6-row halo to the kernel's
     # 8-aligned DMA window; taps never reach those rows
     padded = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), mode="edge")

@@ -135,3 +135,27 @@ def test_epf_pallas_parity():
     gw = ((0.115, 0.061), (0.1, 0.05), (0.12, 0.06))
     np.testing.assert_allclose(
         np.asarray(gaborish_pallas(ch, gw)), gaborish(ch, gw), atol=1e-3)
+
+
+def test_epf_pallas_wide_shapes():
+    """Width-adaptive stripes: >=4k-wide planes shrink the stripe to fit
+    scoped VMEM; ultra-wide planes fall back to the XLA step (found by a
+    real-TPU OOM at W=4096 with the fixed 24-row stripe)."""
+    from j40_tpu.ops.filters import KERNELS4, KERNELS12, epf_step
+    from j40_tpu.ops.pallas_filters import epf_pallas
+
+    rng = np.random.default_rng(2)
+    for (H, W) in ((24, 4096), (16, 8192)):
+        ch = rng.normal(size=(3, H, W)).astype(np.float32) * 30
+        rs8 = (np.abs(rng.normal(size=((H + 7) // 8, (W + 7) // 8)))
+               + 0.5).astype(np.float32)
+        rs_px = np.repeat(np.repeat(rs8, 8, 0), 8, 1)[:H, :W]
+        ref = ch.copy()
+        cs = (40.0, 5.0, 3.5)
+        ref = epf_step(ref, 0.9, rs8, KERNELS12, True, cs, 2.78)
+        ref = epf_step(ref, 1.0, rs8, KERNELS4, True, cs, 2.78)
+        ref = epf_step(ref, 6.5, rs8, KERNELS4, False, cs, 2.78)
+        out = np.asarray(epf_pallas(
+            ch, rs_px, iters=3, channel_scale=cs, p0_scale=0.9,
+            p2_scale=6.5, border_sad_mul=2.78))
+        np.testing.assert_allclose(out, ref, atol=5e-3)
