@@ -286,7 +286,11 @@ def _xyb_kernel(plane_ref, consts_ref, out_ref):
 def xyb_to_srgb_pallas(plane, consts22, tile: int = 256):
     """(3, H, W) float32 XYB → (3, H, W) int32 quantized sRGB (pre-clamp)."""
     _, H, W = plane.shape
-    T = min(tile, -(-H // 8) * 8)
+    # stripe height adapts to width: the working set (~12 rows-equivalents
+    # of W lanes) must fit scoped VMEM — a fixed 256-row stripe OOMs at
+    # 2048x2048 (a full LF group; found on hardware)
+    t_fit = max(8, (3_300_000 // (W * 4 * 12) // 8) * 8)
+    T = min(tile, t_fit, -(-H // 8) * 8)
     Hp = -(-H // T) * T
     if Hp != H:
         plane = jnp.pad(plane, ((0, 0), (0, Hp - H), (0, 0)))

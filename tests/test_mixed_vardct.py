@@ -162,3 +162,27 @@ def test_pipelined_multi_lf_group_dispatch(dj40, tmp_path):
     dec.decode_frame()
     out = dec.render_rgba8()
     assert np.abs(out[:, :, :3].astype(int) - ref).max() <= 1
+
+
+def test_xyb_pallas_full_lf_group_shape(monkeypatch):
+    """The pointwise XYB kernel at a full 2048-wide LF-group shape (a fixed
+    256-row stripe OOMed scoped VMEM on hardware; stripes now adapt)."""
+    import jax.numpy as jnp
+
+    from j40_tpu.ops.pallas_kernels import xyb_to_srgb_pallas
+    from j40_tpu.ops.reconstruct import xyb_to_srgb_u8
+
+    monkeypatch.setenv("J40T_PALLAS", "interp")
+    rng = np.random.default_rng(0)
+    opsin_inv = np.array(
+        [[11.03, -9.87, -0.16], [-3.25, 4.42, -0.17], [-3.66, 2.71, 1.95]],
+        np.float32)
+    c22 = np.concatenate(
+        [np.zeros(8), opsin_inv.ravel(), [0.0038] * 3, [1.0, 255.0]]
+    ).astype(np.float32)
+    plane = (rng.normal(size=(3, 64, 2048)) * 0.3).astype(np.float32)
+    out = np.asarray(xyb_to_srgb_pallas(jnp.asarray(plane), jnp.asarray(c22)))
+    ref = np.asarray(xyb_to_srgb_u8(
+        jnp.asarray(plane), jnp.asarray(opsin_inv), jnp.asarray(c22[17:20]),
+        jnp.float32(1.0), jnp.float32(255.0)))
+    assert np.abs(np.clip(out, 0, 255) - np.clip(ref, 0, 255)).max() <= 1
