@@ -186,3 +186,20 @@ def test_xyb_pallas_full_lf_group_shape(monkeypatch):
         jnp.asarray(plane), jnp.asarray(opsin_inv), jnp.asarray(c22[17:20]),
         jnp.float32(1.0), jnp.float32(255.0)))
     assert np.abs(np.clip(out, 0, 255) - np.clip(ref, 0, 255)).max() <= 1
+
+
+def test_mixed_kitchen_sink_vs_dj40(dj40, tmp_path):
+    """Config-4 depth: mixed varblocks + 3 HF presets + custom dequant
+    matrices + permuted orders + ANS coding, all in one stream."""
+    from j40_tpu.encode.vardct_enc import VarDCTOptions
+
+    rng = np.random.default_rng(21)
+    img = (np.cumsum(rng.integers(-2, 3, size=(520, 600, 3)), axis=1)
+           % 200 + 20).astype(np.uint8)
+    img[:128, :256] = img[4, 4]
+    cs = encode_vardct_mixed(img, options=VarDCTOptions(
+        num_hf_presets=3, custom_dq=True, custom_order=True,
+        use_prefix=False))
+    ref = _dj40(dj40, cs, tmp_path)
+    _, ours = decode_file(cs)
+    assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
