@@ -523,6 +523,25 @@ def main() -> None:
         except Exception as e:  # keep the bench robust to kernel regressions
             print(f"# device_filters probe failed: {e}", file=sys.stderr)
         if "vardct" in specs:
+            # ANS-coded variant of the vardct leg (cjxl's default coder; the
+            # corpus uses prefix): auxiliary ratio, not in the geomean
+            try:
+                from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+
+                pa = CACHE / f"vardct_ans_{SIZE}x{SIZE}.jxl"
+                if not pa.exists():
+                    pa.write_bytes(
+                        encode_vardct(img, VarDCTOptions(use_prefix=False)))
+                ours_a, _, _ = _time_ours(pa.read_bytes(), "numpy")
+                ref_a = _time_dj40(dj40, pa, SIZE * SIZE) if dj40 else None
+                out["vardct_ans"] = {
+                    "ours_mpixps": round(ours_a, 3),
+                    "dj40_mpixps": round(ref_a, 3) if ref_a else None,
+                    "ratio": round(ours_a / ref_a, 3) if ref_a else None,
+                }
+                print(f"# vardct_ans: {out['vardct_ans']}", file=sys.stderr)
+            except Exception as e:
+                print(f"# vardct_ans probe failed: {e}", file=sys.stderr)
             # device END-TO-END on the same stream (not in the geomean: the
             # planner picks the host plan on this topology, but the device
             # number must stay a recorded artifact, not an assertion)
