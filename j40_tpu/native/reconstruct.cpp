@@ -21,9 +21,24 @@
 #include <thread>
 #include <vector>
 
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define J40T_X86 1
+#endif
+
 #define J40T_API extern "C" __attribute__((visibility("default")))
 
 namespace {
+
+#if J40T_X86
+// runtime dispatch: the .so is built without -mavx2 so it loads anywhere;
+// the AVX2 paths are per-function target("avx2,fma") islands
+static bool has_avx2() {
+  static const bool v =
+      __builtin_cpu_supports("avx2") && __builtin_cpu_supports("fma");
+  return v;
+}
+#endif
 
 struct ReconstructArgs {
   const float* coeffs[3];
@@ -57,6 +72,152 @@ struct ReconstructArgs {
 //  7 kx_lf  8 kb_lf  9 base_corr_x  10 base_corr_b  11 inv_colour_factor
 //  12..20 opsin_inv[9]  21..23 opsin_bias[3]  24..26 cbrt_bias[3]
 //  27 itscale  28 maxval
+
+#if J40T_X86
+__attribute__((target("avx2,fma"))) static inline void transpose8x8(
+    __m256 r[8]) {
+  __m256 t0 = _mm256_unpacklo_ps(r[0], r[1]);
+  __m256 t1 = _mm256_unpackhi_ps(r[0], r[1]);
+  __m256 t2 = _mm256_unpacklo_ps(r[2], r[3]);
+  __m256 t3 = _mm256_unpackhi_ps(r[2], r[3]);
+  __m256 t4 = _mm256_unpacklo_ps(r[4], r[5]);
+  __m256 t5 = _mm256_unpackhi_ps(r[4], r[5]);
+  __m256 t6 = _mm256_unpacklo_ps(r[6], r[7]);
+  __m256 t7 = _mm256_unpackhi_ps(r[6], r[7]);
+  __m256 s0 = _mm256_shuffle_ps(t0, t2, 0x44);
+  __m256 s1 = _mm256_shuffle_ps(t0, t2, 0xEE);
+  __m256 s2 = _mm256_shuffle_ps(t1, t3, 0x44);
+  __m256 s3 = _mm256_shuffle_ps(t1, t3, 0xEE);
+  __m256 s4 = _mm256_shuffle_ps(t4, t6, 0x44);
+  __m256 s5 = _mm256_shuffle_ps(t4, t6, 0xEE);
+  __m256 s6 = _mm256_shuffle_ps(t5, t7, 0x44);
+  __m256 s7 = _mm256_shuffle_ps(t5, t7, 0xEE);
+  r[0] = _mm256_permute2f128_ps(s0, s4, 0x20);
+  r[1] = _mm256_permute2f128_ps(s1, s5, 0x20);
+  r[2] = _mm256_permute2f128_ps(s2, s6, 0x20);
+  r[3] = _mm256_permute2f128_ps(s3, s7, 0x20);
+  r[4] = _mm256_permute2f128_ps(s0, s4, 0x31);
+  r[5] = _mm256_permute2f128_ps(s1, s5, 0x31);
+  r[6] = _mm256_permute2f128_ps(s2, s6, 0x31);
+  r[7] = _mm256_permute2f128_ps(s3, s7, 0x31);
+}
+
+// AVX2 specialization of the dominant DCT8x8 varblock: dequant + CfL +
+// LLF + 2-D IDCT entirely in ymm registers.  `in` holds the stored layout
+// rows (= c2d transposed, see reconstruct_varblock); the IDCT computes
+// t = G @ c2d^T = (c2d @ G^T)^T, transposes, then out = G @ (c2d @ G^T).
+__attribute__((target("avx2,fma"))) static inline void idct8_avx2(
+    const float* G, __m256 in[8], __m256 out[8]) {
+  __m256 t[8];
+  for (int i = 0; i < 8; ++i) {
+    __m256 acc = _mm256_mul_ps(_mm256_broadcast_ss(G + i * 8), in[0]);
+    for (int j = 1; j < 8; ++j)
+      acc = _mm256_fmadd_ps(_mm256_broadcast_ss(G + i * 8 + j), in[j], acc);
+    t[i] = acc;
+  }
+  transpose8x8(t);
+  for (int i = 0; i < 8; ++i) {
+    __m256 acc = _mm256_mul_ps(_mm256_broadcast_ss(G + i * 8), t[0]);
+    for (int j = 1; j < 8; ++j)
+      acc = _mm256_fmadd_ps(_mm256_broadcast_ss(G + i * 8 + j), t[j], acc);
+    out[i] = acc;
+  }
+}
+
+// |q| <= 1: q * quant_bias[c]; else q - quant_bias_num / q.  The divide
+// runs in all lanes (IEEE, exact; inf in masked lanes is discarded by the
+// blend) — identical values to the scalar path.
+__attribute__((target("avx2,fma"))) static inline void dequant8_avx2(
+    const float* src, const float* winv, float qb_s, float mc_s, float qbn_s,
+    __m256 dq[8]) {
+  const __m256 one = _mm256_set1_ps(1.0f);
+  const __m256 none = _mm256_set1_ps(-1.0f);
+  const __m256 qbn = _mm256_set1_ps(qbn_s);
+  const __m256 qb = _mm256_set1_ps(qb_s);
+  const __m256 mc = _mm256_set1_ps(mc_s);
+  for (int r = 0; r < 8; ++r) {
+    const __m256 q = _mm256_loadu_ps(src + 8 * r);
+    const __m256 small = _mm256_and_ps(_mm256_cmp_ps(q, one, _CMP_LE_OQ),
+                                       _mm256_cmp_ps(q, none, _CMP_GE_OQ));
+    const __m256 adj = _mm256_blendv_ps(
+        _mm256_sub_ps(q, _mm256_div_ps(qbn, q)), _mm256_mul_ps(q, qb), small);
+    dq[r] =
+        _mm256_mul_ps(adj, _mm256_mul_ps(mc, _mm256_loadu_ps(winv + 8 * r)));
+  }
+}
+
+// LLF substitution: lane 0 of row 0 (already-final dequantized LF value)
+__attribute__((target("avx2,fma"))) static inline void set_lane0(__m256& v,
+                                                                 float x) {
+  alignas(32) float row0[8];
+  _mm256_store_ps(row0, v);
+  row0[0] = x;
+  v = _mm256_load_ps(row0);
+}
+
+__attribute__((target("avx2,fma"))) static inline void idct8_store_avx2(
+    const ReconstructArgs& a, const float* G, int c, int32_t y8, int32_t x8,
+    int32_t eff_h, int32_t eff_w, __m256 dq[8]) {
+  __m256 out[8];
+  idct8_avx2(G, dq, out);
+  float* dst = a.samples[c] +
+               (int64_t)(y8 * 8 - a.rect_y0) * a.samples_stride +
+               (x8 * 8 - a.rect_x0);
+  if (eff_h == 8 && eff_w == 8) {
+    for (int r = 0; r < 8; ++r)
+      _mm256_storeu_ps(dst + (int64_t)r * a.samples_stride, out[r]);
+  } else {
+    alignas(32) float tmp[8];
+    for (int r = 0; r < eff_h; ++r) {
+      _mm256_store_ps(tmp, out[r]);
+      memcpy(dst + (int64_t)r * a.samples_stride, tmp,
+             (size_t)eff_w * sizeof(float));
+    }
+  }
+}
+
+__attribute__((target("avx2,fma"))) static void reconstruct_vb_dct8_avx2(
+    const ReconstructArgs& a, int32_t vb, const float* G, const float* w) {
+  const float* consts = a.consts;
+  const int64_t off = a.vb_coeffoff[vb];
+  const int32_t y8 = a.corner_y8[vb], x8 = a.corner_x8[vb];
+  const float gsi_h = consts[0] * a.vb_hfmul_inv[vb];
+  const float mult[3] = {gsi_h * consts[1], gsi_h, gsi_h * consts[2]};
+  const int32_t cfl_idx = (y8 / 8) * a.cfl_stride + (x8 / 8);
+  const float kx_hf = consts[9] + consts[11] * a.xfromy[cfl_idx];
+  const float kb_hf = consts[10] + consts[11] * a.bfromy[cfl_idx];
+  const float qbn = consts[6];
+  const int64_t loff = off >> 6;
+  const float ly = a.llf[1][loff];
+  const int32_t eff_h = (a.ggh - y8 * 8) < 8 ? (a.ggh - y8 * 8) : 8;
+  const int32_t eff_w = (a.ggw - x8 * 8) < 8 ? (a.ggw - x8 * 8) : 8;
+
+  // Y dequant first (X/B chroma-from-luma reads the PRE-LLF Y coefficients
+  // except at position 0, which LLF overwrites in all channels anyway —
+  // matching the scalar path's dequant-all-then-substitute order)
+  __m256 dqy[8], dq[8];
+  dequant8_avx2(a.coeffs[1] + off, w + 64, consts[4], mult[1], qbn, dqy);
+
+  dequant8_avx2(a.coeffs[0] + off, w, consts[3], mult[0], qbn, dq);
+  {
+    const __m256 k = _mm256_set1_ps(kx_hf);
+    for (int r = 0; r < 8; ++r) dq[r] = _mm256_fmadd_ps(dqy[r], k, dq[r]);
+  }
+  set_lane0(dq[0], a.llf[0][loff] + ly * consts[7]);
+  idct8_store_avx2(a, G, 0, y8, x8, eff_h, eff_w, dq);
+
+  dequant8_avx2(a.coeffs[2] + off, w + 128, consts[5], mult[2], qbn, dq);
+  {
+    const __m256 k = _mm256_set1_ps(kb_hf);
+    for (int r = 0; r < 8; ++r) dq[r] = _mm256_fmadd_ps(dqy[r], k, dq[r]);
+  }
+  set_lane0(dq[0], a.llf[2][loff] + ly * consts[8]);
+  idct8_store_avx2(a, G, 2, y8, x8, eff_h, eff_w, dq);
+
+  set_lane0(dqy[0], ly);
+  idct8_store_avx2(a, G, 1, y8, x8, eff_h, eff_w, dqy);
+}
+#endif  // J40T_X86
 
 void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
                           float* cf, float* tmp) {
@@ -135,6 +296,17 @@ void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
       const float* Gr = a.mats + cls[3];
       const float* Gc = a.mats + cls[4];
       float* mid = tmp + size;  // (R, C) after the row transform
+      const float* csrc = src;
+      if (lc <= lr) {
+        // stored layout is c2d^T: materialize c2d row-major once so the
+        // accumulation loops below run over contiguous rows (the strided
+        // src[k*R+j] read defeats vectorization; the transpose is O(size)
+        // against O(R*size) accumulate work)
+        float* tp = tmp + 2 * (size_t)size;
+        for (int32_t j = 0; j < R; ++j)
+          for (int32_t k = 0; k < C; ++k) tp[j * C + k] = src[k * R + j];
+        csrc = tp;
+      }
       // mid = Gr @ c2d
       for (int32_t i = 0; i < R; ++i) {
         const float* gr = Gr + i * R;
@@ -142,12 +314,8 @@ void reconstruct_varblock(const ReconstructArgs& a, int32_t vb,
         for (int32_t k = 0; k < C; ++k) mrow[k] = 0.0f;
         for (int32_t j = 0; j < R; ++j) {
           const float g = gr[j];
-          if (lc > lr) {
-            const float* crow = src + j * C;
-            for (int32_t k = 0; k < C; ++k) mrow[k] += g * crow[k];
-          } else {
-            for (int32_t k = 0; k < C; ++k) mrow[k] += g * src[k * R + j];
-          }
+          const float* crow = csrc + j * C;
+          for (int32_t k = 0; k < C; ++k) mrow[k] += g * crow[k];
         }
       }
       // out = mid @ Gc^T
@@ -238,6 +406,168 @@ void xyb_rows(const ReconstructArgs& a, Dst* const* dst, int64_t dst_stride,
   }
 }
 
+#if J40T_X86
+// gathered gamma-LUT lerp; lanes above the LUT range (rare out-of-gamut)
+// are patched up with the scalar powf fallback, bit-identical to the
+// scalar path's fallback
+__attribute__((target("avx2,fma"))) static inline __m256 gamma_vec_avx2(
+    __m256 v, const float* lut) {
+  const __m256 gscale = _mm256_set1_ps((float)kGammaN / kGammaMax);
+  const __m256 p = _mm256_mul_ps(v, gscale);
+  __m256i i = _mm256_cvttps_epi32(p);
+  i = _mm256_min_epi32(_mm256_max_epi32(i, _mm256_setzero_si256()),
+                       _mm256_set1_epi32(kGammaN));
+  const __m256 fi = _mm256_cvtepi32_ps(i);
+  const __m256 frac = _mm256_sub_ps(p, fi);
+  const __m256 l0 = _mm256_i32gather_ps(lut, i, 4);
+  const __m256 l1 =
+      _mm256_i32gather_ps(lut, _mm256_add_epi32(i, _mm256_set1_epi32(1)), 4);
+  __m256 g = _mm256_fmadd_ps(_mm256_sub_ps(l1, l0), frac, l0);
+  g = _mm256_fmsub_ps(_mm256_set1_ps(1.055f), g, _mm256_set1_ps(0.055f));
+  // linear segment below the sRGB knee
+  const __m256 lin_mask =
+      _mm256_cmp_ps(v, _mm256_set1_ps(0.0031308f), _CMP_LE_OQ);
+  g = _mm256_blendv_ps(g, _mm256_mul_ps(_mm256_set1_ps(12.92f), v), lin_mask);
+  const int over = _mm256_movemask_ps(
+      _mm256_cmp_ps(v, _mm256_set1_ps(kGammaMax), _CMP_GE_OQ));
+  if (__builtin_expect(over != 0, 0)) {
+    alignas(32) float vs_[8], gs[8];
+    _mm256_store_ps(vs_, v);
+    _mm256_store_ps(gs, g);
+    for (int l = 0; l < 8; ++l)
+      if (over & (1 << l)) gs[l] = 1.055f * powf(vs_[l], 1.0f / 2.4f) - 0.055f;
+    g = _mm256_load_ps(gs);
+  }
+  return g;
+}
+
+__attribute__((target("avx2,fma"))) static inline __m256i quant_avx2(
+    __m256 v, __m256 maxval, __m256 half, __m256i qlo_v, __m256i qhi_v) {
+  __m256i q = _mm256_cvttps_epi32(_mm256_fmadd_ps(maxval, v, half));
+  return _mm256_min_epi32(_mm256_max_epi32(q, qlo_v), qhi_v);
+}
+
+// AVX2 XYB->sRGB: 8 pixels per iteration — cube + opsin matmul + gathered
+// gamma-LUT lerp + quantize.  Values match the scalar path exactly: same
+// LUT, same operation order per element.
+__attribute__((target("avx2,fma"))) void xyb_rows_avx2(
+    const ReconstructArgs& a, void* const* dstv, int64_t dst_stride,
+    int32_t px_stride, int32_t dst_is_u8, int32_t y0, int32_t y1) {
+  const float* consts = a.consts;
+  const float* lut = gamma_lut();
+  const __m256 cb0 = _mm256_set1_ps(consts[24]);
+  const __m256 cb1 = _mm256_set1_ps(consts[25]);
+  const __m256 cb2 = _mm256_set1_ps(consts[26]);
+  const __m256 ob0 = _mm256_set1_ps(consts[21]);
+  const __m256 ob1 = _mm256_set1_ps(consts[22]);
+  const __m256 ob2 = _mm256_set1_ps(consts[23]);
+  const __m256 its = _mm256_set1_ps(consts[27]);
+  const float maxval_s = consts[28];
+  const __m256 maxval = _mm256_set1_ps(maxval_s);
+  const __m256 half = _mm256_set1_ps(0.5f);
+  const int32_t qlo = dst_is_u8 ? 0 : INT16_MIN;
+  const int32_t qhi = dst_is_u8 ? 255 : INT16_MAX;
+  const __m256i qlo_v = _mm256_set1_epi32(qlo);
+  const __m256i qhi_v = _mm256_set1_epi32(qhi);
+  const int32_t W = a.rect_w;
+  const int32_t Wv = W & ~7;
+  const bool rgba_fused =
+      dst_is_u8 && px_stride == 4 &&
+      (const uint8_t*)dstv[1] == (const uint8_t*)dstv[0] + 1 &&
+      (const uint8_t*)dstv[2] == (const uint8_t*)dstv[0] + 2;
+
+  for (int32_t y = y0; y < y1; ++y) {
+    const float* X = a.samples[0] + y * a.samples_stride;
+    const float* Y = a.samples[1] + y * a.samples_stride;
+    const float* B = a.samples[2] + y * a.samples_stride;
+    uint8_t* drow[3];
+    int32_t* drow32[3];
+    for (int c = 0; c < 3; ++c) {
+      drow[c] = (uint8_t*)dstv[c] + (int64_t)y * dst_stride *
+                                        (dst_is_u8 ? 1 : 4);
+      drow32[c] = (int32_t*)dstv[c] + (int64_t)y * dst_stride;
+    }
+    for (int32_t x = 0; x < Wv; x += 8) {
+      const __m256 xv = _mm256_loadu_ps(X + x);
+      const __m256 yv = _mm256_loadu_ps(Y + x);
+      const __m256 bv = _mm256_loadu_ps(B + x);
+      const __m256 p0 = _mm256_sub_ps(_mm256_add_ps(yv, xv), cb0);
+      const __m256 p1 = _mm256_sub_ps(_mm256_sub_ps(yv, xv), cb1);
+      const __m256 p2 = _mm256_sub_ps(bv, cb2);
+      const __m256 m0 = _mm256_mul_ps(
+          _mm256_add_ps(_mm256_mul_ps(_mm256_mul_ps(p0, p0), p0), ob0), its);
+      const __m256 m1 = _mm256_mul_ps(
+          _mm256_add_ps(_mm256_mul_ps(_mm256_mul_ps(p1, p1), p1), ob1), its);
+      const __m256 m2 = _mm256_mul_ps(
+          _mm256_add_ps(_mm256_mul_ps(_mm256_mul_ps(p2, p2), p2), ob2), its);
+      __m256i q[3];
+      for (int c = 0; c < 3; ++c) {
+        const float* inv = consts + 12 + c * 3;
+        // same add order as the scalar path: (i0*m0 + i1*m1) + i2*m2
+        __m256 v = _mm256_add_ps(
+            _mm256_add_ps(_mm256_mul_ps(_mm256_set1_ps(inv[0]), m0),
+                          _mm256_mul_ps(_mm256_set1_ps(inv[1]), m1)),
+            _mm256_mul_ps(_mm256_set1_ps(inv[2]), m2));
+        q[c] = quant_avx2(gamma_vec_avx2(v, lut), maxval, half, qlo_v, qhi_v);
+      }
+      if (rgba_fused) {
+        // assemble 8 RGBA words (alpha = 255; the canvas has no real alpha
+        // channel on this path — it is prefilled opaque at allocation)
+        __m256i word = _mm256_or_si256(
+            _mm256_or_si256(q[0], _mm256_slli_epi32(q[1], 8)),
+            _mm256_or_si256(_mm256_slli_epi32(q[2], 16),
+                            _mm256_set1_epi32((int32_t)0xff000000u)));
+        _mm256_storeu_si256((__m256i*)(drow[0] + (int64_t)x * 4), word);
+      } else if (dst_is_u8 && px_stride == 1) {
+        for (int c = 0; c < 3; ++c) {
+          // 8x int32 -> 8x u8 (values already clamped to [0, 255])
+          const __m128i lo128 = _mm256_castsi256_si128(q[c]);
+          const __m128i hi128 = _mm256_extracti128_si256(q[c], 1);
+          const __m128i p16 = _mm_packus_epi32(lo128, hi128);
+          const __m128i p8 = _mm_packus_epi16(p16, p16);
+          _mm_storel_epi64((__m128i*)(drow[c] + x), p8);
+        }
+      } else if (!dst_is_u8 && px_stride == 1) {
+        for (int c = 0; c < 3; ++c)
+          _mm256_storeu_si256((__m256i*)(drow32[c] + x), q[c]);
+      } else {
+        alignas(32) int32_t qs[3][8];
+        for (int c = 0; c < 3; ++c)
+          _mm256_store_si256((__m256i*)qs[c], q[c]);
+        for (int l = 0; l < 8; ++l)
+          for (int c = 0; c < 3; ++c) {
+            if (dst_is_u8)
+              drow[c][(int64_t)(x + l) * px_stride] = (uint8_t)qs[c][l];
+            else
+              drow32[c][(int64_t)(x + l) * px_stride] = qs[c][l];
+          }
+      }
+    }
+    // scalar tail
+    for (int32_t x = Wv; x < W; ++x) {
+      const float pp0 = Y[x] + X[x] - consts[24];
+      const float pp1 = Y[x] - X[x] - consts[25];
+      const float pp2 = B[x] - consts[26];
+      const float mm0 = (pp0 * pp0 * pp0 + consts[21]) * consts[27];
+      const float mm1 = (pp1 * pp1 * pp1 + consts[22]) * consts[27];
+      const float mm2 = (pp2 * pp2 * pp2 + consts[23]) * consts[27];
+      for (int c = 0; c < 3; ++c) {
+        const float* inv = consts + 12 + c * 3;
+        float v = inv[0] * mm0 + inv[1] * mm1 + inv[2] * mm2;
+        v = srgb_gamma(v, lut);
+        int32_t qv = (int32_t)(maxval_s * v + 0.5f);
+        if (qv < qlo) qv = qlo;
+        if (qv > qhi) qv = qhi;
+        if (dst_is_u8)
+          drow[c][(int64_t)x * px_stride] = (uint8_t)qv;
+        else
+          drow32[c][(int64_t)x * px_stride] = qv;
+      }
+    }
+  }
+}
+#endif  // J40T_X86
+
 void run_threads(int32_t nthreads, void (*fn)(void*, int32_t), void* ctx) {
   if (nthreads <= 1) {
     fn(ctx, 0);
@@ -270,7 +600,10 @@ void phase_a(void* p, int32_t) {
   // page-fault cost every call
   static thread_local std::vector<float> cf, tmp;
   cf.resize(3 * 65536);
-  tmp.resize(2 * 65536);
+  tmp.resize(3 * 65536);
+#if J40T_X86
+  const bool avx2 = has_avx2();
+#endif
   const int32_t batch = 16;
   for (;;) {
     const int32_t lo = ctx->next.fetch_add(batch);
@@ -285,6 +618,14 @@ void phase_a(void* p, int32_t) {
       if (py < a.rect_y0 || py >= a.rect_y0 + a.rect_h || px < a.rect_x0 ||
           px >= a.rect_x0 + a.rect_w)
         continue;
+#if J40T_X86
+      const int32_t* cls = a.cls_tab + a.vb_dctsel[vb] * 5;
+      if (avx2 && cls[0] == 0 && cls[1] == 3 && cls[2] == 3) {
+        reconstruct_vb_dct8_avx2(a, vb, a.mats + cls[3],
+                                 a.dq_w[a.vb_dctsel[vb]]);
+        continue;
+      }
+#endif
       reconstruct_varblock(a, vb, cf.data(), tmp.data());
     }
   }
@@ -294,10 +635,22 @@ void phase_b(void* p, int32_t) {
   auto* ctx = (PhaseCtx*)p;
   const ReconstructArgs& a = *ctx->a;
   const int32_t batch = 32;
+#if J40T_X86
+  // the vector path needs the gamma LUT (maxval <= 255.5, same condition
+  // as the scalar path's LUT selection); 16-bit outputs keep exact powf
+  const bool avx2 = has_avx2() && a.consts[28] <= 255.5f;
+#endif
   for (;;) {
     const int32_t y0 = ctx->next.fetch_add(batch);
     if (y0 >= a.rect_h) break;
     const int32_t y1 = y0 + batch < a.rect_h ? y0 + batch : a.rect_h;
+#if J40T_X86
+    if (avx2) {
+      xyb_rows_avx2(a, ctx->dst, ctx->dst_stride, ctx->px_stride,
+                    ctx->dst_is_u8, y0, y1);
+      continue;
+    }
+#endif
     if (ctx->dst_is_u8)
       xyb_rows<uint8_t>(a, (uint8_t* const*)ctx->dst, ctx->dst_stride,
                         ctx->px_stride, y0, y1, (uint8_t)0, (uint8_t)255);
