@@ -90,11 +90,16 @@ def _test_image(w: int, h: int, seed: int = 12345) -> np.ndarray:
     return (img % 200 + 20).astype(np.uint8)
 
 
-def _time_ours(data: bytes, backend: str) -> tuple[float, dict, str]:
+def _time_ours(
+    data: bytes, backend: str, workers: int | None = None,
+) -> tuple[float, dict, str]:
     from j40_tpu.decode import Decoder
 
+    if workers is None:
+        workers = WORKERS
+
     def once():
-        d = Decoder(data, backend=backend, workers=WORKERS)
+        d = Decoder(data, backend=backend, workers=workers)
         d.decode_frame()
         return d, d.render_rgba8()
 
@@ -496,10 +501,17 @@ def main() -> None:
         pixels = w * h
         ours, stats, resolved = _time_ours(data, backend)
         entry = {"ours_mpixps": round(ours, 3), "backend": resolved}
+        # single-thread number: apples-to-apples vs the single-threaded
+        # dj40 (the N-thread headline additionally exploits the format's
+        # per-section independence, which dj40 deliberately leaves on the
+        # table — j40.h:447)
+        ours_1t, _, _ = _time_ours(data, backend, workers=1)
+        entry["ours_1thread_mpixps"] = round(ours_1t, 3)
         if dj40 is not None:
             ref = _time_dj40(dj40, path, pixels)
             entry["dj40_mpixps"] = round(ref, 3)
             entry["ratio"] = round(ours / ref, 3)
+            entry["ratio_1thread"] = round(ours_1t / ref, 3)
         configs[name] = entry
         stage_keys = ("headers_s", "sections_s", "reconstruct_s", "render_s",
                       "total_s")
