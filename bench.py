@@ -468,16 +468,25 @@ def main() -> None:
         return encode_vardct(img)
 
     def vd_12mp():
-        # mixed DctSelect layout + Lehmer-permuted HF order (config-4
-        # "variable blocks, HF ordering"): flat regions merge into
-        # 16x16/32x32/16x8/8x16 varblocks
+        # mixed DctSelect layout + Lehmer-permuted HF orders + custom
+        # dequant matrices (config-4 "variable blocks, HF ordering"): flat
+        # bands placed so the greedy chooser emits all four merge classes
+        # (DCT32X32 / DCT16X16 / DCT8X16 / DCT16X8) alongside DCT8x8
         from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct_mixed
 
         img12 = _test_image(4096, 3072, seed=777)
-        img12[:768, :1024] = img12[10, 10]  # flat band -> large varblocks
+        flat = img12[10, 10]
+        img12[:768, :1024] = flat            # 96x128 cells  -> DCT32X32
+        img12[800:816, 1024:2048] = flat     # 2-cell band   -> DCT16X16
+        img12[824:832, 2048:3072] = flat     # 1-cell band   -> DCT8X16
+        for x8 in range(384, 512, 2):        # 2x1 flat cols -> DCT16X8
+            # odd columns stay noisy so no 2x2-cell merge can form
+            img12[848:864, x8 * 8 : x8 * 8 + 8] = flat
         stats: dict = {}
         data = encode_vardct_mixed(
-            img12, options=VarDCTOptions(custom_order=True), stats_out=stats)
+            img12,
+            options=VarDCTOptions(custom_order=True, custom_dq=True),
+            stats_out=stats)
         print(f"# vardct_12mp mix: {stats['dctsel_counts']}", file=sys.stderr)
         return data
 
@@ -485,7 +494,8 @@ def main() -> None:
         "modular": ("modular", mod_simple, "numpy", (SIZE, SIZE)),
         "modular_e3": ("modular_e3", mod_e3, "numpy", (SIZE, SIZE)),
         "vardct": (f"vardct", vd_1mp, device_backend, (SIZE, SIZE)),
-        "vardct_12mp": ("vardct_12mp_ord", vd_12mp, device_backend, (4096, 3072)),
+        "vardct_12mp": ("vardct_12mp_mix4", vd_12mp, device_backend,
+                        (4096, 3072)),
     }
     if ONLY:
         specs = {k: v for k, v in specs.items() if k in ONLY}

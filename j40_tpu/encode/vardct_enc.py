@@ -169,7 +169,7 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
     mult_lf = [
         m_lf_scaled[c] / (opt.global_scale * opt.quant_lf) * 65536 for c in range(3)
     ]
-    dq_w = load_dq_matrix(0, DqMatrix())  # library DCT8x8 weights (64, 3)
+    dq_w = _signaled_dq64(opt, 0)  # DCT8x8 weights as signaled (64, 3)
     mult1 = 65536.0 / opt.global_scale / opt.hf_mul
     mults = (mult1 * QM_SCALE[3], mult1, mult1 * QM_SCALE[2])  # x_qm_scale=3, b_qm=2
 
@@ -594,6 +594,38 @@ def _default_dq64(param_idx: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _custom_dq_tables(use_prefix: bool) -> tuple:
+    """The weight tables a custom_dq stream actually signals, recovered by
+    round-tripping _write_dq_matrices through the decoder's own parser —
+    quantizing with the signaled weights keeps the encoded content
+    physical (mismatched quantize/dequant weights blow coefficients into
+    the sRGB saturation region, where cross-decoder clipping differs)."""
+    from ..limits import MAIN_LV5
+    from ..io.bits import BitReader
+    from ..vardct.dequant import read_dq_matrix
+    from ..vardct.tables import DCT_PARAMS
+    from .bitwriter import BitWriter
+
+    w = BitWriter()
+    _write_dq_matrices(w, VarDCTOptions(custom_dq=True, use_prefix=use_prefix))
+    r = BitReader(w.finish())
+    tabs = []
+    for i in range(17):
+        rows, columns = 1 << DCT_PARAMS[i][0], 1 << DCT_PARAMS[i][1]
+        dq = read_dq_matrix(r, rows, columns, 0, None, None, MAIN_LV5)
+        tabs.append(load_dq_matrix(i, dq).astype(np.float64))
+    return tuple(tabs)
+
+
+def _signaled_dq64(opt: "VarDCTOptions", param_idx: int) -> np.ndarray:
+    """Dequant table for one param set as the stream built with `opt` will
+    signal it (library defaults, or the custom_dq matrices)."""
+    if not opt.custom_dq:
+        return _default_dq64(param_idx)
+    return _custom_dq_tables(opt.use_prefix)[param_idx]
+
+
+@functools.lru_cache(maxsize=None)
 def _fwd_matrix64(n: int) -> np.ndarray:
     return forward_matrix(n).astype(np.float64)
 
@@ -685,7 +717,7 @@ def encode_vardct_mixed(image: np.ndarray,
         return q
 
     # vectorized tokens for every 8x8 cell (the dominant class)
-    wgt8 = _default_dq64(0)
+    wgt8 = _signaled_dq64(opt, 0)
     hf8 = _quantize(Wc8, wgt8[None, None])  # (3, h8, w8, 64)
     hf8[:, :, :, 0] = 0
 
@@ -702,7 +734,7 @@ def encode_vardct_mixed(image: np.ndarray,
         # canonical storage is (2^min, 2^max); C is W when M > N,
         # else W^T (includes square blocks) — vardct/dct.py:108-117
         flat = (C if M > N else C.transpose(0, 2, 1)).reshape(3, N * M)
-        wgt = _default_dq64(param_idx)[: N * M]
+        wgt = _signaled_dq64(opt, param_idx)[: N * M]
         q = _quantize(flat, wgt)
         # LLF positions are not HF-coded (decoder fills them from LF)
         vbh8, vbw8 = 1 << (min(log_vh, log_vw) - 3), 1 << (max(log_vh, log_vw) - 3)
@@ -1078,12 +1110,19 @@ def _write_dq_matrices(w: BitWriter, opt: VarDCTOptions) -> None:
         if log_r != 3 or log_c != 3:  # RAW: the only custom mode for non-8x8
             w.u(3, 7)
             w.f16(0.125)  # denom -> weights = int / 0.125 = int * 8
-            vals = (np.arange(rows * cols, dtype=np.int32) % 37 + 4).reshape(
-                rows, cols
-            )
+            # track the library weights per position/channel (realistic
+            # custom matrices stay near library magnitudes; order-of-
+            # magnitude-finer weights would inflate coefficient density
+            # far beyond any cjxl output) while still exercising the RAW
+            # modular decode path with per-position variation
+            dflt = _default_dq64(idx)  # (rows*cols, 3) library weights
+            chans = [
+                np.maximum(1, np.round(dflt[:, c] * 0.125))
+                .astype(np.int32).reshape(rows, cols)
+                for c in range(3)
+            ]
             _write_modular_stream(
-                w, [vals, vals + 1, vals + 2], predictor=0,
-                use_prefix=opt.use_prefix,
+                w, chans, predictor=0, use_prefix=opt.use_prefix,
             )
         elif idx == 1:  # Hornuss: 3 params, x64
             w.u(3, 1)
@@ -1113,4 +1152,8 @@ def _write_dq_matrices(w: BitWriter, opt: VarDCTOptions) -> None:
             dct_params(4, (2048.0, 512.0, 128.0))
         else:  # 8x8 DCT with custom bands (set 0)
             w.u(3, 6)
-            dct_params(5, (3072.0, 1024.0, 512.0))
+            # first-band values near the library's {3150, 560, 512}
+            # (f16-exact): weight magnitude sets quantization fineness,
+            # so staying at library scale keeps the coefficient density
+            # of a custom_dq stream comparable to a default one
+            dct_params(5, (3152.0, 560.0, 512.0))

@@ -203,3 +203,34 @@ def test_mixed_kitchen_sink_vs_dj40(dj40, tmp_path):
     ref = _dj40(dj40, cs, tmp_path)
     _, ours = decode_file(cs)
     assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
+
+
+def test_mixed_four_classes_custom_dq_vs_dj40(dj40, tmp_path):
+    """All four merge classes (DCT32X32/16X16/8X16/16X8) + 8x8 in one
+    stream with custom (RAW for non-8x8) dequant matrices and permuted
+    orders.  Regression: the encoder must quantize with the weights the
+    stream signals — quantizing with library weights while signaling
+    custom ones drove accidental noisy merges into the sRGB saturation
+    region, where our clipping and dj40's diverge (j40.h:7053-7097
+    dequant; j40.h:7208-7241 XYB->sRGB)."""
+    from j40_tpu.encode.vardct_enc import VarDCTOptions
+
+    rng = np.random.default_rng(777)
+    img = (np.cumsum(rng.integers(-3, 4, size=(512, 1024, 3)), axis=1)
+           % 256).astype(np.uint8)
+    flat = img[10, 10]
+    img[:256, :256] = flat            # 32x32-cell flat  -> DCT32X32
+    img[288:304, 256:512] = flat      # 2-cell band      -> DCT16X16
+    img[312:320, 512:768] = flat      # 1-cell band      -> DCT8X16
+    for x8 in range(96, 128, 2):      # broken 2x1 cols  -> DCT16X8
+        img[336:352, x8 * 8 : x8 * 8 + 8] = flat
+    stats: dict = {}
+    cs = encode_vardct_mixed(
+        img,
+        options=VarDCTOptions(custom_order=True, custom_dq=True),
+        stats_out=stats,
+    )
+    assert set(stats["dctsel_counts"]) >= {0, 4, 5, 6, 7}, stats
+    ref = _dj40(dj40, cs, tmp_path)
+    _, ours = decode_file(cs)
+    assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
