@@ -83,6 +83,62 @@ class CodeSpec:
         return len(self.clusters)
 
 
+def _read_simple_entries_vec(r: BitReader, nbits: int, num_dist: int,
+                             max_allowed: int):
+    """Vectorized simple cluster map: num_dist fixed-width LSB-first fields
+    (the HfGlobal coefficient spec's map is 495*nb_block_ctx entries; a
+    per-entry Python r.u() loop is a serial frame-level cost).  Returns None
+    to fall back when the map is small or the span runs past the buffer."""
+    if num_dist < 64:
+        return None
+    if nbits == 0:
+        return [0] * num_dist
+    import numpy as np
+
+    pos0 = r.bits_consumed
+    total = num_dist * nbits
+    if pos0 + total > len(r.data) * 8:
+        return None  # let the scalar loop raise ShortInput at the right spot
+    byte0, bit0 = divmod(pos0, 8)
+    nbytes = (bit0 + total + 7) // 8
+    raw = np.frombuffer(r.data[byte0 : byte0 + nbytes], dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")[bit0 : bit0 + total]
+    vals = bits.reshape(num_dist, nbits) @ (1 << np.arange(nbits, dtype=np.int64))
+    check(int(vals.max()) < max_allowed, "clst")
+    r.seek_bits(pos0 + total)
+    return vals.tolist()
+
+
+def _read_cluster_entries_native(r: BitReader, nested: "CodeSpec",
+                                 num_dist: int, max_allowed: int):
+    """Batch-decode a large nested cluster map through the native symbol
+    decoder (the HfGlobal coefficient spec carries 495*nb_block_ctx entries
+    — a serial frame-level cost the per-symbol Python loop dominates).
+    Returns None when the native core is unavailable or the map is small
+    enough that handoff overhead would exceed the win."""
+    if num_dist < 64:
+        return None
+    from ..modular.decode import _native_enabled
+
+    if not _native_enabled():
+        return None
+    import numpy as np
+
+    from ..native.bindings import NativeStream
+
+    ns = NativeStream(bytes(r.data), r.bits_consumed, nested)
+    vals = ns.decode_symbols(np.zeros(num_dist, dtype=np.int32))
+    check(int(vals.max(initial=0)) < max_allowed
+          and int(vals.min(initial=0)) >= 0, "clst")
+    # stream-final ANS state check (CodeState.finish analog, j40.h:2884-2897)
+    if not nested.use_prefix_code:
+        from .ans import ANS_INIT_STATE
+
+        check(ns.ans_state == ANS_INIT_STATE, "ans?")
+    r.seek_bits(ns.bitpos)
+    return vals.tolist()
+
+
 def read_cluster_map(r: BitReader, num_dist: int, max_allowed: int = 256) -> tuple[int, list[int]]:
     """Context -> cluster mapping, possibly recursively entropy-coded with MTF
     (j40.h:2526-2599)."""
@@ -94,23 +150,27 @@ def read_cluster_map(r: BitReader, num_dist: int, max_allowed: int = 256) -> tup
 
     if r.u(1):  # is_simple
         nbits = r.u(2)
-        cmap = []
-        for _ in range(num_dist):
-            v = r.u(nbits)
-            check(v < max_allowed, "clst")
-            cmap.append(v)
+        cmap = _read_simple_entries_vec(r, nbits, num_dist, max_allowed)
+        if cmap is None:
+            cmap = []
+            for _ in range(num_dist):
+                v = r.u(nbits)
+                check(v < max_allowed, "clst")
+                cmap.append(v)
     else:
         use_mtf = r.u(1)
         # nested spec; LZ77 disallowed when reading only <=2 entries (libjxl
         # behavior adopted by the reference, j40.h:2557-2561)
         nested = read_code_spec(r, -1 if num_dist <= 2 else 1)
-        code = CodeState(nested)
-        cmap = []
-        for _ in range(num_dist):
-            index = code.code(r, 0, 0)
-            check(index < max_allowed, "clst")
-            cmap.append(index)
-        code.finish(r)
+        cmap = _read_cluster_entries_native(r, nested, num_dist, max_allowed)
+        if cmap is None:
+            code = CodeState(nested)
+            cmap = []
+            for _ in range(num_dist):
+                index = code.code(r, 0, 0)
+                check(index < max_allowed, "clst")
+                cmap.append(index)
+            code.finish(r)
         if use_mtf:
             mtf = list(range(256))
             for i in range(num_dist):

@@ -82,8 +82,48 @@ def get_lib():
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p),
     ]
+    lib.j40t_place_varblocks.restype = ctypes.c_int32
+    lib.j40t_place_varblocks.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,   # dctsel, nb
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,   # ggw8, ggh8, log_gsize8
+        ctypes.POINTER(ctypes.c_int32),                   # dct_select table
+        ctypes.POINTER(ctypes.c_int32),                   # blocks out
+        ctypes.POINTER(ctypes.c_int64),                   # coeffoff out
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),  # x8, y8
+        ctypes.POINTER(ctypes.c_uint32),                  # used[2]
+    ]
     _lib = lib
     return _lib
+
+
+def place_varblocks(dctsel_arr: np.ndarray, ggw8: int, ggh8: int,
+                    log_gsize8: int, dct_select_blob: np.ndarray):
+    """Native greedy varblock placement (j40.h:6636-6687).
+
+    Returns (blocks, coeffoff_arr, vb_x8, vb_y8, used_dct, used_order);
+    raises J40Error("vblk"/"dct?") exactly where the Python loop would."""
+    lib = get_lib()
+    nb = len(dctsel_arr)
+    dctsel_arr = np.ascontiguousarray(dctsel_arr, dtype=np.int32)
+    blocks = np.zeros((ggh8, ggw8), dtype=np.int32)
+    coeffoff = np.zeros(nb, dtype=np.int64)
+    vb_x8 = np.zeros(nb, dtype=np.int32)
+    vb_y8 = np.zeros(nb, dtype=np.int32)
+    used = np.zeros(2, dtype=np.uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.j40t_place_varblocks(
+        dctsel_arr.ctypes.data_as(i32p), nb, ggw8, ggh8, log_gsize8,
+        dct_select_blob.ctypes.data_as(i32p),
+        blocks.ctypes.data_as(i32p),
+        coeffoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vb_x8.ctypes.data_as(i32p), vb_y8.ctypes.data_as(i32p),
+        used.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc != 0:
+        from ..errors import J40Error
+
+        raise J40Error("vblk" if rc == 1 else "dct?")
+    return blocks, coeffoff, vb_x8, vb_y8, int(used[0]), int(used[1])
 
 
 def serialize_spec(spec: CodeSpec) -> np.ndarray | None:
@@ -176,6 +216,22 @@ class NativeStream:
     @property
     def ans_state(self) -> int:
         return self.lib.j40t_stream_ans_state(self.handle)
+
+    def decode_symbols(self, ctxs: np.ndarray, dist_mult: int = 0) -> np.ndarray:
+        """Batch-decode len(ctxs) symbols (contexts given per symbol)."""
+        ctxs = np.ascontiguousarray(ctxs, dtype=np.int32)
+        out = np.empty(len(ctxs), dtype=np.int32)
+        self.lib.j40t_decode_symbols(
+            self.handle,
+            ctxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(ctxs), dist_mult,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if self.error:
+            from ..errors import ShortInput
+
+            raise ShortInput("native decode overrun")
+        return out
 
     def decode_modular_channel(self, tree_arr: np.ndarray, wp_arr: np.ndarray,
                                dist_mult: int, cidx: int, sidx: int,

@@ -1162,3 +1162,61 @@ J40T_API int32_t j40t_decode_hf_group(
             block_ctx_map, nb_block_ctx, nb_qf_thr, lfidx_size, dct_select,
             orders, coeffs);
 }
+
+// greedy raster-scan varblock placement (j40.h:6636-6687): assigns each
+// decoded BlockInfo entry its top-left 8px cell, validates that DctSelect-
+// sized rects stay inside the LF group and never cross a 256px group
+// boundary, and fills the `blocks` map consumed by the HF coefficient loop.
+// Pure integer bookkeeping, but it runs once per 8px cell of the frame —
+// a GIL-bound Python loop here serializes the whole thread pool at 12MP+.
+//
+// dct_select: 27*4 ints [log_rows, log_cols, param_idx, order_idx] (the
+// same blob j40t_decode_hf_group takes).  Outputs: blocks (zeroed by the
+// caller), coeffoff_arr / vb_x8 / vb_y8 per varblock, and used[2] =
+// {dct_select_used bitset, order_used bitset}.
+// Returns 0 ok, 1 "vblk" placement error, 2 "dct?" bad DctSelect.
+J40T_API int32_t j40t_place_varblocks(
+    const int32_t* dctsel_arr, int32_t nb_varblocks,
+    int32_t ggw8, int32_t ggh8, int32_t log_gsize8,
+    const int32_t* dct_select,
+    int32_t* blocks,
+    int64_t* coeffoff_arr, int32_t* vb_x8, int32_t* vb_y8,
+    uint32_t* used)
+{
+  int32_t voff = 0;
+  int64_t coeffoff = 0;
+  uint32_t used_dct = 0, used_order = 0;
+  for (int32_t y0 = 0; y0 < ggh8; ++y0) {
+    int32_t* brow = blocks + (size_t)y0 * ggw8;
+    for (int32_t x0 = 0; x0 < ggw8; ++x0) {
+      if (brow[x0]) continue;
+      if (voff >= nb_varblocks) return 1;
+      int32_t dctsel = dctsel_arr[voff];
+      if (dctsel < 0 || dctsel >= 27) return 2;
+      int32_t log_vh = dct_select[dctsel * 4];
+      int32_t log_vw = dct_select[dctsel * 4 + 1];
+      int32_t order_idx = dct_select[dctsel * 4 + 3];
+      used_dct |= 1u << dctsel;
+      used_order |= 1u << order_idx;
+      coeffoff_arr[voff] = coeffoff;
+      vb_x8[voff] = x0;
+      vb_y8[voff] = y0;
+      int32_t vw8 = 1 << (log_vw - 3), vh8 = 1 << (log_vh - 3);
+      int32_t x1 = x0 + vw8 - 1, y1 = y0 + vh8 - 1;
+      if (x1 >= ggw8 || (x0 >> log_gsize8) != (x1 >> log_gsize8)) return 1;
+      if (y1 >= ggh8 || (y0 >> log_gsize8) != (y1 >> log_gsize8)) return 1;
+      int32_t cover = (1 << 20) | voff;
+      for (int32_t dy = 0; dy < vh8; ++dy) {
+        int32_t* row = blocks + (size_t)(y0 + dy) * ggw8 + x0;
+        for (int32_t dx = 0; dx < vw8; ++dx) row[dx] = cover;
+      }
+      brow[x0] = ((dctsel + 2) << 20) | voff;
+      coeffoff += (int64_t)1 << (log_vw + log_vh);
+      ++voff;
+    }
+  }
+  if (voff != nb_varblocks) return 1;
+  used[0] = used_dct;
+  used[1] = used_order;
+  return 0;
+}

@@ -42,6 +42,13 @@ from .tables import (
 
 YXB2XYB = (1, 0, 2)
 
+# int32 [27*4] DctSelect table blob shared with the native core
+# (j40t_decode_hf_group / j40t_place_varblocks): log_rows, log_cols,
+# param_idx, order_idx per entry
+DCT_SELECT_BLOB = np.ascontiguousarray(
+    [v for row in DCT_SELECT for v in row], dtype=np.int32
+)
+
 
 def _use_u8_planes(im, f) -> bool:
     """Whether reconstruction can write uint8 planes directly: a full-frame
@@ -97,6 +104,7 @@ class LfGroup:
     coeffs: list | None = None  # [3] x (w8*h8*64,) float32
     lfindices: np.ndarray | None = None  # (h8, w8) uint8
     loaded: bool = False
+    native_ctx: tuple | None = None  # contiguous views shared by HF sections
 
 
 class VarDCTState:
@@ -140,6 +148,8 @@ class VarDCTState:
         # sections are still entropy-decoding); consumed by combine()
         self._predispatched: dict[int, tuple] = {}
         self._dispatch_lock = threading.Lock()
+        self.block_ctx_map_u8: np.ndarray | None = None
+        self._order_ptr_cache: dict[int, tuple] = {}
         self._native_dst: list | None = None  # host-plan output planes
         self._native_rgba: np.ndarray | None = None  # interleaved canvas
         self._native_groups_done: set[tuple] = set()  # (ggidx, gy, gx)
@@ -380,6 +390,12 @@ class VarDCTState:
             )
             return
 
+        if self._hf_metadata_native(
+            nb_varblocks, m, lfquant, gg, blocks, dctsel_arr, hfmul_m1,
+            coeffoff_arr, vb_dctsel, llfcoeffs, coeffs, log_gsize8,
+        ):
+            return
+
         voff = 0
         coeffoff = 0
         used_dct = used_order = 0  # merged under the lock below (int |= races)
@@ -422,6 +438,59 @@ class VarDCTState:
             nb_varblocks, m, gg, blocks, coeffoff_arr, vb_dctsel, hfmul_m1,
             llfcoeffs, coeffs,
         )
+
+    def _hf_metadata_native(self, nb_varblocks, m, lfquant, gg, blocks,
+                            dctsel_arr, hfmul_m1, coeffoff_arr, vb_dctsel,
+                            llfcoeffs, coeffs, log_gsize8) -> bool:
+        """Native greedy varblock placement + vectorized LLF fill.  The
+        Python loop below is the oracle; this path removes a per-8px-cell
+        GIL-bound cost that serializes the pool on mixed-class frames."""
+        from ..modular.decode import _native_enabled
+
+        if not _native_enabled():
+            return False
+        from ..native.bindings import place_varblocks
+
+        ggw8, ggh8 = gg.width8, gg.height8
+        blocks[:], coeffoff_arr[:], vb_x8, vb_y8, used_dct, used_order = (
+            place_varblocks(
+                dctsel_arr, ggw8, ggh8, log_gsize8, DCT_SELECT_BLOB
+            )
+        )
+        vb_dctsel[:] = dctsel_arr
+        with self._lock:
+            self.dct_select_used |= used_dct
+            self.order_used |= used_order
+
+        # LLF coefficients from dequantized LF (j40.h:6669-6683): 8x8
+        # varblocks copy their single LF sample (vectorized gather); larger
+        # blocks forward-DCT their LF rect per block (a small minority)
+        sel_logs = np.asarray(
+            [[row[0], row[1]] for row in DCT_SELECT], dtype=np.int32
+        )
+        logs = sel_logs[dctsel_arr]
+        small = (logs[:, 0] <= 3) & (logs[:, 1] <= 3)
+        si = np.nonzero(small)[0]
+        if len(si):
+            dst = (coeffoff_arr[si] >> 6).astype(np.int64)
+            ys, xs = vb_y8[si], vb_x8[si]
+            for c in range(3):
+                llfcoeffs[c][dst] = lfquant[c][ys, xs]
+        for voff in np.nonzero(~small)[0]:
+            log_vh, log_vw = int(logs[voff, 0]), int(logs[voff, 1])
+            vh8, vw8 = 1 << (log_vh - 3), 1 << (log_vw - 3)
+            y0, x0 = int(vb_y8[voff]), int(vb_x8[voff])
+            off = int(coeffoff_arr[voff]) >> 6
+            for c in range(3):
+                lf_block = lfquant[c][y0 : y0 + vh8, x0 : x0 + vw8]
+                llfcoeffs[c][off : off + vh8 * vw8] = (
+                    forward_dct2d_scaled_for_llf(lf_block)
+                )
+        self._finish_hf_metadata(
+            nb_varblocks, m, gg, blocks, coeffoff_arr, vb_dctsel, hfmul_m1,
+            llfcoeffs, coeffs,
+        )
+        return True
 
     def _finish_hf_metadata(self, nb_varblocks, m, gg, blocks, coeffoff_arr,
                             vb_dctsel, hfmul_m1, llfcoeffs, coeffs):
@@ -498,25 +567,41 @@ class VarDCTState:
         gw8, gh8 = ceil_div(gw, 8), ceil_div(gh, 8)
         data = bytes(r.data)
         ns = NativeStream(data, r.bits_consumed, self.coeff_codespec[pass_])
-        blocks = np.ascontiguousarray(gg.blocks, dtype=np.int32)
-        coeffoff = np.ascontiguousarray(gg.vb_coeffoff, dtype=np.int64)
-        qfidx = np.ascontiguousarray(gg.vb_qfidx, dtype=np.int32)
-        lfind = np.ascontiguousarray(gg.lfindices, dtype=np.uint8)
-        bcm = np.ascontiguousarray(self.block_ctx_map, dtype=np.uint8)
-        dct_sel = np.ascontiguousarray(
-            [v for row in DCT_SELECT for v in row], dtype=np.int32
-        )
-        order_arrs = []
-        order_ptrs = (ctypes.c_void_p * (13 * 3))()
-        for oi in range(13):
-            for c in range(3):
-                o = self.orders[pass_][oi][c]
-                if o is None:
-                    order_ptrs[oi * 3 + c] = None
-                else:
-                    arr = np.ascontiguousarray(o, dtype=np.int32)
-                    order_arrs.append(arr)
-                    order_ptrs[oi * 3 + c] = arr.ctypes.data
+        # per-LF-group context arrays: converted once, reused by all 64
+        # member groups x passes (the conversions are pure rework per section)
+        nat = gg.native_ctx
+        if nat is None:
+            nat = gg.native_ctx = (
+                np.ascontiguousarray(gg.blocks, dtype=np.int32),
+                np.ascontiguousarray(gg.vb_coeffoff, dtype=np.int64),
+                np.ascontiguousarray(gg.vb_qfidx, dtype=np.int32),
+                np.ascontiguousarray(gg.lfindices, dtype=np.uint8),
+            )
+        blocks, coeffoff, qfidx, lfind = nat
+        bcm = self.block_ctx_map_u8
+        if bcm is None:
+            bcm = self.block_ctx_map_u8 = np.ascontiguousarray(
+                self.block_ctx_map, dtype=np.uint8
+            )
+        dct_sel = DCT_SELECT_BLOB
+        # per-pass order pointer table (lazily rebuilt if more orders load)
+        cached = self._order_ptr_cache.get(pass_)
+        loaded = self.order_loaded
+        if cached is not None and cached[0] == loaded:
+            order_arrs, order_ptrs = cached[1], cached[2]
+        else:
+            order_arrs = []
+            order_ptrs = (ctypes.c_void_p * (13 * 3))()
+            for oi in range(13):
+                for c in range(3):
+                    o = self.orders[pass_][oi][c]
+                    if o is None:
+                        order_ptrs[oi * 3 + c] = None
+                    else:
+                        arr = np.ascontiguousarray(o, dtype=np.int32)
+                        order_arrs.append(arr)
+                        order_ptrs[oi * 3 + c] = arr.ctypes.data
+            self._order_ptr_cache[pass_] = (loaded, order_arrs, order_ptrs)
         coeff_ptrs = (ctypes.c_void_p * 3)()
         for c in range(3):
             assert gg.coeffs[c].dtype == np.float32 and gg.coeffs[c].flags.c_contiguous
