@@ -3,6 +3,7 @@
 
 import random
 
+import numpy as np
 import pytest
 
 from j40_tpu.encode.bitwriter import BitWriter
@@ -276,3 +277,44 @@ def test_ans_rle_zero_runs_roundtrip():
     assert [code.code(r, c) for c, _ in events] == [v for _, v in events]
     code.finish(r)
     r.no_more_bytes()
+
+
+@pytest.mark.parametrize("complex_map", [False, True])
+def test_large_cluster_map_vectorized_matches_scalar(monkeypatch, complex_map):
+    """The batched cluster-map readers (numpy bit extraction for simple
+    maps, native symbol decode for nested maps) must agree bit-for-bit with
+    the per-entry Python loop on a 500-context map (j40.h:2526-2599)."""
+    import j40_tpu.entropy.code as code_mod
+    from j40_tpu.encode.bitwriter import BitWriter
+    from j40_tpu.encode.entropy import EntropyEncoder
+
+    rng = np.random.default_rng(11)
+    num_dist = 500
+    cmap = rng.integers(0, 4, num_dist)
+    # cluster ids must cover 0..max contiguously
+    cmap[:4] = [0, 1, 2, 3]
+    enc = EntropyEncoder(
+        num_dist, use_prefix=True, cluster_map=cmap.tolist(),
+        complex_cluster_map=complex_map,
+    )
+    for ctx in range(num_dist):
+        enc.add(ctx, int(rng.integers(0, 8)))
+    w = BitWriter()
+    enc.write(w)
+    blob = w.finish()
+
+    def read(forced_scalar):
+        if forced_scalar:
+            monkeypatch.setattr(code_mod, "_read_simple_entries_vec",
+                                lambda *a: None)
+            monkeypatch.setattr(code_mod, "_read_cluster_entries_native",
+                                lambda *a: None)
+        r = BitReader(blob)
+        spec = code_mod.read_code_spec(r, num_dist)
+        return list(spec.cluster_map), r.bits_consumed
+
+    fast_map, fast_pos = read(False)
+    monkeypatch.undo()
+    scal_map, scal_pos = read(True)
+    assert fast_map == cmap.tolist() == scal_map
+    assert fast_pos == scal_pos

@@ -234,3 +234,97 @@ def test_mixed_four_classes_custom_dq_vs_dj40(dj40, tmp_path):
     ref = _dj40(dj40, cs, tmp_path)
     _, ours = decode_file(cs)
     assert np.abs(ours[:, :, :3].astype(int) - ref).max() <= 1
+
+
+def test_native_placement_matches_python_oracle():
+    """j40t_place_varblocks A/B vs the Python greedy loop in _hf_metadata
+    (j40.h:6636-6687): same blocks map, coeff offsets, and used-bitsets on
+    an adversarial random layout of every merge-class shape."""
+    from j40_tpu.native.bindings import get_lib, place_varblocks
+    from j40_tpu.vardct.state import DCT_SELECT_BLOB
+
+    if get_lib() is None:
+        pytest.skip("native core unavailable")
+
+    rng = np.random.default_rng(7)
+    ggh8 = ggw8 = 64  # two 256px groups per axis (log_gsize8 = 5)
+    log_gsize8 = 5
+    # build a valid greedy layout the same way the encoder's chooser would
+    covered = np.zeros((ggh8, ggw8), bool)
+    dctsels = []
+    for y in range(ggh8):
+        for x in range(ggw8):
+            if covered[y, x]:
+                continue
+            ok = []
+            for sel in (0, 4, 5, 6, 7, 9, 10):  # 8x8..32x32, 16x8/8x16 etc
+                lh, lw = DCT_SELECT[sel][0], DCT_SELECT[sel][1]
+                vh8, vw8 = 1 << (lh - 3), 1 << (lw - 3)
+                x1, y1 = x + vw8 - 1, y + vh8 - 1
+                if x1 >= ggw8 or y1 >= ggh8:
+                    continue
+                if (x >> log_gsize8) != (x1 >> log_gsize8):
+                    continue
+                if (y >> log_gsize8) != (y1 >> log_gsize8):
+                    continue
+                if covered[y : y + vh8, x : x + vw8].any():
+                    continue
+                ok.append(sel)
+            sel = int(rng.choice(ok))
+            lh, lw = DCT_SELECT[sel][0], DCT_SELECT[sel][1]
+            covered[y : y + (1 << (lh - 3)), x : x + (1 << (lw - 3))] = True
+            dctsels.append(sel)
+    dctsels = np.asarray(dctsels, np.int32)
+
+    blocks, coeffoff, vb_x8, vb_y8, used_dct, used_order = place_varblocks(
+        dctsels, ggw8, ggh8, log_gsize8, DCT_SELECT_BLOB
+    )
+
+    # Python oracle (the loop _hf_metadata falls back to with native off)
+    pblocks = np.zeros((ggh8, ggw8), np.int32)
+    pcoeff = np.zeros(len(dctsels), np.int64)
+    pused_dct = pused_order = 0
+    voff = off = 0
+    for y0 in range(ggh8):
+        for x0 in range(ggw8):
+            if pblocks[y0, x0]:
+                continue
+            sel = int(dctsels[voff])
+            lh, lw, _, order_idx = DCT_SELECT[sel]
+            pused_dct |= 1 << sel
+            pused_order |= 1 << order_idx
+            pcoeff[voff] = off
+            vh8, vw8 = 1 << (lh - 3), 1 << (lw - 3)
+            assert vb_x8[voff] == x0 and vb_y8[voff] == y0
+            pblocks[y0 : y0 + vh8, x0 : x0 + vw8] = (1 << 20) | voff
+            pblocks[y0, x0] = (sel + 2) << 20 | voff
+            off += 1 << (lh + lw)
+            voff += 1
+    assert voff == len(dctsels)
+    np.testing.assert_array_equal(blocks, pblocks)
+    np.testing.assert_array_equal(coeffoff, pcoeff)
+    assert (used_dct, used_order) == (pused_dct, pused_order)
+
+
+def test_native_placement_error_codes():
+    """Placement rejects exactly what the Python loop rejects: too few
+    varblocks ("vblk"), bad DctSelect ("dct?"), group-boundary crossings."""
+    from j40_tpu.errors import J40Error
+    from j40_tpu.native.bindings import get_lib, place_varblocks
+    from j40_tpu.vardct.state import DCT_SELECT_BLOB
+
+    if get_lib() is None:
+        pytest.skip("native core unavailable")
+
+    # too few varblocks for the area
+    with pytest.raises(J40Error, match="vblk"):
+        place_varblocks(np.zeros(3, np.int32), 2, 2, 5, DCT_SELECT_BLOB)
+    # invalid DctSelect index
+    with pytest.raises(J40Error, match="dct"):
+        place_varblocks(np.asarray([27], np.int32), 1, 1, 5, DCT_SELECT_BLOB)
+    # a 16x16 block (sel 4) whose rect would cross the 256px group boundary:
+    # place 31 DCT8x8 first so the 16x16 lands at x8=31 (cells 31,32 span
+    # the group edge at log_gsize8=5)
+    sels = np.asarray([0] * 31 + [4], np.int32)
+    with pytest.raises(J40Error, match="vblk"):
+        place_varblocks(sels, 64, 2, 5, DCT_SELECT_BLOB)
