@@ -366,8 +366,11 @@ static inline int64_t hybrid_int(Bits& br, int32_t token, const HybridConfig& c)
   int32_t split = 1 << c.split_exp;
   if (token < split) return token;
   int32_t bit = c.msb + c.lsb;
+  // largest token whose decoded value stays below 2^30 (j40.h:2308); the
+  // Python oracle raises "iovf" past this, so the native path must reject
+  // identically (a looser guard would truncate to int32 downstream)
+  if (token > split + (((int32_t)30 - c.split_exp) << bit) - 1) return -1;
   int32_t midbits = c.split_exp - bit + ((token - split) >> bit);
-  if (midbits > 32) return -1;  // overflow guard; flagged by caller
   int64_t mid = br.u(midbits);
   int32_t top = 1 << c.msb;
   int32_t lo = token & ((1 << c.lsb) - 1);
