@@ -378,11 +378,17 @@ class EntropyEncoder:
                  lz_min_symbol: int = 224, lz_min_length: int = 3,
                  complex_cluster_map: bool = False,
                  flat_ans_dists: bool = False,
-                 ans_shift: int = 13):
+                 ans_shift: int = 13,
+                 complex_map_mtf: bool = True,
+                 complex_map_prefix: bool = True):
         #: emit the cluster map via the nested-entropy + MTF encoding
         #: (j40.h:2550-2599) instead of the simple form — coverage for the
         #: decoder's recursive path (cjxl uses it for wide context sets)
         self.complex_cluster_map = complex_cluster_map
+        #: knobs for the nested-map encoding itself: MTF on/off and the
+        #: nested stream's prefix-vs-ANS choice (decoder-coverage controls)
+        self.complex_map_mtf = complex_map_mtf
+        self.complex_map_prefix = complex_map_prefix
         #: emit every ANS distribution in the "evenly distributed" mode 2
         #: (j40.h:2640-2649) — decoder coverage for the flat branch; symbols
         #: then code against the flat distribution (valid, less dense)
@@ -605,16 +611,19 @@ class EntropyEncoder:
         # cluster map (nothing to write when total_dist == 1)
         if total_dist > 1 and self.complex_cluster_map:
             w.u(1, 0)  # not simple
-            w.u(1, 1)  # use_mtf
-            # forward MTF of the map values, then a nested 1-context stream
-            mtf = list(range(256))
-            idxs = []
-            for v in self.cluster_map:
-                j = mtf.index(v)
-                idxs.append(j)
-                mtf.pop(j)
-                mtf.insert(0, v)
-            nested = EntropyEncoder(1, use_prefix=True)
+            w.u(1, 1 if self.complex_map_mtf else 0)  # use_mtf
+            if self.complex_map_mtf:
+                # forward MTF of the map values, then a nested 1-ctx stream
+                mtf = list(range(256))
+                idxs = []
+                for v in self.cluster_map:
+                    j = mtf.index(v)
+                    idxs.append(j)
+                    mtf.pop(j)
+                    mtf.insert(0, v)
+            else:
+                idxs = list(self.cluster_map)
+            nested = EntropyEncoder(1, use_prefix=self.complex_map_prefix)
             for j in idxs:
                 nested.add(0, j)
             nested.write(w)

@@ -104,7 +104,14 @@ def place_varblocks(dctsel_arr: np.ndarray, ggw8: int, ggh8: int,
     raises J40Error("vblk"/"dct?") exactly where the Python loop would."""
     lib = get_lib()
     nb = len(dctsel_arr)
-    dctsel_arr = np.ascontiguousarray(dctsel_arr, dtype=np.int32)
+    src = np.asarray(dctsel_arr)
+    dctsel_arr = np.ascontiguousarray(src, dtype=np.int32)
+    # the int32 cast wraps; out-of-range values must raise "dct?" like the
+    # Python oracle rather than alias into the valid 0..26 range
+    if not np.array_equal(dctsel_arr, src):
+        from ..errors import J40Error
+
+        raise J40Error("dct?")
     blocks = np.zeros((ggh8, ggw8), dtype=np.int32)
     coeffoff = np.zeros(nb, dtype=np.int64)
     vb_x8 = np.zeros(nb, dtype=np.int32)

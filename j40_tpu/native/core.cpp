@@ -392,7 +392,9 @@ static int32_t code_one(Bits& br, CodeState& cs, int32_t ctx, int32_t dist_mult)
   int32_t token = cluster_symbol(br, cs, cl);
   if (token >= s.min_symbol) {
     const Cluster& lz = s.clusters[s.cluster_map[s.num_dist - 1]];
-    int32_t num_to_copy = (int32_t)hybrid_int(br, token - s.min_symbol, s.lz_cfg) + s.min_length;
+    int64_t len64 = hybrid_int(br, token - s.min_symbol, s.lz_cfg);
+    if (len64 < 0) { cs.error = true; return 0; }  // iovf parity (j40.h:2833)
+    int32_t num_to_copy = (int32_t)len64 + s.min_length;
     token = cluster_symbol(br, cs, lz);
     int64_t dist64 = hybrid_int(br, token, lz.cfg);
     if (dist64 < 0) { cs.error = true; return 0; }

@@ -279,11 +279,76 @@ def test_ans_rle_zero_runs_roundtrip():
     r.no_more_bytes()
 
 
-@pytest.mark.parametrize("complex_map", [False, True])
-def test_large_cluster_map_vectorized_matches_scalar(monkeypatch, complex_map):
+def test_lz77_length_token_iovf_native_parity(monkeypatch):
+    """An LZ77 copy-length token past the hybrid-int max_token bound must
+    raise "iovf" (j40.h:2833) in BOTH the Python oracle and the native
+    decoder.  A hostile encoder (monkeypatched hybrid-int) emits length
+    token 68 > max_token 67 for the (4,1,0) length config — a parseable
+    stream both paths must reject at the same symbol."""
+    import j40_tpu.encode.entropy as enc_mod
+    from j40_tpu.encode.bitwriter import BitWriter
+    from j40_tpu.encode.entropy import EntropyEncoder
+    from j40_tpu.entropy.code import CodeState, read_code_spec
+    from j40_tpu.entropy.hybrid import HybridIntConfig
+    from j40_tpu.errors import J40Error
+    from j40_tpu.io.bits import BitReader
+
+    real = enc_mod.encode_hybrid_int
+    lz_cfg = HybridIntConfig(4, 1, 0)
+
+    def hostile(value, cfg):
+        if cfg == lz_cfg and value > 100:  # the copy-length emission site
+            return 68, 0, 0  # token 68 > max_token(4,1,0) = 67
+        return real(value, cfg)
+
+    monkeypatch.setattr(enc_mod, "encode_hybrid_int", hostile)
+    # distinct value config so only the LZ length call hits the hostile path
+    enc = EntropyEncoder(1, use_prefix=True, lz77=True,
+                         config=HybridIntConfig(2, 0, 0))
+    for _ in range(500):
+        enc.add(0, 3)
+    w = BitWriter()
+    enc.write(w)
+    blob = w.finish()
+    monkeypatch.undo()
+
+    def parse():
+        r = BitReader(blob)
+        spec = read_code_spec(r, 1)
+        assert spec.lz77_enabled
+        return r, spec
+
+    r, spec = parse()
+    code = CodeState(spec)
+    assert code.code(r, 0) == 3  # leading literal
+    with pytest.raises(J40Error) as exc:
+        code.code(r, 0)  # the over-bound LZ length token
+    assert exc.value.code == "iovf"
+
+    from j40_tpu.native import bindings
+
+    if bindings.get_lib() is None:
+        pytest.skip("native core unavailable")
+    r2, spec2 = parse()
+    ns = bindings.NativeStream(blob, r2.bits_consumed, spec2)
+    with pytest.raises(Exception):
+        ns.decode_symbols(np.zeros(2, dtype=np.int32))
+    assert ns.error
+
+
+@pytest.mark.parametrize("complex_map,nested_prefix,nested_mtf", [
+    (False, True, True),
+    (True, True, True),    # nested prefix-coded map + MTF
+    (True, False, True),   # nested ANS map + MTF (final-state check path)
+    (True, True, False),   # nested map without MTF
+    (True, False, False),
+])
+def test_large_cluster_map_vectorized_matches_scalar(
+        monkeypatch, complex_map, nested_prefix, nested_mtf):
     """The batched cluster-map readers (numpy bit extraction for simple
     maps, native symbol decode for nested maps) must agree bit-for-bit with
-    the per-entry Python loop on a 500-context map (j40.h:2526-2599)."""
+    the per-entry Python loop on a 500-context map (j40.h:2526-2599),
+    across prefix/ANS nested streams and with/without MTF."""
     import j40_tpu.entropy.code as code_mod
     from j40_tpu.encode.bitwriter import BitWriter
     from j40_tpu.encode.entropy import EntropyEncoder
@@ -296,6 +361,7 @@ def test_large_cluster_map_vectorized_matches_scalar(monkeypatch, complex_map):
     enc = EntropyEncoder(
         num_dist, use_prefix=True, cluster_map=cmap.tolist(),
         complex_cluster_map=complex_map,
+        complex_map_prefix=nested_prefix, complex_map_mtf=nested_mtf,
     )
     for ctx in range(num_dist):
         enc.add(ctx, int(rng.integers(0, 8)))

@@ -328,3 +328,8 @@ def test_native_placement_error_codes():
     sels = np.asarray([0] * 31 + [4], np.int32)
     with pytest.raises(J40Error, match="vblk"):
         place_varblocks(sels, 64, 2, 5, DCT_SELECT_BLOB)
+    # an int64 DctSelect outside int32 range must raise "dct?" instead of
+    # wrapping into the valid 0..26 range through the int32 marshalling cast
+    with pytest.raises(J40Error, match="dct"):
+        place_varblocks(np.asarray([(1 << 32) + 5], np.int64), 1, 1, 5,
+                        DCT_SELECT_BLOB)
