@@ -99,6 +99,63 @@ def _pack_i8(arr: np.ndarray):
     return cup, exc_idx, exc_val
 
 
+def _pack_i4(arr: np.ndarray):
+    """Nibble-packed upload: values in [-8, 7] as 4-bit biased codes, two
+    per byte along the last axis, plus an exact exception list.  Halves the
+    host->device bytes of the int8 pack on sparse/low-amplitude coefficient
+    planes (photo-like VarDCT content at d1.0 has |q|<=7 for ~95%+ of
+    coefficients); the dense noise corpus falls back to int8 via the byte
+    accounting in `pack_coeffs_auto`."""
+    assert arr.shape[-1] % 2 == 0
+    q = np.round(arr).astype(np.int32)
+    flat = q.reshape(-1)
+    clip = np.clip(q, -8, 7)
+    u = (clip + 8).astype(np.uint8)
+    packed = (u[..., 0::2] | (u[..., 1::2] << 4)).astype(np.uint8)
+    exc = np.flatnonzero((flat < -8) | (flat > 7)).astype(np.int64)
+    cap = max(64, 1 << int(len(exc)).bit_length())
+    exc_idx = np.zeros(cap, np.int32)
+    exc_val = np.full(
+        cap,
+        np.int32(flat[0]) if flat.size else np.int32(0),
+        np.int32,
+    )
+    if len(exc):
+        exc_idx[1 : 1 + len(exc)] = exc
+        exc_val[1 : 1 + len(exc)] = flat[exc]
+    return packed, exc_idx, exc_val
+
+
+def pack_coeffs_auto(arr: np.ndarray):
+    """Pick the narrowest lossless upload encoding for a coefficient plane:
+    4-bit biased nibbles vs clipped int8, each with an exact-value exception
+    list.  Returns (kind, packed, exc_idx, exc_val) with kind in
+    {"i4", "i8"}; the byte accounting includes the 8-byte-per-entry
+    exception cost so noisy planes keep the int8 form."""
+    # coefficient planes are integral-valued f32 (exact int accumulation),
+    # so magnitude tests run on the float array without a rounding pass
+    a = np.abs(arr.reshape(-1))
+    n = a.size
+    exc4 = int(np.count_nonzero(a > 7))  # [-8..7] biased, -8 unused by exc
+    exc8 = int(np.count_nonzero(a > 127))
+    bytes4 = n // 2 + 8 * exc4
+    bytes8 = n + 8 * exc8
+    if bytes4 < bytes8:
+        return ("i4", *_pack_i4(arr))
+    return ("i8", *_pack_i8(arr))
+
+
+def unpack_i4_jax(packed, shape):
+    """Device-side inverse of `_pack_i4` (before exception scatter): biased
+    nibbles -> int8 values in [-8, 7]."""
+    import jax.numpy as jnp
+
+    lo = (packed & jnp.uint8(0x0F)).astype(jnp.int32) - 8
+    hi = (packed >> jnp.uint8(4)).astype(jnp.int32) - 8
+    out = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    return out.reshape(shape)
+
+
 def _opsin_tail14(im) -> np.ndarray:
     """consts[8:22]: opsin_inv (9) | opsin_bias (3) | itscale | maxval —
     the XYB->sRGB section consumed by index in the Pallas kernels."""

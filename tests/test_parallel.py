@@ -49,6 +49,57 @@ def test_decode_batch_vardct_jax_multidevice():
         assert np.abs(ref.astype(int) - out.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("nimg,chunk", [(5, 2), (4, 4)])
+def test_decode_batch_device_serving(monkeypatch, nimg, chunk):
+    """The device serving path (pipelined chunks, packed uploads,
+    device-resident RGBA) must match the host decoder ±1 on every image,
+    including a padded tail chunk (5 images / chunk 2)."""
+    monkeypatch.setenv("J40T_PALLAS", "interp")
+    from j40_tpu.parallel.batch import decode_batch_device
+
+    rng = np.random.default_rng(5)
+    imgs = []
+    for _ in range(nimg):
+        img = (
+            np.cumsum(rng.integers(-2, 3, size=(64, 64, 3)), axis=1) % 180 + 30
+        ).astype(np.uint8)
+        imgs.append(img)
+    blobs = [encode_vardct(im) for im in imgs]
+    st: dict = {}
+    out = decode_batch_device(blobs, workers=2, chunk=chunk, fetch=True,
+                              stats_out=st)
+    assert out.shape == (nimg, 64, 64, 4) and out.dtype == np.uint8
+    assert st["images"] == nimg and st["upload_bytes"] > 0
+    for blob, got in zip(blobs, out):
+        _, ref = decode_file(blob, backend="numpy")
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_pack_i4_roundtrip():
+    """4-bit nibble pack/unpack with exceptions is lossless for arbitrary
+    integral coefficient planes."""
+    from j40_tpu.ops.combine_jax import _pack_i4, pack_coeffs_auto, unpack_i4_jax
+
+    rng = np.random.default_rng(7)
+    # mostly-small values with outliers beyond both nibble and int8 range
+    arr = rng.integers(-6, 7, (3, 50, 64)).astype(np.float32)
+    pos = rng.integers(0, arr.size, 40)
+    arr.reshape(-1)[pos] = rng.integers(-300, 300, 40)
+    packed, exc_idx, exc_val = _pack_i4(arr)
+    assert packed.shape == (3, 50, 32)
+    import jax.numpy as jnp
+
+    un = np.asarray(unpack_i4_jax(jnp.asarray(packed), arr.shape))
+    flat = un.reshape(-1).astype(np.int64)
+    flat[exc_idx] = exc_val[: len(exc_idx)]
+    np.testing.assert_array_equal(flat.reshape(arr.shape), arr.astype(np.int64))
+    kind, *_ = pack_coeffs_auto(arr)
+    assert kind == "i4"  # sparse/low-amplitude plane picks nibbles
+    noisy = rng.integers(-120, 120, (3, 50, 64)).astype(np.float32)
+    kind2, *_ = pack_coeffs_auto(noisy)
+    assert kind2 == "i8"
+
+
 def test_multipass_workers_bit_stable():
     # regression: two passes of one group accumulate (+=) into the same
     # coefficient planes; with a naive section-level thread map they race
