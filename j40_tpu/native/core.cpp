@@ -20,6 +20,7 @@
 #include <vector>
 
 #define J40T_API extern "C" __attribute__((visibility("default")))
+#define J40T_RESTRICT __restrict__
 
 namespace {
 
@@ -504,18 +505,28 @@ template <typename I>
 struct WpStateT {
   int32_t width;
   int32_t p1, p2, p3[5], w[4];
-  std::vector<I> errors;  // width*2 rows of 5
+  int32_t rowmask = 1;    // error ring rows - 1 (pow2-1); wavefront uses 7
+  std::vector<I> errors;  // width*(rowmask+1) rows of 5
   I pred[5];
   I trueerrw, trueerrn, trueerrnw, trueerrne;
 
-  void init(int32_t wdt, const int32_t* params) {
+  void init(int32_t wdt, const int32_t* params, int32_t rows = 2) {
     width = wdt;
+    rowmask = rows - 1;
     p1 = params[0]; p2 = params[1];
     for (int i = 0; i < 5; ++i) p3[i] = params[2 + i];
     for (int i = 0; i < 4; ++i) w[i] = params[7 + i];
-    errors.assign((size_t)wdt * 2 * 5, 0);
+    errors.assign((size_t)wdt * rows * 5, 0);
     for (int i = 0; i < 5; ++i) pred[i] = 0;
     trueerrw = trueerrn = trueerrnw = trueerrne = 0;
+  }
+  inline I* row_err(int32_t y) {
+    return errors.data() + (size_t)(y & rowmask) * width * 5;
+  }
+  inline const I* row_err_prev(int32_t y) const {
+    // y == 0 indexes an untouched (all-zero) ring row; wp_before gates all
+    // y-1 reads on y > 0 anyway
+    return errors.data() + (size_t)((y - 1) & rowmask) * width * 5;
   }
 };
 using WpState = WpStateT<int64_t>;
@@ -542,8 +553,8 @@ static void wp_before(WpStateT<I>& wp, int32_t x, int32_t y,
   const I pw = (I)pw64, pn = (I)pn64, pnw = (I)pnw64, pne = (I)pne64,
           pnn = (I)pnn64;
   static const I ZERO[5] = {0, 0, 0, 0, 0};
-  I* err = wp.errors.data() + ((y & 1) ? (size_t)wp.width * 5 : 0);
-  I* nerr = wp.errors.data() + ((y & 1) ? 0 : (size_t)wp.width * 5);
+  I* err = wp.row_err(y);
+  const I* nerr = wp.row_err_prev(y);
   const I* errw = x > 0 ? err + (size_t)(x - 1) * 5 : ZERO;
   const I* errn = y > 0 ? nerr + (size_t)x * 5 : ZERO;
   const I* errnw = (x > 0 && y > 0) ? nerr + (size_t)(x - 1) * 5 : errn;
@@ -593,7 +604,7 @@ static void wp_before(WpStateT<I>& wp, int32_t x, int32_t y,
 
 template <typename I>
 static void wp_after(WpStateT<I>& wp, int32_t x, int32_t y, int64_t val) {
-  I* err = wp.errors.data() + (((y & 1) ? (size_t)wp.width : 0) + (size_t)x) * 5;
+  I* err = wp.row_err(y) + (size_t)x * 5;
   I v8 = (I)val * 8;
   for (int i = 0; i < 4; ++i) {
     I d = wp.pred[i] - v8;
@@ -918,6 +929,331 @@ static int32_t modular_generic(
   return 0;
 }
 
+// Weighted-predictor fast loop (no LZ77): the WP math dominates the
+// MA-tree flagship shape (measured ~2/3 of modular_e3 decode time), and the
+// generic per-pixel path pays edge branches, pointer selects, and
+// through-struct state traffic on every pixel.  This variant runs the row
+// interior (2 <= x < width-2, y >= 2) with unconditional loads and fully
+// register-resident WP state; edge pixels fall back to the generic-step
+// lambda.  Identical integer arithmetic to wp_before/wp_after — bit-exact
+// by construction (reference hot loop: j40.h:4127-4240, wp32 j40.h:3938).
+// context-free token prepass: when every leaf of a tree codes through the
+// SAME cluster, symbol boundaries don't depend on contexts, so the whole
+// channel's tokens can be ripped in one single-table loop before any
+// prediction work (the per-pixel entropy<->WP dependency chain is what
+// serializes the interleaved loop).  Returns zigzag-unpacked values; error
+// behavior matches the interleaved path exactly (on iovf/overrun the old
+// loop also kept decoding deterministic garbage).
+static void token_prepass(Bits& b, uint32_t& ans, const CodeSpec& spec,
+                          int32_t ctx, int64_t n, int32_t* J40T_RESTRICT uv,
+                          bool* err) {
+  const HybridConfig cfg = spec.ctx_cfg[ctx];
+  if (spec.use_prefix) {
+    const PrefixTable* pt = spec.ctx_prefix[ctx];
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t token = pt->decode(b);
+      int64_t value = hybrid_int(b, token, cfg);
+      if (__builtin_expect(value < 0, 0)) { *err = true; value = 0; }
+      uv[i] = (int32_t)((value >> 1) ^ -(value & 1));  // branchless zigzag
+    }
+  } else {
+    const FlatEntry* flat = spec.ctx_flat[ctx];
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t token = ans_symbol_fast(b, ans, flat);
+      int64_t value = hybrid_int(b, token, cfg);
+      if (__builtin_expect(value < 0, 0)) { *err = true; value = 0; }
+      uv[i] = (int32_t)((value >> 1) ^ -(value & 1));
+    }
+  }
+}
+
+// do all leaves of the tree code through one cluster?  (then the token
+// stream is context-free and the prepass applies)
+static bool tree_single_cluster(const CodeSpec& spec, const TreeNode* nodes,
+                                int32_t ntree) {
+  int32_t cl = -1;
+  for (int32_t i = 0; i < ntree; ++i) {
+    if (nodes[i].prop >= 0) continue;
+    int32_t ctx = nodes[i].ctx;
+    if (ctx < 0 || ctx >= spec.num_dist) return false;
+    int32_t c = spec.cluster_map[ctx];
+    if (cl < 0) cl = c;
+    else if (c != cl) return false;
+  }
+  return cl >= 0;
+}
+
+template <typename I, bool PRE>
+static int32_t modular_wp_nolz(
+    J40TStream* s, const TreeNode* nodes, WpStateT<I>& wp,
+    int32_t cidx, int64_t sidx, int32_t width, int32_t height,
+    const int32_t* const* refs, int32_t nrefs,
+    int32_t* out, int32_t out_stride, int32_t ref_stride, int64_t range_max,
+    int32_t* pre_uv, int32_t pre_ctx) {
+  const CodeSpec& spec = *s->state.spec;
+  Bits b = s->bits;
+  uint32_t ans = s->state.ans_state;
+  bool err = false;
+  if (PRE) {
+    // rip the whole channel's tokens first (context-free: one cluster),
+    // then reconstruct below with the entropy reads already out of the
+    // per-pixel dependency chain
+    token_prepass(b, ans, spec, pre_ctx, (int64_t)width * height, pre_uv,
+                  &err);
+  }
+  using U = typename std::make_unsigned<I>::type;
+  const I p1 = (I)wp.p1, p2 = (I)wp.p2;
+  I p3[5], wbase[4];
+  for (int i = 0; i < 5; ++i) p3[i] = (I)wp.p3[i];
+  for (int i = 0; i < 4; ++i) wbase[i] = (I)wp.w[i];
+
+  // one generic pixel step (edge pixels; same body as modular_generic)
+  auto slow_px = [&](int32_t x, int32_t y, int32_t* row, const int32_t* prow,
+                     const int32_t* pprow) -> int32_t {
+    int64_t w_ = x > 0 ? row[x - 1] : (y > 0 ? prow[x] : 0);
+    int64_t n_ = y > 0 ? prow[x] : w_;
+    int64_t nw = (x > 0 && y > 0) ? prow[x - 1] : w_;
+    int64_t ne = (x + 1 < width && y > 0) ? prow[x + 1] : n_;
+    int64_t nn = y > 1 ? pprow[x] : n_;
+    int64_t nee = (x + 2 < width && y > 0) ? prow[x + 2] : ne;
+    int64_t ww = x > 1 ? row[x - 2] : w_;
+    int64_t nww = (x > 1 && y > 0) ? prow[x - 2] : ww;
+    wp_before(wp, x, y, w_, n_, nw, ne, nn);
+    const TreeNode* node = nodes;
+    while (node->prop >= 0) {
+      int64_t val;
+      switch (node->prop) {
+        case 0: val = cidx; break;
+        case 1: val = sidx; break;
+        case 2: val = y; break;
+        case 3: val = x; break;
+        case 4: val = n_ < 0 ? -n_ : n_; break;
+        case 5: val = w_ < 0 ? -w_ : w_; break;
+        case 6: val = n_; break;
+        case 7: val = w_; break;
+        case 8: val = x > 0 ? w_ - (ww + nw - nww) : w_; break;
+        case 9: val = w_ + n_ - nw; break;
+        case 10: val = w_ - nw; break;
+        case 11: val = nw - n_; break;
+        case 12: val = n_ - ne; break;
+        case 13: val = n_ - nn; break;
+        case 14: val = w_ - ww; break;
+        case 15: {
+          int64_t v = (int64_t)wp.trueerrw;
+          auto absl = [](int64_t t) { return t < 0 ? -t : t; };
+          if (absl(v) < absl((int64_t)wp.trueerrn)) v = wp.trueerrn;
+          if (absl(v) < absl((int64_t)wp.trueerrnw)) v = wp.trueerrnw;
+          if (absl(v) < absl((int64_t)wp.trueerrne)) v = wp.trueerrne;
+          val = v;
+          break;
+        }
+        default: {
+          int32_t refcidx = (node->prop - 16) / 4;
+          if (refcidx >= nrefs) return 2;
+          const int32_t* rc = refs[refcidx];
+          int64_t v = rc[(size_t)y * ref_stride + x];
+          if (node->prop & 2) {
+            int64_t rw = x > 0 ? rc[(size_t)y * ref_stride + x - 1] : 0;
+            int64_t rn = y > 0 ? rc[(size_t)(y - 1) * ref_stride + x] : rw;
+            int64_t rnw = (x > 0 && y > 0)
+                              ? rc[(size_t)(y - 1) * ref_stride + x - 1] : rw;
+            v -= gradient64(rw, rn, rnw);
+          }
+          if (node->prop & 1) v = v < 0 ? -v : v;
+          val = v;
+          break;
+        }
+      }
+      node = nodes + (val > node->value ? node->left : node->right);
+    }
+    int64_t uv;
+    if (PRE) {
+      uv = pre_uv[(size_t)y * width + x];
+    } else {
+      int32_t token = code_symbol_fast(b, ans, spec, node->ctx, &err);
+      uv = (token & 1) ? -((int64_t)(token / 2) + 1) : token / 2;
+    }
+    int64_t val = uv * node->multiplier + node->offset;
+    val += predict(node->predictor, &wp, w_, n_, nw, ne, nn, nee, ww);
+    if (val < -range_max - 1 || val > range_max) return 1;
+    row[x] = (int32_t)val;
+    wp_after(wp, x, y, val);
+    return 0;
+  };
+
+  const int32_t xlo = 2, xhi = width - 2;  // interior: [xlo, xhi)
+
+  // interior pixel (2 <= x < width-2, y >= 2): unconditional loads,
+  // register-resident WP state
+  auto fast_span = [&](int32_t y, int32_t* J40T_RESTRICT row,
+                       const int32_t* prow, const int32_t* pprow,
+                       I* J40T_RESTRICT erow,
+                       const I* J40T_RESTRICT nrow)
+      __attribute__((always_inline)) -> int32_t {
+      for (int32_t x = xlo; x < xhi; ++x) {
+        const int64_t w_ = row[x - 1], n_ = prow[x], nw = prow[x - 1];
+        const int64_t ne = prow[x + 1], nn = pprow[x], nee = prow[x + 2];
+        const int64_t ww = row[x - 2];
+        // ---- wp_before, interior form (errw2 == ZERO since x+1 < width)
+        const I* ew = erow + (size_t)(x - 1) * 5;
+        const I* eww = erow + (size_t)(x - 2) * 5;
+        const I* en = nrow + (size_t)x * 5;
+        const I* enw = en - 5;
+        const I* ene = en + 5;
+        const I tew = ew[4], ten = en[4], tenw = enw[4], tene = ene[4];
+        const I pw = (I)w_, pn = (I)n_, pnw = (I)nw, pne = (I)ne,
+                pnn = (I)nn;
+        I pred0 = (pw + pne - pn) * 8;
+        I pred1 = pn * 8 - (I)(((tew + ten + tene) * p1) >> 5);
+        I pred2 = pw * 8 - (I)(((tew + ten + tenw) * p2) >> 5);
+        I pred3 = pn * 8 - (I)((tenw * p3[0] + ten * p3[1] + tene * p3[2] +
+                                (pnn - pn) * 8 * p3[3] +
+                                (pnw - pw) * 8 * p3[4]) >> 5);
+        I wv[4], wsum = 0, sum = 0;
+        const I preds[4] = {pred0, pred1, pred2, pred3};
+        for (int i = 0; i < 4; ++i) {
+          I errsum = (I)((U)en[i] + (U)ew[i] + (U)enw[i] + (U)eww[i] +
+                         (U)ene[i]);
+          int32_t shift = floor_lg64((uint64_t)((U)errsum + 1)) - 5;
+          if (shift < 0) shift = 0;
+          wv[i] = (I)(4 + (((int64_t)wbase[i] * DIV24[errsum >> shift]) >> shift));
+        }
+        int32_t logw = floor_lg64(
+            (uint64_t)(U)((U)wv[0] + (U)wv[1] + (U)wv[2] + (U)wv[3])) - 4;
+        for (int i = 0; i < 4; ++i) {
+          wv[i] >>= logw;
+          wsum = (I)((U)wsum + (U)wv[i]);
+          sum = (I)((U)sum + (U)((int64_t)preds[i] * wv[i]));
+        }
+        I pred4 = (I)((((int64_t)sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24);
+        {
+          // branchless clamp: the sign-agreement gate is data-dependent
+          // (~coin-flip on natural content), so compute the clamped value
+          // unconditionally and select
+          I lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
+          I hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;
+          I pc = pred4 < lo ? lo : pred4;
+          pc = pc > hi ? hi : pc;
+          pred4 = (((ten ^ tew) | (ten ^ tenw)) <= 0) ? pc : pred4;
+        }
+        // ---- tree walk (interior property forms, all loads unconditional)
+        const TreeNode* node = nodes;
+        while (node->prop >= 0) {
+          int64_t val;
+          switch (node->prop) {
+            case 0: val = cidx; break;
+            case 1: val = sidx; break;
+            case 2: val = y; break;
+            case 3: val = x; break;
+            case 4: val = n_ < 0 ? -n_ : n_; break;
+            case 5: val = w_ < 0 ? -w_ : w_; break;
+            case 6: val = n_; break;
+            case 7: val = w_; break;
+            case 8: val = w_ - (ww + nw - (int64_t)prow[x - 2]); break;
+            case 9: val = w_ + n_ - nw; break;
+            case 10: val = w_ - nw; break;
+            case 11: val = nw - n_; break;
+            case 12: val = n_ - ne; break;
+            case 13: val = n_ - nn; break;
+            case 14: val = w_ - ww; break;
+            case 15: {
+              int64_t v = tew;
+              auto absl = [](int64_t t) { return t < 0 ? -t : t; };
+              if (absl(v) < absl((int64_t)ten)) v = ten;
+              if (absl(v) < absl((int64_t)tenw)) v = tenw;
+              if (absl(v) < absl((int64_t)tene)) v = tene;
+              val = v;
+              break;
+            }
+            default: {
+              int32_t refcidx = (node->prop - 16) / 4;
+              if (refcidx >= nrefs) return 2;
+              const int32_t* rc = refs[refcidx];
+              int64_t v = rc[(size_t)y * ref_stride + x];
+              if (node->prop & 2) {
+                int64_t rw = rc[(size_t)y * ref_stride + x - 1];
+                int64_t rn = rc[(size_t)(y - 1) * ref_stride + x];
+                int64_t rnw = rc[(size_t)(y - 1) * ref_stride + x - 1];
+                v -= gradient64(rw, rn, rnw);
+              }
+              if (node->prop & 1) v = v < 0 ? -v : v;
+              val = v;
+              break;
+            }
+          }
+          node = nodes + (val > node->value ? node->left : node->right);
+        }
+        // ---- decode + reconstruct
+        int64_t uv;
+        if (PRE) {
+          uv = pre_uv[(size_t)y * width + x];
+        } else {
+          int32_t token = code_symbol_fast(b, ans, spec, node->ctx, &err);
+          uv = (token & 1) ? -((int64_t)(token / 2) + 1) : token / 2;
+        }
+        int64_t val = uv * node->multiplier + node->offset;
+        int64_t pd;
+        const int32_t p = node->predictor;
+        if (__builtin_expect((p | 3) == 7, 1)) {
+          // predictors 5 (gradient) and 6 (WP) dominate real trees and the
+          // leaf choice is data-dependent: compute both, select branchless
+          int64_t g = gradient64(w_, n_, nw);
+          pd = p == 6 ? (int64_t)((pred4 + 3) >> 3) : g;
+        } else {
+          pd = predict(p, (const WpStateT<I>*)nullptr, w_, n_,
+                       nw, ne, nn, nee, ww);
+        }
+        val += pd;
+        if (val < -range_max - 1 || val > range_max) return 1;
+        row[x] = (int32_t)val;
+        // ---- wp_after, fully local
+        {
+          I* ecur = erow + (size_t)x * 5;
+          const I v8 = (I)val * 8;
+          I d0 = pred0 - v8, d1 = pred1 - v8, d2 = pred2 - v8, d3 = pred3 - v8;
+          ecur[0] = ((d0 < 0 ? -d0 : d0) + 3) >> 3;
+          ecur[1] = ((d1 < 0 ? -d1 : d1) + 3) >> 3;
+          ecur[2] = ((d2 < 0 ? -d2 : d2) + 3) >> 3;
+          ecur[3] = ((d3 < 0 ? -d3 : d3) + 3) >> 3;
+          ecur[4] = pred4 - v8;
+        }
+      }
+      return 0;
+  };
+
+  auto finish = [&](int32_t ret) -> int32_t {
+    s->bits = b;
+    s->state.ans_state = ans;
+    if (err) s->state.error = true;
+    if (ret == 0 && (s->bits.overrun || s->state.error)) return 3;
+    return ret;
+  };
+
+  {
+    // interleaved decode: raster rows, interior span through fast_px
+    for (int32_t y = 0; y < height; ++y) {
+      int32_t* J40T_RESTRICT row = out + (size_t)y * out_stride;
+      const int32_t* prow = y > 0 ? row - out_stride : nullptr;
+      const int32_t* pprow = y > 1 ? row - 2 * (size_t)out_stride : nullptr;
+      int32_t r;
+      if (y < 2 || width < 8) {
+        for (int32_t x = 0; x < width; ++x)
+          if ((r = slow_px(x, y, row, prow, pprow)) != 0) return finish(r);
+        continue;
+      }
+      for (int32_t x = 0; x < xlo; ++x)
+        if ((r = slow_px(x, y, row, prow, pprow)) != 0) return finish(r);
+      if ((r = fast_span(y, row, prow, pprow, wp.row_err(y),
+                         wp.row_err_prev(y))) != 0)
+        return finish(r);
+      for (int32_t x = xhi; x < width; ++x)
+        if ((r = slow_px(x, y, row, prow, pprow)) != 0) return finish(r);
+    }
+    return finish(0);
+  }
+
+}
+
 // LZ77 single-leaf predictor-0 fast path: copy runs bulk through the
 // window ring without re-entering the per-symbol decoder (screen-content
 // style streams are mostly copies; the generic loop costs ~6x more per
@@ -998,16 +1334,44 @@ J40T_API int32_t j40t_decode_modular_channel(
 
   // 16-bit planes run the int32 WP instantiation (the reference's wp32,
   // j40.h:3938); wide planes keep 64-bit error state (wp64)
+  // single-cluster trees rip all tokens context-free before reconstruction
+  int32_t* pre_uv = nullptr;
+  int32_t pre_ctx = 0;
+  static thread_local std::vector<int32_t> pre_buf;
+  if (use_wp && !s->state.spec->lz77 &&
+      tree_single_cluster(*s->state.spec, nodes, ntree)) {
+    for (int32_t i = 0; i < ntree; ++i)
+      if (nodes[i].prop < 0) { pre_ctx = nodes[i].ctx; break; }
+    pre_buf.resize((size_t)width * height);
+    pre_uv = pre_buf.data();
+  }
+
   if (range_max <= 32767) {
     WpStateT<int32_t> wp;
-    if (use_wp) wp.init(width, wp_params);
+    if (use_wp) wp.init(width, wp_params, pre_uv ? 8 : 2);
+    if (use_wp && !s->state.spec->lz77)
+      return pre_uv
+          ? modular_wp_nolz<int32_t, true>(
+                s, nodes, wp, cidx, sidx, width, height, refs, nrefs, out,
+                out_stride, ref_stride, range_max, pre_uv, pre_ctx)
+          : modular_wp_nolz<int32_t, false>(
+                s, nodes, wp, cidx, sidx, width, height, refs, nrefs, out,
+                out_stride, ref_stride, range_max, nullptr, 0);
     auto fn = s->state.spec->lz77 ? modular_generic<true, int32_t>
                            : modular_generic<false, int32_t>;
     return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
               height, refs, nrefs, out, out_stride, ref_stride, range_max);
   }
   WpState wp;
-  if (use_wp) wp.init(width, wp_params);
+  if (use_wp) wp.init(width, wp_params, pre_uv ? 8 : 2);
+  if (use_wp && !s->state.spec->lz77)
+    return pre_uv
+        ? modular_wp_nolz<int64_t, true>(
+              s, nodes, wp, cidx, sidx, width, height, refs, nrefs, out,
+              out_stride, ref_stride, range_max, pre_uv, pre_ctx)
+        : modular_wp_nolz<int64_t, false>(
+              s, nodes, wp, cidx, sidx, width, height, refs, nrefs, out,
+              out_stride, ref_stride, range_max, nullptr, 0);
   auto fn = s->state.spec->lz77 ? modular_generic<true, int64_t>
                          : modular_generic<false, int64_t>;
   return fn(s, nodes, single_leaf, use_wp, wp, dist_mult, cidx, sidx, width,
