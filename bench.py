@@ -184,7 +184,9 @@ def _bench_batch64_device(n: int = 64, size: int = 512,
     against its transfer floor: upload_bytes / up_MBps is the hard bound on
     this host (a PCIe host moves the same tensors ~500x faster, making this
     path compute-bound at the recorded kernel rate)."""
-    from j40_tpu.parallel.batch import decode_batch_device
+    import jax
+
+    from j40_tpu.parallel.batch import decode_batch, decode_batch_device
 
     blobs = [
         (CACHE / f"batch_{size}_{i}.jxl").read_bytes() for i in range(n)
@@ -199,6 +201,20 @@ def _bench_batch64_device(n: int = 64, size: int = 512,
         if best is None or st["total_s"] < best["total_s"]:
             best = st
     agg = pixels / best["total_s"] / 1e6
+
+    # the serving comparison this path exists for: pixels must end up ON
+    # THE DEVICE (feeding a jax model).  The host backend decodes fast but
+    # then pays a serial RGBA upload; the device path pipelines its (often
+    # narrower) coefficient uploads against entropy decode.  Same-run,
+    # same-output-location numbers.
+    host_serve_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = decode_batch(blobs, workers=WORKERS, backend="numpy")
+        dev = jax.device_put(np.stack(outs))
+        dev.block_until_ready()
+        host_serve_s = min(host_serve_s, time.perf_counter() - t0)
+        del dev
     out = {
         "aggregate_mpixps": round(agg, 3),
         "images": n,
@@ -210,6 +226,10 @@ def _bench_batch64_device(n: int = 64, size: int = 512,
         "pack_s": round(best["pack_s"], 3),
         "dispatch_block_s": round(best["dispatch_block_s"], 3),
         "upload_MB": round(best["upload_bytes"] / 1e6, 1),
+        # same-run host decode + RGBA upload to the device (what a host
+        # pipeline pays to feed a jax model): the serving head-to-head
+        "host_serve_mpixps": round(pixels / host_serve_s / 1e6, 3),
+        "serve_speedup_vs_host": round(host_serve_s / best["total_s"], 3),
     }
     if tunnel and tunnel.get("up_MBps"):
         floor = best["upload_bytes"] / 1e6 / tunnel["up_MBps"]

@@ -82,6 +82,24 @@ def get_lib():
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_void_p),
     ]
+    lib.j40t_pack_i8.restype = ctypes.c_int64
+    lib.j40t_pack_i8.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,   # src, count
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,    # dst, lim
+        ctypes.c_int64,                                   # exc_base
+        ctypes.POINTER(ctypes.c_int32),                   # exc_idx out
+        ctypes.POINTER(ctypes.c_int32),                   # exc_val out
+        ctypes.c_int64,                                   # exc_cap
+        ctypes.POINTER(ctypes.c_int64),                   # n_gt7 out
+    ]
+    lib.j40t_gather_pack_dct8.restype = ctypes.c_int64
+    lib.j40t_gather_pack_dct8.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.j40t_place_varblocks.restype = ctypes.c_int32
     lib.j40t_place_varblocks.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,   # dctsel, nb
@@ -131,6 +149,82 @@ def place_varblocks(dctsel_arr: np.ndarray, ggw8: int, ggh8: int,
 
         raise J40Error("vblk" if rc == 1 else "dct?")
     return blocks, coeffoff, vb_x8, vb_y8, int(used[0]), int(used[1])
+
+
+def pack_coeffs_i8(coeffs: np.ndarray, lim: int = 127):
+    """One-pass f32 -> clamped int8 pack with exception list and a |v|>7
+    census (for the i4-vs-i8 upload choice).  Runs GIL-free in the native
+    core; numpy fallback when the library is unavailable.
+
+    Returns (i8 array same shape, exc_idx int32 flat indices into coeffs,
+    exc_val int32 exact values, n_gt7)."""
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.float32)
+    flat = coeffs.reshape(-1)
+    lib = get_lib()
+    if lib is None:
+        iv = flat.astype(np.int32)
+        exc = np.flatnonzero(np.abs(iv) > lim).astype(np.int32)
+        return (
+            np.clip(iv, -lim, lim).astype(np.int8).reshape(coeffs.shape),
+            exc, iv[exc], int(np.count_nonzero(np.abs(iv) > 7)),
+        )
+    dst = np.empty(coeffs.shape, np.int8)
+    cap = 4096
+    while True:
+        exc_idx = np.empty(cap, np.int32)
+        exc_val = np.empty(cap, np.int32)
+        n_gt7 = np.zeros(1, np.int64)
+        n = lib.j40t_pack_i8(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), flat.size,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), lim, 0,
+            exc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            n_gt7.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n >= 0:
+            return dst, exc_idx[:n], exc_val[:n], int(n_gt7[0])
+        cap = min(cap * 8, flat.size + 1)
+
+
+def gather_pack_dct8(coeffs3, blocks: np.ndarray, offs: np.ndarray,
+                     lim: int = 127):
+    """Fused native gather+pack over an all-DCT8x8 raster placement map:
+    one pass from the per-channel f32 coefficient planes to the clamped
+    int8 upload slab.  Returns (i8 (3,n,64), exc_idx, exc_val, n_gt7,
+    fill0) with image-flat exception indices, or None when the native
+    library is unavailable (callers fall back to the dense gather)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    n = blocks.size
+    planes = [np.ascontiguousarray(coeffs3[c], dtype=np.float32)
+              for c in range(3)]
+    ptrs = (ctypes.c_void_p * 3)()
+    for c in range(3):
+        ptrs[c] = planes[c].ctypes.data
+    dst = np.empty((3, n, 64), np.int8)
+    cap = 4096
+    while True:
+        exc_idx = np.empty(cap, np.int32)
+        exc_val = np.empty(cap, np.int32)
+        n_gt7 = np.zeros(1, np.int64)
+        ne = lib.j40t_gather_pack_dct8(
+            ptrs, blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), lim,
+            exc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            n_gt7.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if ne >= 0:
+            exc_idx, exc_val = exc_idx[:ne], exc_val[:ne]
+            break
+        cap = min(cap * 8, 3 * n * 64 + 1)
+    # exact value of flat position 0 (the exception scatter's fill target)
+    fill0 = int(exc_val[0]) if ne and exc_idx[0] == 0 else int(dst[0, 0, 0])
+    return dst, exc_idx, exc_val, int(n_gt7[0]), fill0
 
 
 def serialize_spec(spec: CodeSpec) -> np.ndarray | None:

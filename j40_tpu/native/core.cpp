@@ -1589,3 +1589,76 @@ J40T_API int32_t j40t_place_varblocks(
   used[1] = used_order;
   return 0;
 }
+
+// Single-pass coefficient pack for the batched device serving path
+// (parallel/batch.py): integral-f32 coefficients -> clamped int8 plus an
+// exception list of the values outside [-lim, lim], indices emitted with a
+// caller-supplied flat base offset.  Also counts |v| > 7 so the caller can
+// choose the 4-bit nibble upload form from an exact census.  Runs inside
+// the entropy worker threads (ctypes releases the GIL), replacing the
+// serial numpy multi-pass pack that dominated the serving pipeline.
+// Returns the exception count, or -1 when it would exceed exc_cap.
+J40T_API int64_t j40t_pack_i8(
+    const float* J40T_RESTRICT src, int64_t count, int8_t* J40T_RESTRICT dst,
+    int32_t lim, int64_t exc_base, int32_t* J40T_RESTRICT exc_idx,
+    int32_t* J40T_RESTRICT exc_val, int64_t exc_cap,
+    int64_t* J40T_RESTRICT n_gt7)
+{
+  int64_t nexc = 0, gt7 = 0;
+  for (int64_t i = 0; i < count; ++i) {
+    int32_t iv = (int32_t)src[i];  // decoded coefficients are integral f32
+    int32_t a = iv < 0 ? -iv : iv;
+    gt7 += a > 7;
+    int32_t c = iv < -lim ? -lim : (iv > lim ? lim : iv);
+    dst[i] = (int8_t)c;
+    if (__builtin_expect(a > lim, 0)) {
+      if (nexc >= exc_cap) return -1;
+      exc_idx[nexc] = (int32_t)(exc_base + i);
+      exc_val[nexc] = iv;
+      ++nexc;
+    }
+  }
+  *n_gt7 = gt7;
+  return nexc;
+}
+
+// Fused gather+pack for the all-DCT8x8 serving path: reads each raster
+// block's 64 coefficients through the varblock offset table and emits the
+// clamped-int8 upload form directly (j40t_pack_i8 semantics), skipping the
+// intermediate dense f32 gather entirely.  blocks is the (h8, w8) raster
+// placement map ((dctsel+2)<<20 | voff entries); coeffoff maps voff ->
+// flat coefficient offset.  Exception indices are image-flat over the
+// (3, nblk, 64) destination.  Returns exception count or -1 on overflow.
+J40T_API int64_t j40t_gather_pack_dct8(
+    const float* const* coeffs3, const int32_t* J40T_RESTRICT blocks,
+    int64_t nblk, const int64_t* J40T_RESTRICT coeffoff,
+    int8_t* J40T_RESTRICT dst, int32_t lim,
+    int32_t* J40T_RESTRICT exc_idx, int32_t* J40T_RESTRICT exc_val,
+    int64_t exc_cap, int64_t* J40T_RESTRICT n_gt7)
+{
+  int64_t nexc = 0, gt7 = 0;
+  for (int32_t c = 0; c < 3; ++c) {
+    const float* J40T_RESTRICT src = coeffs3[c];
+    int8_t* J40T_RESTRICT d = dst + (size_t)c * nblk * 64;
+    const int64_t base = (int64_t)c * nblk * 64;
+    for (int64_t i = 0; i < nblk; ++i) {
+      const float* J40T_RESTRICT s = src + coeffoff[blocks[i] & 0xFFFFF];
+      int8_t* J40T_RESTRICT dd = d + i * 64;
+      for (int k = 0; k < 64; ++k) {
+        int32_t iv = (int32_t)s[k];
+        int32_t a = iv < 0 ? -iv : iv;
+        gt7 += a > 7;
+        int32_t cl = iv < -lim ? -lim : (iv > lim ? lim : iv);
+        dd[k] = (int8_t)cl;
+        if (__builtin_expect(a > lim, 0)) {
+          if (nexc >= exc_cap) return -1;
+          exc_idx[nexc] = (int32_t)(base + i * 64 + k);
+          exc_val[nexc] = iv;
+          ++nexc;
+        }
+      }
+    }
+  }
+  *n_gt7 = gt7;
+  return nexc;
+}

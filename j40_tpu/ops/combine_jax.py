@@ -251,9 +251,42 @@ def gather_full_dct8(vs, gg, im, f):
     assert ((blocks_arr >> 20) == 2).all(), "not an all-DCT8x8 group"
     voffs = (blocks_arr & 0xFFFFF).reshape(-1)  # raster order
     offs = np.asarray(gg.vb_coeffoff)[voffs]
-    n = len(voffs)
     cidx = offs[:, None] + np.arange(64)[None, :]
     coeffs = np.stack([gg.coeffs[c][cidx] for c in range(3)]).astype(np.float32)
+    return (coeffs, *_plan_aux_dct8(vs, gg, im, f, voffs, offs))
+
+
+def gather_pack_dct8_i8(vs, gg, im, f):
+    """Fused gather+pack for the device serving path: like
+    `gather_full_dct8` but emits the clamped-int8 upload form in one native
+    pass over the coefficient planes (no dense f32 intermediate; see
+    `native/core.cpp::j40t_gather_pack_dct8`).  Returns
+    ((i8 (3,n,64), exc_idx, exc_val, n_gt7, fill0), aux, weights, consts)
+    where fill0 is the exact int32 value of flat position 0 (the exception
+    scatter's fill target) and exc indices are image-flat."""
+    from ..native.bindings import gather_pack_dct8 as native_gather
+
+    blocks_arr = np.asarray(gg.blocks)
+    assert ((blocks_arr >> 20) == 2).all(), "not an all-DCT8x8 group"
+    voffs = (blocks_arr & 0xFFFFF).reshape(-1)  # raster order
+    offs = np.asarray(gg.vb_coeffoff)[voffs]
+    packed = native_gather(gg.coeffs, blocks_arr, offs=np.asarray(gg.vb_coeffoff))
+    if packed is None:  # no native library: dense gather + numpy pack
+        from ..native.bindings import pack_coeffs_i8
+
+        cidx = offs[:, None] + np.arange(64)[None, :]
+        coeffs = np.stack(
+            [gg.coeffs[c][cidx] for c in range(3)]
+        ).astype(np.float32)
+        i8, eidx, eval_, gt7 = pack_coeffs_i8(coeffs)
+        packed = (i8, eidx, eval_, gt7, int(coeffs.reshape(-1)[0]))
+    return (packed, *_plan_aux_dct8(vs, gg, im, f, voffs, offs))
+
+
+def _plan_aux_dct8(vs, gg, im, f, voffs, offs):
+    """Per-block dequant/CfL auxiliary planes + kernel constants shared by
+    the dense and packed DCT8x8 gathers: (aux (6,n) f32, weights, consts22)."""
+    n = len(voffs)
     kx_lf = np.float32(vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor)
     kb_lf = np.float32(vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor)
     lidx = offs >> 6
@@ -285,7 +318,7 @@ def gather_full_dct8(vs, gg, im, f):
         quant_bias_num=np.float32(im.quant_bias_num),
     )
     param_idx = DCT_SELECT[0][2]
-    return coeffs, aux, vs.dq_weights[param_idx], _pack_consts22(vs, im, f, consts)
+    return aux, vs.dq_weights[param_idx], _pack_consts22(vs, im, f, consts)
 
 
 def _fused_mixed_dispatch(

@@ -38,11 +38,9 @@ def decode_batch(
     return _decode_batch_roundrobin(blobs, workers, backend, per_image_workers)
 
 
-def _plan_uniform(d):
-    """Build the all-DCT8x8 fused-reconstruction plan for one deferred
-    decoder, or None when the stream doesn't fit the uniform batch shape."""
-    from ..ops.combine_jax import gather_full_dct8
-
+def _plan_gate(d):
+    """Uniform-batch eligibility gate shared by the dense and packed plans:
+    returns (vs, gg) for an all-DCT8x8 single-LF-group stream, else None."""
     f, _toc, state = d._deferred
     vs = state.vardct
     if (
@@ -57,7 +55,34 @@ def _plan_uniform(d):
     gg = vs.lf_groups[0]
     if not ((np.asarray(gg.blocks) >> 20) == 2).all():
         return None  # mixed DctSelect: fall back
-    return gather_full_dct8(vs, gg, d.image, f)
+    return vs, gg
+
+
+def _plan_uniform(d):
+    """Build the all-DCT8x8 fused-reconstruction plan for one deferred
+    decoder, or None when the stream doesn't fit the uniform batch shape."""
+    from ..ops.combine_jax import gather_full_dct8
+
+    g = _plan_gate(d)
+    if g is None:
+        return None
+    vs, gg = g
+    return gather_full_dct8(vs, gg, d.image, d._deferred[0])
+
+
+def _plan_uniform_packed(d):
+    """Like `_plan_uniform` but the coefficient gather and int8 upload pack
+    run as ONE native pass (`ops.combine_jax.gather_pack_dct8_i8`) — the
+    serving path's per-image host cost must stay below the host backend's
+    native reconstruct for the device leg to win.  Returns
+    ((i8, exc_idx, exc_val, n_gt7, fill0), aux, weights, consts) or None."""
+    from ..ops.combine_jax import gather_pack_dct8_i8
+
+    g = _plan_gate(d)
+    if g is None:
+        return None
+    vs, gg = g
+    return gather_pack_dct8_i8(vs, gg, d.image, d._deferred[0])
 
 
 def _plans_match(plans, decs):
@@ -193,11 +218,13 @@ def decode_batch_device(
     t0 = time.perf_counter()
 
     def phase1(blob):
-        # entropy decode + the host coefficient gather, both GIL-released
-        # in the native core / numpy
+        # entropy decode + fused native gather-and-pack, all GIL-released
+        # in the native core — the main thread only assembles slabs, so
+        # upload preparation scales with the pool instead of serializing
+        # between chunk dispatches
         d = Decoder(blob, backend="jax")
         d.decode_frame(_defer_finish=True)
-        return d, _plan_uniform(d)
+        return d, _plan_uniform_packed(d)
 
     stats = {
         "images": len(blobs), "chunk": chunk,
@@ -230,7 +257,7 @@ def decode_batch_device(
                 raise ValueError("non-uniform batch (geometry/constants)")
             h8, w8 = geom
             tp0 = time.perf_counter()
-            kind, cup, exc_idx, exc_val, aux = _pack_chunk(
+            kind, cup, exc_idx, exc_val, aux = _assemble_chunk(
                 plans, chunk, h8 * w8)
             stats["pack_s"] += time.perf_counter() - tp0
             stats["upload_bytes"] += (
@@ -280,46 +307,52 @@ def _fetch_copy(x):
     return _fetch_copy_jit()(x)
 
 
-def _pack_chunk(plans, chunk, n):
-    """Pack one chunk's per-image (3, n, 64) f32 coefficient plans straight
-    into a preallocated upload buffer (the intermediate f32 concatenate
-    dominated the pack stage), choosing the narrowest lossless encoding
-    (4-bit nibbles vs int8, exceptions exact either way) from a sampled
-    magnitude census.  Exception indices are remapped from per-image flat
-    positions to chunk-flat positions.  Returns
-    (kind, cup, exc_idx, exc_val, aux)."""
+def _assemble_chunk(plans, chunk, n):
+    """Assemble one chunk's upload buffers from the per-image int8 packs
+    produced inside the phase1 workers (fused native gather+pack; see
+    `ops.combine_jax.gather_pack_dct8_i8`).  The main thread does only slab
+    copies here, so nothing heavy serializes between chunk dispatches.
+    Chooses the narrower lossless upload form (4-bit nibbles vs int8,
+    exceptions exact either way) from the packs' exact census.  Exception
+    indices are remapped from per-image flat positions to chunk-flat
+    positions.  Returns (kind, cup, exc_idx, exc_val, aux)."""
     N = chunk * n
     n64, N64 = n * 64, N * 64
     aux = np.zeros((6, N), np.float32)
-    samp = np.abs(np.concatenate([p[0].reshape(-1)[::97] for p in plans]))
-    kind = "i4" if 0.5 + 8 * np.mean(samp > 7) < 1.0 + 8 * np.mean(samp > 127) \
-        else "i8"
-    if kind == "i8":
-        cup = np.zeros((3, N, 64), np.int8)
-        lim = 127
-    else:
-        cup = np.zeros((3, N, 32), np.uint8)
-        lim = 7
+    total = 3 * n64 * len(plans)
+    gt7 = sum(p[0][3] for p in plans)
+    gt127 = sum(len(p[0][1]) for p in plans)
+    kind = "i4" if 0.5 + 8 * gt7 / total < 1.0 + 8 * gt127 / total else "i8"
+    cup8 = np.zeros((3, N, 64), np.int8)
     idx_parts, val_parts = [], []
-    for i, p in enumerate(plans):
-        d = p[0]
-        if kind == "i8":
-            cup[:, i * n : (i + 1) * n] = np.clip(d, -127, 127).astype(np.int8)
-        else:
-            u = (np.clip(d, -8, 7).astype(np.int8) + 8).astype(np.uint8)
-            cup[:, i * n : (i + 1) * n] = u[..., 0::2] | (u[..., 1::2] << 4)
-        flat = d.reshape(-1)
-        f = np.flatnonzero(np.abs(flat) > lim)
-        if len(f):
-            c = f // n64
-            idx_parts.append((c * N64 + i * n64 + (f % n64)).astype(np.int64))
-            val_parts.append(flat[f].astype(np.int32))
-        aux[:, i * n : (i + 1) * n] = p[1]
-    nexc = sum(len(x) for x in idx_parts)
+    for i, ((i8buf, eidx, eval_, _, _), aux_i, _, _) in enumerate(plans):
+        cup8[:, i * n : (i + 1) * n] = i8buf
+        if len(eidx):
+            c, within = np.divmod(eidx.astype(np.int64), n64)
+            idx_parts.append((c * N64 + i * n64 + within).astype(np.int32))
+            val_parts.append(eval_)
+        aux[:, i * n : (i + 1) * n] = aux_i
+    if kind == "i8":
+        cup = cup8
+        nexc = sum(len(x) for x in idx_parts)
+    else:
+        # values in (7, 127] are exact in the int8 slab; values beyond 127
+        # come from the workers' exception lists
+        u = (np.clip(cup8, -8, 7).astype(np.int8) + 8).view(np.uint8)
+        cup = u[..., 0::2] | (u[..., 1::2] << 4)
+        flat8 = cup8.reshape(-1)
+        f = np.flatnonzero(np.abs(flat8) > 7).astype(np.int32)
+        vals = flat8[f].astype(np.int32)
+        if idx_parts:
+            big_idx = np.concatenate(idx_parts)
+            pos = np.searchsorted(f, big_idx)
+            vals[pos] = np.concatenate(val_parts)
+        idx_parts, val_parts = [f], [vals]
+        nexc = len(f)
     cap = max(64, 1 << int(nexc).bit_length())
     exc_idx = np.zeros(cap, np.int32)
     # the fill slots scatter the true value of chunk-flat position 0
-    exc_val = np.full(cap, np.int32(plans[0][0].reshape(-1)[0]), np.int32)
+    exc_val = np.full(cap, np.int32(plans[0][0][4]), np.int32)
     if nexc:
         exc_idx[1 : 1 + nexc] = np.concatenate(idx_parts)
         exc_val[1 : 1 + nexc] = np.concatenate(val_parts)

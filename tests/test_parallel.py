@@ -100,6 +100,85 @@ def test_pack_i4_roundtrip():
     assert kind2 == "i8"
 
 
+def test_native_pack_and_chunk_assembly():
+    """Native one-pass pack (pack_coeffs_i8) and the chunk assembler must
+    reproduce the coefficient plane losslessly for both upload kinds,
+    including exceptions beyond the int8 range and a zero-padded tail."""
+    from j40_tpu.native.bindings import pack_coeffs_i8
+    from j40_tpu.parallel.batch import _assemble_chunk
+
+    rng = np.random.default_rng(11)
+    n = 16  # blocks per image
+
+    def unpack(kind, cup, exc_idx, exc_val, shape):
+        if kind == "i4":
+            lo = (cup & 0xF).astype(np.int32) - 8
+            hi = (cup >> 4).astype(np.int32) - 8
+            flat = np.stack([lo, hi], axis=-1).reshape(-1)
+        else:
+            flat = cup.astype(np.int32).reshape(-1)
+        flat[exc_idx] = exc_val
+        return flat.reshape(shape)
+
+    for amp, want in ((6, "i4"), (110, "i8")):
+        plans, origs = [], []
+        for _ in range(3):
+            c = rng.integers(-amp, amp + 1, (3, n, 64)).astype(np.float32)
+            pos = rng.integers(0, c.size, 7)
+            c.reshape(-1)[pos] = rng.integers(-500, 500, 7)
+            aux = rng.normal(size=(6, n)).astype(np.float32)
+            pk = pack_coeffs_i8(c)
+            # the native pack must agree with the numpy fallback
+            iv = c.reshape(-1).astype(np.int32)
+            ref_exc = np.flatnonzero(np.abs(iv) > 127)
+            np.testing.assert_array_equal(pk[1], ref_exc)
+            np.testing.assert_array_equal(pk[2], iv[ref_exc])
+            assert pk[3] == int(np.count_nonzero(np.abs(iv) > 7))
+            np.testing.assert_array_equal(
+                pk[0].reshape(-1), np.clip(iv, -127, 127).astype(np.int8))
+            fill0 = int(iv[0])
+            plans.append(((*pk, fill0), aux, None, None))
+            origs.append((c, aux))
+        kind, cup, exc_idx, exc_val, aux_out = _assemble_chunk(
+            plans, chunk=4, n=n)  # 3 images in a 4-chunk: padded tail
+        assert kind == want
+        got = unpack(kind, cup, exc_idx, exc_val, (3, 4 * n, 64))
+        for i, (c, aux) in enumerate(origs):
+            np.testing.assert_array_equal(
+                got[:, i * n : (i + 1) * n], c.astype(np.int32))
+            np.testing.assert_array_equal(aux_out[:, i * n : (i + 1) * n], aux)
+
+
+def test_gather_pack_matches_dense_gather():
+    """The fused native gather+pack must agree with gather_full_dct8
+    followed by the scalar pack on a real decoded stream."""
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import encode_vardct
+    from j40_tpu.native.bindings import pack_coeffs_i8
+    from j40_tpu.ops.combine_jax import gather_full_dct8, gather_pack_dct8_i8
+    from j40_tpu.parallel.batch import _plan_gate
+
+    rng = np.random.default_rng(13)
+    img = (
+        np.cumsum(rng.integers(-3, 4, size=(128, 192, 3)), axis=0) % 200 + 20
+    ).astype(np.uint8)
+    d = Decoder(encode_vardct(img), backend="jax")
+    d.decode_frame(_defer_finish=True)
+    vs, gg = _plan_gate(d)
+    f = d._deferred[0]
+    coeffs, aux_ref, w_ref, k_ref = gather_full_dct8(vs, gg, d.image, f)
+    i8_ref, eidx_ref, eval_ref, gt7_ref = pack_coeffs_i8(coeffs)
+    (i8, eidx, eval_, gt7, fill0), aux, w, k = gather_pack_dct8_i8(
+        vs, gg, d.image, f)
+    np.testing.assert_array_equal(i8, i8_ref)
+    np.testing.assert_array_equal(eidx, eidx_ref)
+    np.testing.assert_array_equal(eval_, eval_ref)
+    assert gt7 == gt7_ref and fill0 == int(coeffs.reshape(-1)[0])
+    np.testing.assert_array_equal(aux, aux_ref)
+    np.testing.assert_array_equal(w, w_ref)
+    np.testing.assert_array_equal(k, k_ref)
+
+
 def test_multipass_workers_bit_stable():
     # regression: two passes of one group accumulate (+=) into the same
     # coefficient planes; with a naive section-level thread map they race
