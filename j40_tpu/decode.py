@@ -700,6 +700,20 @@ class Decoder:
         # slow on hosts with broken THP fault-in (see j40_tpu/__init__.py)
         out = np.zeros((h, w, 4), dtype=odt)
 
+        # fused native clamp+interleave (one pass over the planes; numpy's
+        # per-channel clip/astype/strided-store chain costs ~30 ms/MP)
+        if (
+            im.bpp <= depth
+            and all(p.dtype == np.int32 and p.ndim == 2 for p in planes)
+            and (alpha is None or alpha.dtype == np.int32)
+        ):
+            from .modular.decode import _native_enabled
+            from .native.bindings import render_interleave
+
+            if _native_enabled() and render_interleave(
+                    planes, alpha, out, depth, im.bpp, self.workers):
+                return apply_orientation(out, int(im.orientation))
+
         def _one(i):
             src = planes[i] if i < 3 else alpha
             if src is None:

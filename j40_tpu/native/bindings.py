@@ -110,8 +110,45 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),  # x8, y8
         ctypes.POINTER(ctypes.c_uint32),                  # used[2]
     ]
+    lib.j40t_render_interleave.restype = ctypes.c_int32
+    lib.j40t_render_interleave.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,                   # h, w
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,  # out, depth, bpp
+        ctypes.c_int32,                                   # nthreads
+    ]
     _lib = lib
     return _lib
+
+
+def render_interleave(planes, alpha, out: np.ndarray, depth: int, bpp: int,
+                      nthreads: int) -> bool:
+    """Fused clamp+interleave render of int32 planes into (h, w, 4) RGBA
+    (the reference's clamp+scale, j40.h:7910-7962).  Returns False when the
+    native library or the layout preconditions are unavailable; the caller
+    falls back to the numpy per-channel path."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    h, w = planes[0].shape
+    srcs = list(planes) + [alpha]
+    ptrs, strides = [], []
+    for p in srcs:
+        if p is None:
+            ptrs.append(None)
+            strides.append(0)
+            continue
+        if p.dtype != np.int32 or p.strides[1] != 4 or p.strides[0] % 4:
+            return False
+        ptrs.append(p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        strides.append(p.strides[0] // 4)
+    rc = lib.j40t_render_interleave(
+        ptrs[0], ptrs[1], ptrs[2], ptrs[3],
+        strides[0], strides[1], strides[2], strides[3],
+        h, w, out.ctypes.data_as(ctypes.c_void_p), depth, bpp, nthreads)
+    return rc == 0
 
 
 def place_varblocks(dctsel_arr: np.ndarray, ggw8: int, ggh8: int,

@@ -1020,3 +1020,143 @@ J40T_API int32_t j40t_epf(float* ch0, float* ch1, float* ch2, int32_t h,
   }
   return 0;
 }
+
+// ------------------------------------------------- integer render
+//
+// Host dual of Decoder._render's per-channel clamp+interleave
+// (j40_tpu/decode.py::_one): int32 modular planes -> interleaved RGBA8/16
+// with the reference's clamp+scale semantics (j40.h:7910-7962).  numpy's
+// clip/astype/strided-store chain costs ~30 ms/MP on this shape; this is
+// one fused pass, row-parallel.
+
+namespace {
+
+struct RenderCtx {
+  const int32_t* p[4];  // r, g, b, alpha (alpha may be null -> opaque)
+  int64_t stride[4];    // elements per plane row
+  int32_t h, w;
+  void* out;            // u8 or u16, (h, w, 4) contiguous
+  int32_t depth;        // 8 or 16 (output dtype width)
+  int32_t bpp;          // source bit depth; != depth rescales
+  std::atomic<int32_t> next{0};
+};
+
+template <typename O>
+static void render_rows_scalar(RenderCtx* c, int32_t y0, int32_t y1) {
+  const int32_t omax = (1 << c->depth) - 1;
+  const int32_t maxpixel = (1 << c->bpp) - 1;
+  const int32_t half = 1 << (c->bpp - 1);
+  const bool plain = c->bpp == c->depth;
+  for (int32_t y = y0; y < y1; ++y) {
+    O* dst = (O*)c->out + (size_t)y * c->w * 4;
+    for (int ch = 0; ch < 4; ++ch) {
+      const int32_t* src =
+          c->p[ch] ? c->p[ch] + (size_t)y * c->stride[ch] : nullptr;
+      if (!src) {
+        for (int32_t x = 0; x < c->w; ++x) dst[(size_t)x * 4 + ch] = (O)omax;
+      } else if (plain) {
+        for (int32_t x = 0; x < c->w; ++x) {
+          int32_t v = src[x];
+          v = v < 0 ? 0 : (v > omax ? omax : v);
+          dst[(size_t)x * 4 + ch] = (O)v;
+        }
+      } else {
+        for (int32_t x = 0; x < c->w; ++x) {
+          int64_t v = src[x];
+          v = v < 0 ? 0 : (v > maxpixel ? maxpixel : v);
+          dst[(size_t)x * 4 + ch] = (O)((v * omax + half) / maxpixel);
+        }
+      }
+    }
+  }
+}
+
+#if J40T_X86
+__attribute__((target("avx2")))
+static void render_rows_avx2_u8(RenderCtx* c, int32_t y0, int32_t y1) {
+  // depth == bpp == 8: clamp each plane to [0,255] and byte-pack
+  // r | g<<8 | b<<16 | a<<24 per pixel, 8 pixels per iteration
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i v255 = _mm256_set1_epi32(255);
+  const int32_t w8 = c->w & ~7;
+  for (int32_t y = y0; y < y1; ++y) {
+    uint8_t* dst = (uint8_t*)c->out + (size_t)y * c->w * 4;
+    const int32_t* r = c->p[0] + (size_t)y * c->stride[0];
+    const int32_t* g = c->p[1] + (size_t)y * c->stride[1];
+    const int32_t* b = c->p[2] + (size_t)y * c->stride[2];
+    const int32_t* a = c->p[3] ? c->p[3] + (size_t)y * c->stride[3] : nullptr;
+    int32_t x = 0;
+    for (; x < w8; x += 8) {
+      __m256i vr = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_loadu_si256((const __m256i*)(r + x)), zero),
+          v255);
+      __m256i vg = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_loadu_si256((const __m256i*)(g + x)), zero),
+          v255);
+      __m256i vb = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_loadu_si256((const __m256i*)(b + x)), zero),
+          v255);
+      __m256i va = a ? _mm256_min_epi32(
+                           _mm256_max_epi32(
+                               _mm256_loadu_si256((const __m256i*)(a + x)),
+                               zero),
+                           v255)
+                     : v255;
+      __m256i px = _mm256_or_si256(
+          _mm256_or_si256(vr, _mm256_slli_epi32(vg, 8)),
+          _mm256_or_si256(_mm256_slli_epi32(vb, 16),
+                          _mm256_slli_epi32(va, 24)));
+      _mm256_storeu_si256((__m256i*)(dst + (size_t)x * 4), px);
+    }
+    for (; x < c->w; ++x) {
+      auto cl = [](int32_t v) {
+        return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+      };
+      dst[(size_t)x * 4 + 0] = cl(r[x]);
+      dst[(size_t)x * 4 + 1] = cl(g[x]);
+      dst[(size_t)x * 4 + 2] = cl(b[x]);
+      dst[(size_t)x * 4 + 3] = a ? cl(a[x]) : 255;
+    }
+  }
+}
+#endif
+
+static void render_worker(void* p, int32_t) {
+  auto* c = (RenderCtx*)p;
+  const int32_t BAND = 64;
+  const int32_t nbands = (c->h + BAND - 1) / BAND;
+  for (;;) {
+    int32_t band = c->next.fetch_add(1);
+    if (band >= nbands) return;
+    int32_t y0 = band * BAND;
+    int32_t y1 = y0 + BAND < c->h ? y0 + BAND : c->h;
+#if J40T_X86
+    if (c->depth == 8 && c->bpp == 8 && has_avx2()) {
+      render_rows_avx2_u8(c, y0, y1);
+      continue;
+    }
+#endif
+    if (c->depth == 8)
+      render_rows_scalar<uint8_t>(c, y0, y1);
+    else
+      render_rows_scalar<uint16_t>(c, y0, y1);
+  }
+}
+
+}  // namespace
+
+J40T_API int32_t j40t_render_interleave(
+    const int32_t* r, const int32_t* g, const int32_t* b, const int32_t* a,
+    int64_t stride_r, int64_t stride_g, int64_t stride_b, int64_t stride_a,
+    int32_t h, int32_t w, void* out, int32_t depth, int32_t bpp,
+    int32_t nthreads) {
+  if (depth != 8 && depth != 16) return 1;
+  if (bpp < 1 || bpp > depth) return 1;
+  RenderCtx c;
+  c.p[0] = r; c.p[1] = g; c.p[2] = b; c.p[3] = a;
+  c.stride[0] = stride_r; c.stride[1] = stride_g;
+  c.stride[2] = stride_b; c.stride[3] = stride_a;
+  c.h = h; c.w = w; c.out = out; c.depth = depth; c.bpp = bpp;
+  run_threads(nthreads, render_worker, &c);
+  return 0;
+}
