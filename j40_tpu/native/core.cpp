@@ -1083,142 +1083,172 @@ static int32_t modular_wp_nolz(
 
   const int32_t xlo = 2, xhi = width - 2;  // interior: [xlo, xhi)
 
-  // interior pixel (2 <= x < width-2, y >= 2): unconditional loads,
-  // register-resident WP state
-  auto fast_span = [&](int32_t y, int32_t* J40T_RESTRICT row,
-                       const int32_t* prow, const int32_t* pprow,
-                       I* J40T_RESTRICT erow,
-                       const I* J40T_RESTRICT nrow)
+  // Per-row cursor for the interior loop (2 <= x < width-2, y >= 2): all
+  // loads unconditional, and the loop-carried state (w/ww pixel values,
+  // both error-lane vectors, true errors) lives in registers so the
+  // ecur(x) -> errsum(x+1) dependency skips the store-to-load forward.
+  // (Measured negatives on this host, do not redo blindly: a 128-bit AVX2
+  // version of the 4-lane weight math was ~10% slower -- the gather and
+  // GPR<->SIMD crossings lengthen the serial chain; a two-row wavefront
+  // at a pixel lag was ~14% slower -- doubled live state spills.  The
+  // loop is issue-bound, not chain-bound, at ~2 GHz shared cores.)
+  struct Cursor {
+    int32_t y;
+    int32_t* row; const int32_t* prow; const int32_t* pprow;
+    I* erow; const I* nrow;
+    int64_t cw, cww, cnw, cn, cne;
+    I ew0, ew1, ew2, ew3, eww0, eww1, eww2, eww3, ctew, ctenw;
+  };
+  auto make_cursor = [&](int32_t y, int32_t* row, const int32_t* prow,
+                         const int32_t* pprow, I* erow,
+                         const I* nrow) -> Cursor {
+    // carried registers (xlo == 2, so the x-2 initial loads hit index 0)
+    Cursor c;
+    c.y = y; c.row = row; c.prow = prow; c.pprow = pprow;
+    c.erow = erow; c.nrow = nrow;
+    c.cw = row[xlo - 1]; c.cww = row[xlo - 2];
+    c.cnw = prow[xlo - 1]; c.cn = prow[xlo]; c.cne = prow[xlo + 1];
+    const I* ew = erow + (size_t)(xlo - 1) * 5;
+    c.ew0 = ew[0]; c.ew1 = ew[1]; c.ew2 = ew[2]; c.ew3 = ew[3];
+    c.eww0 = erow[0]; c.eww1 = erow[1]; c.eww2 = erow[2]; c.eww3 = erow[3];
+    c.ctew = ew[4];
+    c.ctenw = nrow[(size_t)(xlo - 1) * 5 + 4];
+    return c;
+  };
+  auto fast_px = [&](Cursor& c, int32_t x)
       __attribute__((always_inline)) -> int32_t {
-      for (int32_t x = xlo; x < xhi; ++x) {
-        const int64_t w_ = row[x - 1], n_ = prow[x], nw = prow[x - 1];
-        const int64_t ne = prow[x + 1], nn = pprow[x], nee = prow[x + 2];
-        const int64_t ww = row[x - 2];
-        // ---- wp_before, interior form (errw2 == ZERO since x+1 < width)
-        const I* ew = erow + (size_t)(x - 1) * 5;
-        const I* eww = erow + (size_t)(x - 2) * 5;
-        const I* en = nrow + (size_t)x * 5;
-        const I* enw = en - 5;
-        const I* ene = en + 5;
-        const I tew = ew[4], ten = en[4], tenw = enw[4], tene = ene[4];
-        const I pw = (I)w_, pn = (I)n_, pnw = (I)nw, pne = (I)ne,
-                pnn = (I)nn;
-        I pred0 = (pw + pne - pn) * 8;
-        I pred1 = pn * 8 - (I)(((tew + ten + tene) * p1) >> 5);
-        I pred2 = pw * 8 - (I)(((tew + ten + tenw) * p2) >> 5);
-        I pred3 = pn * 8 - (I)((tenw * p3[0] + ten * p3[1] + tene * p3[2] +
-                                (pnn - pn) * 8 * p3[3] +
-                                (pnw - pw) * 8 * p3[4]) >> 5);
-        I wv[4], wsum = 0, sum = 0;
-        const I preds[4] = {pred0, pred1, pred2, pred3};
-        for (int i = 0; i < 4; ++i) {
-          I errsum = (I)((U)en[i] + (U)ew[i] + (U)enw[i] + (U)eww[i] +
-                         (U)ene[i]);
-          int32_t shift = floor_lg64((uint64_t)((U)errsum + 1)) - 5;
-          if (shift < 0) shift = 0;
-          wv[i] = (I)(4 + (((int64_t)wbase[i] * DIV24[errsum >> shift]) >> shift));
+    const int64_t w_ = c.cw, n_ = c.cn, nw = c.cnw;
+    const int64_t ne = c.cne, nn = c.pprow[x], nee = c.prow[x + 2];
+    const int64_t ww = c.cww;
+    // ---- wp_before, interior form (errw2 == ZERO since x+1 < width)
+    const I* en = c.nrow + (size_t)x * 5;
+    const I* ene = en + 5;
+    const I tew = c.ctew, ten = en[4], tenw = c.ctenw, tene = ene[4];
+    const I pw = (I)w_, pn = (I)n_, pnw = (I)nw, pne = (I)ne, pnn = (I)nn;
+    I pred0 = (pw + pne - pn) * 8;
+    I pred1 = pn * 8 - (I)(((tew + ten + tene) * p1) >> 5);
+    I pred2 = pw * 8 - (I)(((tew + ten + tenw) * p2) >> 5);
+    I pred3 = pn * 8 - (I)((tenw * p3[0] + ten * p3[1] + tene * p3[2] +
+                            (pnn - pn) * 8 * p3[3] +
+                            (pnw - pw) * 8 * p3[4]) >> 5);
+    const I* enw = en - 5;
+    auto lane = [](I enl, I ewl, I enwl, I ewwl, I enel, I wb)
+        __attribute__((always_inline)) -> I {
+      I errsum = (I)((U)enl + (U)ewl + (U)enwl + (U)ewwl + (U)enel);
+      int32_t shift = floor_lg64((uint64_t)((U)errsum + 1)) - 5;
+      if (shift < 0) shift = 0;
+      return (I)(4 + (((int64_t)wb * DIV24[errsum >> shift]) >> shift));
+    };
+    I wv0 = lane(en[0], c.ew0, enw[0], c.eww0, ene[0], wbase[0]);
+    I wv1 = lane(en[1], c.ew1, enw[1], c.eww1, ene[1], wbase[1]);
+    I wv2 = lane(en[2], c.ew2, enw[2], c.eww2, ene[2], wbase[2]);
+    I wv3 = lane(en[3], c.ew3, enw[3], c.eww3, ene[3], wbase[3]);
+    int32_t logw = floor_lg64(
+        (uint64_t)(U)((U)wv0 + (U)wv1 + (U)wv2 + (U)wv3)) - 4;
+    wv0 >>= logw; wv1 >>= logw; wv2 >>= logw; wv3 >>= logw;
+    const I wsum = (I)((U)wv0 + (U)wv1 + (U)wv2 + (U)wv3);
+    const I sum = (I)((U)((int64_t)pred0 * wv0) + (U)((int64_t)pred1 * wv1) +
+                      (U)((int64_t)pred2 * wv2) + (U)((int64_t)pred3 * wv3));
+    I pred4 = (I)((((int64_t)sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24);
+    {
+      // branchless clamp: the sign-agreement gate is data-dependent
+      // (~coin-flip on natural content), so compute the clamped value
+      // unconditionally and select
+      I lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
+      I hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;
+      I pc = pred4 < lo ? lo : pred4;
+      pc = pc > hi ? hi : pc;
+      pred4 = (((ten ^ tew) | (ten ^ tenw)) <= 0) ? pc : pred4;
+    }
+    // ---- tree walk (interior property forms, all loads unconditional)
+    const TreeNode* node = nodes;
+    while (node->prop >= 0) {
+      int64_t val;
+      switch (node->prop) {
+        case 0: val = cidx; break;
+        case 1: val = sidx; break;
+        case 2: val = c.y; break;
+        case 3: val = x; break;
+        case 4: val = n_ < 0 ? -n_ : n_; break;
+        case 5: val = w_ < 0 ? -w_ : w_; break;
+        case 6: val = n_; break;
+        case 7: val = w_; break;
+        case 8: val = w_ - (ww + nw - (int64_t)c.prow[x - 2]); break;
+        case 9: val = w_ + n_ - nw; break;
+        case 10: val = w_ - nw; break;
+        case 11: val = nw - n_; break;
+        case 12: val = n_ - ne; break;
+        case 13: val = n_ - nn; break;
+        case 14: val = w_ - ww; break;
+        case 15: {
+          int64_t v = tew;
+          auto absl = [](int64_t t) { return t < 0 ? -t : t; };
+          if (absl(v) < absl((int64_t)ten)) v = ten;
+          if (absl(v) < absl((int64_t)tenw)) v = tenw;
+          if (absl(v) < absl((int64_t)tene)) v = tene;
+          val = v;
+          break;
         }
-        int32_t logw = floor_lg64(
-            (uint64_t)(U)((U)wv[0] + (U)wv[1] + (U)wv[2] + (U)wv[3])) - 4;
-        for (int i = 0; i < 4; ++i) {
-          wv[i] >>= logw;
-          wsum = (I)((U)wsum + (U)wv[i]);
-          sum = (I)((U)sum + (U)((int64_t)preds[i] * wv[i]));
-        }
-        I pred4 = (I)((((int64_t)sum + (wsum >> 1) - 1) * DIV24[wsum - 1]) >> 24);
-        {
-          // branchless clamp: the sign-agreement gate is data-dependent
-          // (~coin-flip on natural content), so compute the clamped value
-          // unconditionally and select
-          I lo = pw < pn ? pw : pn; lo = lo < pne ? lo : pne; lo *= 8;
-          I hi = pw > pn ? pw : pn; hi = hi > pne ? hi : pne; hi *= 8;
-          I pc = pred4 < lo ? lo : pred4;
-          pc = pc > hi ? hi : pc;
-          pred4 = (((ten ^ tew) | (ten ^ tenw)) <= 0) ? pc : pred4;
-        }
-        // ---- tree walk (interior property forms, all loads unconditional)
-        const TreeNode* node = nodes;
-        while (node->prop >= 0) {
-          int64_t val;
-          switch (node->prop) {
-            case 0: val = cidx; break;
-            case 1: val = sidx; break;
-            case 2: val = y; break;
-            case 3: val = x; break;
-            case 4: val = n_ < 0 ? -n_ : n_; break;
-            case 5: val = w_ < 0 ? -w_ : w_; break;
-            case 6: val = n_; break;
-            case 7: val = w_; break;
-            case 8: val = w_ - (ww + nw - (int64_t)prow[x - 2]); break;
-            case 9: val = w_ + n_ - nw; break;
-            case 10: val = w_ - nw; break;
-            case 11: val = nw - n_; break;
-            case 12: val = n_ - ne; break;
-            case 13: val = n_ - nn; break;
-            case 14: val = w_ - ww; break;
-            case 15: {
-              int64_t v = tew;
-              auto absl = [](int64_t t) { return t < 0 ? -t : t; };
-              if (absl(v) < absl((int64_t)ten)) v = ten;
-              if (absl(v) < absl((int64_t)tenw)) v = tenw;
-              if (absl(v) < absl((int64_t)tene)) v = tene;
-              val = v;
-              break;
-            }
-            default: {
-              int32_t refcidx = (node->prop - 16) / 4;
-              if (refcidx >= nrefs) return 2;
-              const int32_t* rc = refs[refcidx];
-              int64_t v = rc[(size_t)y * ref_stride + x];
-              if (node->prop & 2) {
-                int64_t rw = rc[(size_t)y * ref_stride + x - 1];
-                int64_t rn = rc[(size_t)(y - 1) * ref_stride + x];
-                int64_t rnw = rc[(size_t)(y - 1) * ref_stride + x - 1];
-                v -= gradient64(rw, rn, rnw);
-              }
-              if (node->prop & 1) v = v < 0 ? -v : v;
-              val = v;
-              break;
-            }
+        default: {
+          int32_t refcidx = (node->prop - 16) / 4;
+          if (refcidx >= nrefs) return 2;
+          const int32_t* rc = refs[refcidx];
+          int64_t v = rc[(size_t)c.y * ref_stride + x];
+          if (node->prop & 2) {
+            int64_t rw = rc[(size_t)c.y * ref_stride + x - 1];
+            int64_t rn = rc[(size_t)(c.y - 1) * ref_stride + x];
+            int64_t rnw = rc[(size_t)(c.y - 1) * ref_stride + x - 1];
+            v -= gradient64(rw, rn, rnw);
           }
-          node = nodes + (val > node->value ? node->left : node->right);
-        }
-        // ---- decode + reconstruct
-        int64_t uv;
-        if (PRE) {
-          uv = pre_uv[(size_t)y * width + x];
-        } else {
-          int32_t token = code_symbol_fast(b, ans, spec, node->ctx, &err);
-          uv = (token & 1) ? -((int64_t)(token / 2) + 1) : token / 2;
-        }
-        int64_t val = uv * node->multiplier + node->offset;
-        int64_t pd;
-        const int32_t p = node->predictor;
-        if (__builtin_expect((p | 3) == 7, 1)) {
-          // predictors 5 (gradient) and 6 (WP) dominate real trees and the
-          // leaf choice is data-dependent: compute both, select branchless
-          int64_t g = gradient64(w_, n_, nw);
-          pd = p == 6 ? (int64_t)((pred4 + 3) >> 3) : g;
-        } else {
-          pd = predict(p, (const WpStateT<I>*)nullptr, w_, n_,
-                       nw, ne, nn, nee, ww);
-        }
-        val += pd;
-        if (val < -range_max - 1 || val > range_max) return 1;
-        row[x] = (int32_t)val;
-        // ---- wp_after, fully local
-        {
-          I* ecur = erow + (size_t)x * 5;
-          const I v8 = (I)val * 8;
-          I d0 = pred0 - v8, d1 = pred1 - v8, d2 = pred2 - v8, d3 = pred3 - v8;
-          ecur[0] = ((d0 < 0 ? -d0 : d0) + 3) >> 3;
-          ecur[1] = ((d1 < 0 ? -d1 : d1) + 3) >> 3;
-          ecur[2] = ((d2 < 0 ? -d2 : d2) + 3) >> 3;
-          ecur[3] = ((d3 < 0 ? -d3 : d3) + 3) >> 3;
-          ecur[4] = pred4 - v8;
+          if (node->prop & 1) v = v < 0 ? -v : v;
+          val = v;
+          break;
         }
       }
-      return 0;
+      node = nodes + (val > node->value ? node->left : node->right);
+    }
+    // ---- decode + reconstruct
+    int64_t uv;
+    if (PRE) {
+      uv = pre_uv[(size_t)c.y * width + x];
+    } else {
+      int32_t token = code_symbol_fast(b, ans, spec, node->ctx, &err);
+      uv = (token & 1) ? -((int64_t)(token / 2) + 1) : token / 2;
+    }
+    int64_t val = uv * node->multiplier + node->offset;
+    int64_t pd;
+    const int32_t p = node->predictor;
+    if (__builtin_expect((p | 3) == 7, 1)) {
+      // predictors 5 (gradient) and 6 (WP) dominate real trees and the
+      // leaf choice is data-dependent: compute both, select branchless
+      int64_t g = gradient64(w_, n_, nw);
+      pd = p == 6 ? (int64_t)((pred4 + 3) >> 3) : g;
+    } else {
+      pd = predict(p, (const WpStateT<I>*)nullptr, w_, n_,
+                   nw, ne, nn, nee, ww);
+    }
+    val += pd;
+    if (val < -range_max - 1 || val > range_max) return 1;
+    c.row[x] = (int32_t)val;
+    // ---- wp_after: update the carried registers, mirror to memory
+    // (edge pixels and the next row read the ring through erow)
+    {
+      I* ecur = c.erow + (size_t)x * 5;
+      const I v8 = (I)val * 8;
+      I d0 = pred0 - v8, d1 = pred1 - v8, d2 = pred2 - v8, d3 = pred3 - v8;
+      d0 = ((d0 < 0 ? -d0 : d0) + 3) >> 3;
+      d1 = ((d1 < 0 ? -d1 : d1) + 3) >> 3;
+      d2 = ((d2 < 0 ? -d2 : d2) + 3) >> 3;
+      d3 = ((d3 < 0 ? -d3 : d3) + 3) >> 3;
+      const I tec = pred4 - v8;
+      ecur[0] = d0; ecur[1] = d1; ecur[2] = d2; ecur[3] = d3;
+      ecur[4] = tec;
+      c.eww0 = c.ew0; c.eww1 = c.ew1; c.eww2 = c.ew2; c.eww3 = c.ew3;
+      c.ew0 = d0; c.ew1 = d1; c.ew2 = d2; c.ew3 = d3;
+      c.ctew = tec; c.ctenw = ten;
+      c.cww = c.cw; c.cw = val; c.cnw = c.cn; c.cn = c.cne; c.cne = nee;
+    }
+    return 0;
   };
 
   auto finish = [&](int32_t ret) -> int32_t {
@@ -1230,7 +1260,6 @@ static int32_t modular_wp_nolz(
   };
 
   {
-    // interleaved decode: raster rows, interior span through fast_px
     for (int32_t y = 0; y < height; ++y) {
       int32_t* J40T_RESTRICT row = out + (size_t)y * out_stride;
       const int32_t* prow = y > 0 ? row - out_stride : nullptr;
@@ -1243,9 +1272,10 @@ static int32_t modular_wp_nolz(
       }
       for (int32_t x = 0; x < xlo; ++x)
         if ((r = slow_px(x, y, row, prow, pprow)) != 0) return finish(r);
-      if ((r = fast_span(y, row, prow, pprow, wp.row_err(y),
-                         wp.row_err_prev(y))) != 0)
-        return finish(r);
+      Cursor c = make_cursor(y, row, prow, pprow, wp.row_err(y),
+                             wp.row_err_prev(y));
+      for (int32_t x = xlo; x < xhi; ++x)
+        if ((r = fast_px(c, x)) != 0) return finish(r);
       for (int32_t x = xhi; x < width; ++x)
         if ((r = slow_px(x, y, row, prow, pprow)) != 0) return finish(r);
     }
