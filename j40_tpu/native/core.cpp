@@ -958,7 +958,63 @@ static void token_prepass(Bits& b, uint32_t& ans, const CodeSpec& spec,
     }
   } else {
     const FlatEntry* flat = spec.ctx_flat[ctx];
-    for (int64_t i = 0; i < n; ++i) {
+    // Bulk loop: one refill check per symbol.  A symbol consumes at most
+    // 16 renorm bits (32-bit rANS state renorms once per step) plus
+    // <= 30 hybrid mid bits, so topping the accumulator to > 47 bits up
+    // front makes every bit extract branch-free.  The tail (last 16 input
+    // bytes) falls back to the checked path, which also preserves the
+    // overrun flag semantics near EOF.
+    uint32_t state = ans;
+    if (state == 0 && n > 0) {  // lazy init, as ans_symbol_fast
+      state = b.u(16);
+      state |= (uint32_t)b.u(16) << 16;
+    }
+    int64_t i = 0;
+    while (i < n && b.pos + 8 <= b.size) {
+      if (b.nbits <= 47) {
+        uint64_t chunk;
+        memcpy(&chunk, b.data + b.pos, 8);
+        b.bits |= chunk << b.nbits;
+        int32_t take = (63 - b.nbits) >> 3;
+        b.pos += take;
+        b.nbits += take * 8;
+        b.bits &= ~(uint64_t)0 >> (64 - b.nbits);
+      }
+      const FlatEntry e = flat[state & 0xfff];
+      state = (uint32_t)e.dfreq * (state >> 12) + (uint32_t)e.bias;
+      if (state < (1u << 16)) {
+        state = (state << 16) | (uint32_t)(b.bits & 0xffff);
+        b.bits >>= 16;
+        b.nbits -= 16;
+      }
+      int32_t token = e.sym;
+      int64_t value;
+      if (token < (1 << cfg.split_exp)) {
+        value = token;
+      } else {
+        const int32_t split = 1 << cfg.split_exp;
+        const int32_t bit = cfg.msb + cfg.lsb;
+        if (__builtin_expect(
+                token > split + (((int32_t)30 - cfg.split_exp) << bit) - 1,
+                0)) {
+          *err = true;
+          value = 0;
+        } else {
+          int32_t midbits = cfg.split_exp - bit + ((token - split) >> bit);
+          int64_t mid = (int64_t)(b.bits & ((((uint64_t)1) << midbits) - 1));
+          b.bits >>= midbits;
+          b.nbits -= midbits;
+          int32_t top = 1 << cfg.msb;
+          int32_t lo = token & ((1 << cfg.lsb) - 1);
+          int32_t hi = (token >> cfg.lsb) & (top - 1);
+          value = (((int64_t)(top | hi)) << (midbits + cfg.lsb)) |
+                  (mid << cfg.lsb) | lo;
+        }
+      }
+      uv[i++] = (int32_t)((value >> 1) ^ -(value & 1));
+    }
+    ans = state;
+    for (; i < n; ++i) {
       int32_t token = ans_symbol_fast(b, ans, flat);
       int64_t value = hybrid_int(b, token, cfg);
       if (__builtin_expect(value < 0, 0)) { *err = true; value = 0; }
