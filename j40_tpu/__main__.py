@@ -53,8 +53,8 @@ def main(argv=None) -> int:
             print(f"Error: cannot parse `{args.input}`: {e}", file=sys.stderr)
             return 1
         im = dec.image
-        kind = "bare codestream" if dec.container.is_bare else "container"
-        print(f"JPEG XL {kind}, {len(dec.codestream)} codestream bytes")
+        kind = "bare codestream" if dec.src.is_bare else "container"
+        print(f"JPEG XL {kind}, {dec.src.available()} codestream bytes")
         depth = f"{im.bpp}-bit int" if not im.exp_bits else (
             f"{im.bpp}-bit float (exp {im.exp_bits})")
         print(f"  image: {im.width}x{im.height}, {depth}, "

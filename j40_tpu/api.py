@@ -116,8 +116,18 @@ class Image:
             im.push(more_bytes)            # streaming: feed and retry
     """
 
-    def __init__(self, data: bytes | bytearray = b"", backend: str = "auto"):
-        self._buf = bytearray(data)
+    def __init__(self, data=b"", backend: str = "auto"):
+        # bytes buffer OR a pull Source (from_file routes through a
+        # FileSource so a large container never materializes; j40's own
+        # from_file decodes from a FILE the same way, j40.h:8342)
+        from .io.source import Source
+
+        if isinstance(data, Source):
+            self._buf = None
+            self._source = data
+        else:
+            self._buf = bytearray(data)
+            self._source = None
         self._backend = backend
         self._err: str | None = None
         self._err_msg = ""
@@ -132,15 +142,17 @@ class Image:
 
     @classmethod
     def from_file(cls, path: str | Path, backend: str = "auto") -> "Image":
+        from .io.source import FileSource
+
         try:
-            data = Path(path).read_bytes()
+            src = FileSource(path)
         except OSError as e:
             im = cls()
             im._err = "open"
             im._err_msg = str(e)  # carries the strerror text (j40.h:8305)
             im._err_origin = "from_file"
             return im
-        return cls(data, backend=backend)
+        return cls(src, backend=backend)
 
     @classmethod
     def from_memory(cls, data: bytes, backend: str = "auto") -> "Image":
@@ -170,6 +182,11 @@ class Image:
         re-entry resumes at the first incomplete section, so each section of
         a chunked stream is decoded exactly once (the reference's buffer
         checkpoint + coroutine analog, j40.h:1662, 8146-8169)."""
+        if self._buf is None:
+            self._err = "flmt"
+            self._err_msg = "push() on a file/source-backed image"
+            self._err_origin = "push"
+            return
         self._buf.extend(data)
         if self._dec is not None:
             try:
@@ -201,8 +218,11 @@ class Image:
             if self._dec is None:
                 # creation itself can fail with 'shrt' (headers not yet
                 # pushed); we then retry creation on the next call
-                self._dec = Decoder(bytes(self._buf), backend=self._backend,
-                                    streaming=True)
+                if self._source is not None:
+                    self._dec = Decoder(self._source, backend=self._backend)
+                else:
+                    self._dec = Decoder(bytes(self._buf),
+                                        backend=self._backend, streaming=True)
             if self._dec.done:
                 return False  # no more frames; error stays clear
             fr = self._dec.decode_frame()

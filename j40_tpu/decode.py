@@ -18,7 +18,6 @@ from .headers.frame import FRAME_REGULAR, FrameHeader, read_frame_header, read_t
 from .headers.image import CSpace, read_image_metadata, read_signature
 from .headers.icc import read_icc
 from .io.bits import BitReader
-from .io.container import parse_container
 from .limits import MAIN_LV5, Limits
 from .modular.decode import ModularImage
 
@@ -118,11 +117,24 @@ class Decoder:
         #: streaming mode: tolerate a truncated container and keep mid-frame
         #: progress across push() (section-granular resume)
         self.streaming = streaming
-        self._filebuf = bytearray(data)
-        self.container = parse_container(bytes(self._filebuf), allow_partial=streaming)
-        self.codestream = self.container.codestream
+        # pull-based input: bytes stay the fast path (zero-copy memory
+        # source); file paths / handles / custom Sources decode through the
+        # incremental box map without materializing the container
+        # (j40.h:1190-1388, 1618-1642 analog — see io/source.py)
+        from .io.source import (
+            CodestreamSource, FileSource, MemorySource, Source,
+            make_prefix_reader,
+        )
+
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            source = MemorySource(data, final=not streaming)
+        elif isinstance(data, Source):
+            source = data
+        else:  # file path or binary handle
+            source = FileSource(data)
+        self.src = CodestreamSource(source, allow_partial=streaming)
         self.limits = limits
-        r = BitReader(self.codestream)
+        r = make_prefix_reader(self.src)
         read_signature(r)
         self.image = read_image_metadata(r, limits)
         if self.image.want_icc:
@@ -141,15 +153,9 @@ class Decoder:
     def push(self, data: bytes) -> None:
         """Streaming: append file bytes; mid-frame progress is preserved and
         the next decode_frame() resumes at the first incomplete section
-        (the reference's buffer checkpoint analog, j40.h:1662)."""
-        self._filebuf.extend(data)
-        self.container = parse_container(bytes(self._filebuf),
-                                         allow_partial=self.streaming)
-        cs = self.container.codestream
-        assert cs[: len(self.codestream)] == self.codestream, \
-            "codestream prefix changed on push"
-        self.codestream = cs
-        self.r.extend_data(cs)
+        (the reference's buffer checkpoint analog, j40.h:1662).  The box
+        walk resumes incrementally — a push is O(new bytes), not a reparse."""
+        self.src.extend(data)
 
     def decode_frame(self, _defer_finish: bool = False) -> Frame | None:
         """Decode the next frame.  With `_defer_finish` the entropy/section
@@ -183,7 +189,7 @@ class Decoder:
                 sections=len(toc.sections),
             )
         f, toc = prog.f, prog.toc
-        self.stats["codestream_bytes"] = len(self.codestream)
+        self.stats["codestream_bytes"] = self.src.available()
         t_sections = time.perf_counter()
 
         from .frame_state import FrameState
@@ -198,7 +204,7 @@ class Decoder:
             # reader (j40.h:8194-8200). Availability is checked up front so a
             # retry never re-enters partially-decoded state; each attempt
             # gets a fresh FrameState.
-            check(toc.end_codeoff <= len(self.codestream), "shrt")
+            check(toc.end_codeoff <= self.src.available(), "shrt")
             r.seek_bits(prog.body_bits)
             state = FrameState(im, f, self.limits)
             state.backend = self.backend
@@ -238,7 +244,7 @@ class Decoder:
                 prog.hf_global_done = True
 
             def _avail(s):
-                return s.codeoff + s.size <= len(self.codestream)
+                return s.codeoff + s.size <= self.src.available()
 
             done = prog.done_sections
             lf_todo = [
@@ -371,7 +377,7 @@ class Decoder:
                     f"{missing} section(s) await more input "
                     f"({len(done)}/{len(toc.sections)} decoded)"
                 )
-            check(toc.end_codeoff <= len(self.codestream), "shrt")
+            check(toc.end_codeoff <= self.src.available(), "shrt")
 
         self.stats["sections_s"] = time.perf_counter() - t_sections
         if _defer_finish:
@@ -407,8 +413,9 @@ class Decoder:
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / div, 1)
         except Exception:
             pass
-        # position the main reader at the next frame's byte boundary
-        self.r.seek_bits(toc.end_codeoff * 8)
+        # position the main reader at the next frame's byte boundary and
+        # drop its header window (bounded memory over large files)
+        self.r.rebase(toc.end_codeoff)
         self._prog = None
         canvas = self._composite(f, state.gmodular)
         if f.is_last:
@@ -543,8 +550,7 @@ class Decoder:
         return canvas
 
     def _section_reader(self, codeoff: int, size: int) -> BitReader:
-        check(codeoff + size <= len(self.codestream), "shrt")
-        return BitReader(self.codestream[codeoff : codeoff + size])
+        return BitReader(self.src.read(codeoff, size))
 
     # -- rendering ---------------------------------------------------------
 

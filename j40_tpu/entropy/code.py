@@ -95,7 +95,8 @@ def _read_simple_entries_vec(r: BitReader, nbits: int, num_dist: int,
         return [0] * num_dist
     import numpy as np
 
-    pos0 = r.bits_consumed
+    r.ensure_all()
+    pos0 = r.rel_bits
     total = num_dist * nbits
     if pos0 + total > len(r.data) * 8:
         return None  # let the scalar loop raise ShortInput at the right spot
@@ -105,7 +106,7 @@ def _read_simple_entries_vec(r: BitReader, nbits: int, num_dist: int,
     bits = np.unpackbits(raw, bitorder="little")[bit0 : bit0 + total]
     vals = bits.reshape(num_dist, nbits) @ (1 << np.arange(nbits, dtype=np.int64))
     check(int(vals.max()) < max_allowed, "clst")
-    r.seek_bits(pos0 + total)
+    r.seek_rel_bits(pos0 + total)
     return vals.tolist()
 
 
@@ -126,7 +127,8 @@ def _read_cluster_entries_native(r: BitReader, nested: "CodeSpec",
 
     from ..native.bindings import NativeStream
 
-    ns = NativeStream(bytes(r.data), r.bits_consumed, nested)
+    r.ensure_all()
+    ns = NativeStream(bytes(r.data), r.rel_bits, nested)
     vals = ns.decode_symbols(np.zeros(num_dist, dtype=np.int32))
     check(int(vals.max(initial=0)) < max_allowed
           and int(vals.min(initial=0)) >= 0, "clst")
@@ -135,7 +137,7 @@ def _read_cluster_entries_native(r: BitReader, nested: "CodeSpec",
         from .ans import ANS_INIT_STATE
 
         check(ns.ans_state == ANS_INIT_STATE, "ans?")
-    r.seek_bits(ns.bitpos)
+    r.seek_rel_bits(ns.bitpos)
     return vals.tolist()
 
 

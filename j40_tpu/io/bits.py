@@ -168,14 +168,29 @@ class BitReader:
         if rem:
             self.u(rem)
 
-    def seek_bits(self, bitpos: int) -> None:
-        """Reposition to an absolute bit offset (native-core handoff)."""
+    @property
+    def rel_bits(self) -> int:
+        """Bit position relative to self.data (equals bits_consumed for a
+        plain reader; windowed readers add a base offset in bits_consumed).
+        Pair with self.data for native-core handoffs."""
+        return self.pos * 8 - self.nbits
+
+    def ensure_all(self) -> None:
+        """Materialize everything reachable into self.data (no-op here;
+        windowed readers pull their full source before a native handoff)."""
+
+    def seek_rel_bits(self, bitpos: int) -> None:
+        """Reposition to a bit offset relative to self.data."""
         self.pos = bitpos >> 3
         self.bits = 0
         self.nbits = 0
         rem = bitpos & 7
         if rem:
             self.u(rem)
+
+    def seek_bits(self, bitpos: int) -> None:
+        """Reposition to an absolute bit offset."""
+        self.seek_rel_bits(bitpos)
 
     def no_more_bytes(self) -> None:
         """Assert properly padded end of buffer (j40.h:2011-2016)."""

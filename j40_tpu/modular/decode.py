@@ -280,8 +280,9 @@ def _decode_channel_native(r: BitReader, m: ModularImage, cidx: int, sidx: int) 
 
     c = m.channels[cidx]
     if m.native is None:
+        r.ensure_all()  # windowed header readers pull their full source
         data = bytes(r.data)
-        m.native = NativeStream(data, r.bits_consumed, m.codespec)
+        m.native = NativeStream(data, r.rel_bits, m.codespec)
         m._tree_arr = tree_to_array(m.tree)
         m._wp_arr = wp_to_array(m.wp_params)
     refs = [
@@ -297,7 +298,7 @@ def _decode_channel_native(r: BitReader, m: ModularImage, cidx: int, sidx: int) 
         range_max=0x7FFFFFFF if m.wide else 32767,
     )
     # hand the bit position and ANS state back to the Python layer
-    r.seek_bits(m.native.bitpos)
+    r.seek_rel_bits(m.native.bitpos)
     m.code.ans.state = m.native.ans_state
     return True
 

@@ -61,7 +61,7 @@ class _Lane:
 def _prepare_lane(dec, state, s):
     """Host-parse one section's modular header; None when the section needs
     the host path (branchy tree, transforms, LZ77...) or decodes nothing."""
-    data = dec.codestream[s.codeoff : s.codeoff + s.size]
+    data = dec.src.read(s.codeoff, s.size)
     region = state._group_region(s.idx)
     picks = state.modular_picks(region, 0, 3)
     if not picks:

@@ -565,8 +565,9 @@ class VarDCTState:
 
         lib = get_lib()
         gw8, gh8 = ceil_div(gw, 8), ceil_div(gh, 8)
+        r.ensure_all()
         data = bytes(r.data)
-        ns = NativeStream(data, r.bits_consumed, self.coeff_codespec[pass_])
+        ns = NativeStream(data, r.rel_bits, self.coeff_codespec[pass_])
         # per-LF-group context arrays: converted once, reused by all 64
         # member groups x passes (the conversions are pure rework per section)
         nat = gg.native_ctx
@@ -631,7 +632,7 @@ class VarDCTState:
             coeff_ptrs,
         )
         check(rc == 0, "coef" if rc == 1 else "shrt", f"native hf rc={rc}")
-        r.seek_bits(ns.bitpos)
+        r.seek_rel_bits(ns.bitpos)
         code = CodeState(self.coeff_codespec[pass_])
         code.ans.state = ns.ans_state
         code.finish(r)

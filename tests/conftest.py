@@ -10,6 +10,11 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 # J40_TESTS_TPU=1 to run the device-path tests on the real chip instead
 # (single-device: the mesh tests will then be skipped or fail).
 if os.environ.get("J40_TESTS_TPU") != "1":
+    # drop the axon plugin trigger: its sitecustomize registration can
+    # block on a stalled TPU tunnel, and the CPU-mesh suite must stay
+    # green regardless of tunnel weather (already registered by the time
+    # conftest runs, but child processes spawned by tests inherit this)
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )

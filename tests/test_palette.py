@@ -357,7 +357,7 @@ def test_container_wrapping_vs_dj40(dj40, tmp_path):
         np.testing.assert_array_equal(ref, img)
         dec, rgba = decode_file(data)
         np.testing.assert_array_equal(rgba[:, :, :3], img)
-        assert not dec.container.is_bare
+        assert not dec.src.is_bare
 
 
 def test_permuted_toc_across_jxlp_parts(dj40, tmp_path):
