@@ -398,3 +398,49 @@ def test_sharded_decode_mixed_dctselect():
     mesh = Mesh(np.array(jax.devices()[:8]), ("rows",))
     out = decode_sharded(cs, mesh=mesh, apply_filters=True)
     assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("rct_type", [0, 6])
+def test_sharded_lossless_bit_exact(rct_type):
+    """Squeeze+RCT inverse transforms as sharded device compute: the
+    unsqueeze scan axis alternates, the sharded axis flips with it
+    (distributed transpose), and the integer path must be EXACTLY equal
+    to the single-device decoder (config-2 analog; the reference stubs
+    Squeeze at j40.h:4518)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+    from j40_tpu.parallel.sharded_lossless import decode_sharded_lossless
+
+    devices = np.asarray(jax.devices()[:4], dtype=object)
+    if len(devices) < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.default_rng(77)
+    img = (np.cumsum(rng.integers(-3, 4, size=(192, 320, 3)), axis=1)
+           % 210 + 20).astype(np.uint8)
+    opts = AdvancedOptions(squeeze=True)
+    if rct_type:
+        opts = AdvancedOptions(squeeze=True, rct_type=rct_type)
+    blob = encode_modular_advanced(img, options=opts)
+    d = Decoder(blob, workers=2)
+    d.decode_frame()
+    ref = d.render_rgba8()
+    out = decode_sharded_lossless(blob, mesh=Mesh(devices, ("rows",)))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_lossless_palette_falls_back():
+    from j40_tpu.errors import Unsupported
+    from j40_tpu.parallel.sharded_lossless import decode_sharded_lossless
+
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 255, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (64, 64))
+    img = pal[idx]
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+
+    blob = encode_modular_advanced(img, options=AdvancedOptions(palette=True))
+    with pytest.raises(Unsupported):
+        decode_sharded_lossless(blob, n_devices=2)
