@@ -56,12 +56,16 @@ class _Plan:
     fparams: np.ndarray     # [global_scale_inv, x_qm, b_qm]
     f: object               # FrameHeader
     im: object              # ImageMetadata
-    #: mixed-DctSelect support: non-8x8 varblocks reconstruct up front
-    #: (per-class batched transforms) into a full-size sample overlay that
+    #: mixed-DctSelect support: per-class varblock tensors with absolute
+    #: pixel positions (ds -> dict of bc/bllf/bhf/bkx/bkb/py/px).  When the
+    #: shard boundaries can be group-aligned these run as per-class batched
+    #: transforms INSIDE the shard program; otherwise materialize_overlay()
+    #: reconstructs them up front into a full-size sample overlay that
     #: shards as data — varblocks never cross group boundaries, so the
     #: overlay never needs a cross-shard scatter
     overlay: np.ndarray | None = None   # (3, H, W) float32 XYB samples
     overlay_mask: np.ndarray | None = None  # (h8, w8) bool, True = overlaid
+    classes: dict | None = None         # ds -> per-varblock tensors
 
 
 def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
@@ -148,7 +152,7 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
     kx_lf = np.float32(vs.base_corr_x + vs.x_factor_lf * vs.inv_colour_factor)
     kb_lf = np.float32(vs.base_corr_b + vs.b_factor_lf * vs.inv_colour_factor)
 
-    overlay = None
+    classes = None
     overlay_mask = None
     for ggidx, gg in vs.lf_groups.items():
         gy0, gx0 = gg.top // 8, gg.left // 8
@@ -188,13 +192,14 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
             rs_blocks[gy0 : gy0 + gg.height8, gx0 : gx0 + gg.width8] = rs
         if not bool((~is8).any()):
             continue
-        # non-8x8 classes: per-class batched inverse transforms (the same
-        # gather as ops.combine_jax), scattered into the overlay plane
-        from ..ops.combine_jax import _class_pipeline
-        from ..vardct.tables import DCT_SELECT, QM_SCALE as _QM
+        # non-8x8 classes: gather per-class coefficient/CfL/LLF tensors with
+        # absolute pixel positions; the runner decides whether they execute
+        # inside the shard program (group-aligned shards) or materialize
+        # into a sample overlay up front (materialize_overlay)
+        from ..vardct.tables import DCT_SELECT
 
-        if overlay is None:
-            overlay = np.zeros((3, f.height, f.width), np.float32)
+        if classes is None:
+            classes = {}
             overlay_mask = np.zeros((h8, w8), bool)
         overlay_mask[gy0 : gy0 + gg.height8, gx0 : gx0 + gg.width8] |= ~is8
         cyv, cxv = np.nonzero(sel > 2)
@@ -205,8 +210,7 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
             voffs = voff_all[mask_c]
             y8s, x8s = cyv[mask_c], cxv[mask_c]
             log_rows, log_columns, param_idx, _ = DCT_SELECT[int(ds)]
-            rows, cols = 1 << log_rows, 1 << log_columns
-            size = rows * cols
+            size = 1 << (log_rows + log_columns)
             vh8 = 1 << (min(log_rows, log_columns) - 3)
             vw8 = 1 << (max(log_rows, log_columns) - 3)
             llfsize = vh8 * vw8
@@ -218,34 +222,27 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
             l0 = gg.llfcoeffs[0][lidx]
             l1 = gg.llfcoeffs[1][lidx]
             l2 = gg.llfcoeffs[2][lidx]
-            bllf = np.stack([l0 + l1 * kx_lf, l1, l2 + l1 * kb_lf])
+            bllf = np.stack([l0 + l1 * kx_lf, l1, l2 + l1 * kb_lf]
+                            ).astype(np.float32)
             bhf = np.asarray(gg.vb_hfmul_inv)[voffs].astype(np.float32)
             bkx = (vs.base_corr_x + vs.inv_colour_factor
                    * np.asarray(gg.xfromy)[y8s // 8, x8s // 8]).astype(np.float32)
             bkb = (vs.base_corr_b + vs.inv_colour_factor
                    * np.asarray(gg.bfromy)[y8s // 8, x8s // 8]).astype(np.float32)
-            llf_idx = np.array(
-                [y * (vw8 * 8) + x for y in range(vh8) for x in range(vw8)],
-                np.int32)
-            import jax.numpy as jnp
-
-            samples = np.asarray(_class_pipeline(
-                jnp.asarray(bc), jnp.asarray(bllf), jnp.asarray(llf_idx),
-                jnp.asarray(bhf), jnp.asarray(bkx), jnp.asarray(bkb),
-                jnp.asarray(vs.dq_weights[param_idx]),
-                jnp.float32(65536.0 / vs.global_scale),
-                jnp.asarray([_QM[f.x_qm_scale], 1.0, _QM[f.b_qm_scale]],
-                            dtype=jnp.float32),
-                jnp.asarray(im.quant_bias, jnp.float32),
-                jnp.float32(im.quant_bias_num),
+            py = (gg.top + y8s * 8).astype(np.int32)
+            px = (gg.left + x8s * 8).astype(np.int32)
+            ent = classes.setdefault(
                 int(ds),
-            ))  # (3, n, rows, cols)
-            for k in range(len(voffs)):
-                py = gg.top + int(y8s[k]) * 8
-                px = gg.left + int(x8s[k]) * 8
-                hh = min(samples.shape[2], f.height - py)
-                ww = min(samples.shape[3], f.width - px)
-                overlay[:, py : py + hh, px : px + ww] = samples[:, k, :hh, :ww]
+                {"bc": [], "bllf": [], "bhf": [], "bkx": [], "bkb": [],
+                 "py": [], "px": [], "param_idx": param_idx,
+                 "dqw": np.asarray(vs.dq_weights[param_idx], np.float32),
+                 "log_rows": log_rows, "log_columns": log_columns,
+                 "llfsize": llfsize, "vh8": vh8, "vw8": vw8},
+            )
+            for key, arr in (("bc", bc), ("bllf", bllf), ("bhf", bhf),
+                             ("bkx", bkx), ("bkb", bkb), ("py", py),
+                             ("px", px)):
+                ent[key].append(arr)
 
     fparams = np.array(
         [65536.0 / vs.global_scale, QM_SCALE[f.x_qm_scale], QM_SCALE[f.b_qm_scale]],
@@ -256,16 +253,58 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
         from ..vardct.dequant import load_dq_matrix
 
         dq8 = load_dq_matrix(0, vs.dq_matrix[0])
+    if classes is not None:
+        for ent in classes.values():
+            for key in ("bc", "bllf", "bhf", "bkx", "bkb", "py", "px"):
+                ent[key] = np.concatenate(
+                    ent[key], axis=1 if key in ("bc", "bllf") else 0)
     return _Plan(
         width=f.width, height=f.height, h8=h8, w8=w8,
         coeffs=coeffs, llf=llf, hfmul_inv=hfmul_inv, kx=kx, kb=kb,
         rs_blocks=rs_blocks, dq_weights=np.asarray(dq8),
         fparams=fparams, f=f, im=im,
-        overlay=overlay, overlay_mask=overlay_mask,
+        overlay=None, overlay_mask=overlay_mask, classes=classes,
     )
 
 
-def _pad_rows(plan: _Plan, n_rows: int) -> tuple[int, np.ndarray]:
+def materialize_overlay(plan: _Plan) -> None:
+    """Fallback for non-group-aligned shardings: reconstruct the non-8x8
+    classes up front (per-class batched transforms on the default device)
+    into a full-size XYB sample overlay that shards as data."""
+    if plan.classes is None or plan.overlay is not None:
+        return
+    import jax.numpy as jnp
+
+    from ..ops.combine_jax import _class_pipeline
+
+    f, im = plan.f, plan.im
+    overlay = np.zeros((3, f.height, f.width), np.float32)
+    for ds, ent in plan.classes.items():
+        rows = 1 << ent["log_rows"]
+        cols = 1 << ent["log_columns"]
+        llf_idx = np.array(
+            [y * (ent["vw8"] * 8) + x
+             for y in range(ent["vh8"]) for x in range(ent["vw8"])], np.int32)
+        samples = np.asarray(_class_pipeline(
+            jnp.asarray(ent["bc"]), jnp.asarray(ent["bllf"]),
+            jnp.asarray(llf_idx), jnp.asarray(ent["bhf"]),
+            jnp.asarray(ent["bkx"]), jnp.asarray(ent["bkb"]),
+            jnp.asarray(ent["dqw"]),
+            jnp.float32(plan.fparams[0]),
+            jnp.asarray([plan.fparams[1], 1.0, plan.fparams[2]], jnp.float32),
+            jnp.asarray(im.quant_bias, jnp.float32),
+            jnp.float32(im.quant_bias_num),
+            int(ds),
+        ))  # (3, n, rows, cols)
+        for k in range(len(ent["py"])):
+            py, px = int(ent["py"][k]), int(ent["px"][k])
+            hh = min(rows, f.height - py)
+            ww = min(cols, f.width - px)
+            overlay[:, py : py + hh, px : px + ww] = samples[:, k, :hh, :ww]
+    plan.overlay = overlay
+
+
+def _pad_rows(plan: _Plan, n_rows: int, row_mult: int = 1) -> tuple[int, np.ndarray]:
     """Pick the padded block-row count and the last-shard mirror index map.
 
     The padded pixel height is a multiple of 8*n_rows with pad >= 3 px (or 0)
@@ -273,10 +312,11 @@ def _pad_rows(plan: _Plan, n_rows: int) -> tuple[int, np.ndarray]:
     row (j40.h:7328 half-sample mirror)."""
     import math
 
-    h8p = math.ceil(plan.h8 / n_rows) * n_rows
+    step = n_rows * row_mult
+    h8p = math.ceil(plan.h8 / step) * step
     H = plan.height
     if 0 < h8p * 8 - H < 3:
-        h8p += n_rows
+        h8p += step
     Hp = h8p * 8
     shard_h = Hp // n_rows
     pad = Hp - H
@@ -346,15 +386,91 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
     from ..ops.filters import KERNELS4, KERNELS12, _epf_step_jax_rows
     from ..ops.reconstruct import idct2d_batch, xyb_to_srgb_u8
 
+    from ..errors import J40Error
+
     row_axis = axes[-1]
     n_rows = mesh.shape[row_axis]
     p0 = plans[0]
     f, im = p0.f, p0.im
     H, W, w8 = p0.height, p0.width, p0.w8
-    h8p, mir_idx = _pad_rows(p0, n_rows)
+    # mixed-DctSelect mode: when shard boundaries can sit on group
+    # multiples, varblocks never straddle shards (placement cannot cross a
+    # group, j40.h:6636-6687), so the non-8x8 classes run as per-class
+    # batched transforms INSIDE the shard program; otherwise fall back to
+    # the precomputed sample overlay, which shards as data
+    has_mixed = any(p.classes for p in plans)
+    mixed_compute = False
+    if has_mixed:
+        row_mult = 1 << (f.group_size_shift - 3)
+        try:
+            h8p, mir_idx = _pad_rows(p0, n_rows, row_mult)
+            mixed_compute = True
+        except J40Error:
+            pass
+    if not mixed_compute:
+        for p in plans:
+            materialize_overlay(p)
+        h8p, mir_idx = _pad_rows(p0, n_rows)
     shard_h8 = h8p // n_rows
     shard_h = shard_h8 * 8
     npad = h8p * w8
+
+    nimg = len(plans)
+    cls_meta: list[dict] = []
+    cls_stacked: list[np.ndarray] = []
+    if mixed_compute:
+        all_ds = sorted({ds for p in plans for ds in (p.classes or {})})
+        for ds in all_ds:
+            ref_ent = next(p.classes[ds] for p in plans
+                           if p.classes and ds in p.classes)
+            rows_v = 1 << ref_ent["log_rows"]
+            cols_v = 1 << ref_ent["log_columns"]
+            size = rows_v * cols_v
+            llfsize = ref_ent["llfsize"]
+            # per (image, shard) varblock selections, padded to the max
+            sel = [[None] * n_rows for _ in range(nimg)]
+            nmax = 1
+            for i, p in enumerate(plans):
+                ent = (p.classes or {}).get(ds)
+                if ent is None:
+                    continue
+                shard_of = ent["py"] // shard_h
+                for s in range(n_rows):
+                    m = shard_of == s
+                    if m.any():
+                        sel[i][s] = m
+                        nmax = max(nmax, int(m.sum()))
+            bc = np.zeros((nimg, n_rows, 3, nmax, size), np.float32)
+            bllf = np.zeros((nimg, n_rows, 3, nmax, llfsize), np.float32)
+            bhf = np.ones((nimg, n_rows, nmax), np.float32)
+            bkx = np.zeros((nimg, n_rows, nmax), np.float32)
+            bkb = np.zeros((nimg, n_rows, nmax), np.float32)
+            # padded entries point past the shard plane -> scatter drops them
+            pyl = np.full((nimg, n_rows, nmax), shard_h, np.int32)
+            pxv = np.zeros((nimg, n_rows, nmax), np.int32)
+            for i, p in enumerate(plans):
+                ent = (p.classes or {}).get(ds)
+                for s in range(n_rows):
+                    m = sel[i][s]
+                    if m is None:
+                        continue
+                    k = int(m.sum())
+                    bc[i, s, :, :k] = ent["bc"][:, m]
+                    bllf[i, s, :, :k] = ent["bllf"][:, m]
+                    bhf[i, s, :k] = ent["bhf"][m]
+                    bkx[i, s, :k] = ent["bkx"][m]
+                    bkb[i, s, :k] = ent["bkb"][m]
+                    pyl[i, s, :k] = ent["py"][m] - s * shard_h
+                    pxv[i, s, :k] = ent["px"][m]
+            cls_meta.append({
+                "ds": ds, "rows": rows_v, "cols": cols_v,
+                "dqw": ref_ent["dqw"],
+                "llf_idx": np.array(
+                    [y * (ref_ent["vw8"] * 8) + x
+                     for y in range(ref_ent["vh8"])
+                     for x in range(ref_ent["vw8"])], np.int32),
+            })
+            cls_stacked += [bc, bllf, bhf, bkx, bkb, pyl, pxv]
 
     def padded(plan: _Plan):
         def padb(a, fill=0.0):
@@ -417,8 +533,11 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
         bottom = jnp.where(idx == n_rows - 1, bot_own, from_below)
         return jnp.concatenate([top, x, bottom], axis=1)
 
-    def per_shard(coeffs, llf, hfmul_inv, kx, kb, rs_px, fparams,
-                  overlay=None, ov_mask=None):
+    def per_shard(coeffs, llf, hfmul_inv, kx, kb, rs_px, fparams, *extra):
+        overlay = ov_mask = None
+        if has_overlay:
+            overlay, ov_mask = extra[0], extra[1]
+            extra = extra[2:]
         # coeffs (3, nb, 64), llf (3, nb), scalars (nb,), rs_px (shard_h, W)
         gsi, x_qm, b_qm = fparams[0], fparams[1], fparams[2]
         qm = jnp.stack([x_qm, jnp.float32(1.0), b_qm])
@@ -442,6 +561,24 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
             # pre-reconstructed non-8x8 varblocks replace their cells; the
             # overlay shards as data (varblocks never cross group rows)
             samples = jnp.where(ov_mask[None] > 0, overlay, samples)
+        for mi, meta in enumerate(cls_meta):
+            # group-aligned mixed mode: this shard's non-8x8 varblocks of
+            # one DctSelect class — dequant + CfL + batched inverse
+            # transform + scatter, all inside the shard program (padded
+            # entries carry y == shard_h and are dropped by the scatter)
+            bc, bllf, bhf, bkx, bkb, pyl, pxv = (
+                a[0] for a in extra[mi * 7 : mi * 7 + 7])
+            from ..ops.combine_jax import _class_pipeline
+
+            vals = _class_pipeline(
+                bc, bllf, jnp.asarray(meta["llf_idx"]), bhf, bkx, bkb,
+                jnp.asarray(meta["dqw"]), gsi, qm,
+                jnp.asarray(quant_bias), quant_bias_num, meta["ds"])
+            rr = jnp.arange(vals.shape[2])
+            cc = jnp.arange(vals.shape[3])
+            yidx = pyl[:, None, None] + rr[None, :, None]
+            xidx = pxv[:, None, None] + cc[None, None, :]
+            samples = samples.at[:, yidx, xidx].set(vals, mode="drop")
 
         idx = jax.lax.axis_index(row_axis)
         is_last = idx == n_rows - 1
@@ -488,6 +625,15 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
         if has_overlay:
             specs = specs + (P(img_p, None, row_axis, None),
                              P(img_p, row_axis, None))
+        for _ in cls_meta:
+            specs = specs + (
+                P(img_p, row_axis, None, None, None),   # bc
+                P(img_p, row_axis, None, None, None),   # bllf
+                P(img_p, row_axis, None), P(img_p, row_axis, None),
+                P(img_p, row_axis, None),               # bhf/bkx/bkb
+                P(img_p, row_axis, None), P(img_p, row_axis, None),  # py/px
+            )
+        stacked = stacked + cls_stacked
         out_spec = P(img_p, None, row_axis, None)
     else:
         fn = per_shard
@@ -498,6 +644,13 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
         )
         if has_overlay:
             specs = specs + (P(None, row_axis, None), P(row_axis, None))
+        for _ in cls_meta:
+            specs = specs + (
+                P(row_axis, None, None, None), P(row_axis, None, None, None),
+                P(row_axis, None), P(row_axis, None), P(row_axis, None),
+                P(row_axis, None), P(row_axis, None),
+            )
+        stacked = stacked + [a[0] for a in cls_stacked]
         out_spec = P(None, row_axis, None)
 
     sharded = jax.jit(

@@ -444,3 +444,41 @@ def test_sharded_lossless_palette_falls_back():
     blob = encode_modular_advanced(img, options=AdvancedOptions(palette=True))
     with pytest.raises(Unsupported):
         decode_sharded_lossless(blob, n_devices=2)
+
+
+def test_sharded_mixed_classes_as_compute():
+    """Group-aligned shard boundaries: non-8x8 DctSelect classes execute as
+    per-class batched transforms inside the shard program (plan.overlay
+    stays None); non-aligned geometries materialize the overlay fallback.
+    Both match the single-device decoder within +-1."""
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import encode_vardct_mixed
+    from j40_tpu.parallel.sharded_decode import _run_sharded, plan_frame
+
+    devices = np.asarray(jax.devices()[:2], dtype=object)
+    if len(devices) < 2:
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(devices, ("rows",))
+    rng = np.random.default_rng(6)
+
+    def run(height):
+        img = (np.cumsum(rng.integers(-2, 3, size=(height, 256, 3)), axis=1)
+               % 180 + 30).astype(np.uint8)
+        img[:64, :96] = img[3, 3]  # flat band -> non-8x8 varblocks
+        blob = encode_vardct_mixed(img)
+        plan = plan_frame(blob, owners=2)
+        assert plan.classes, "expected non-8x8 classes"
+        out = _run_sharded([plan], mesh, ("rows",), False)[0]
+        d = Decoder(blob)
+        d.decode_frame()
+        ref = d.render_rgba8()[:, :, :3]
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+        return plan
+
+    # 512 px = 2 group rows over 2 shards -> group-aligned, compute mode
+    assert run(512).overlay is None
+    # 128 px: group alignment infeasible (pad >= shard) -> overlay fallback
+    assert run(128).overlay is not None
