@@ -400,7 +400,7 @@ class Decoder:
         if self.keep_device_output:
             self._device_planes = getattr(state.vardct, "device_planes", None) \
                 if state.vardct is not None else None
-        if f.log_upsampling:
+        if f.log_upsampling or any(f.ec_log_upsampling):
             self._upsample_frame(f, state.gmodular)
         self.stats["reconstruct_s"] = time.perf_counter() - t_finish
         self.stats["total_s"] = time.perf_counter() - prog.t0
@@ -433,12 +433,21 @@ class Decoder:
         from .mathutil import ceil_div
         from .ops.upsample import upsample_channel_int
 
-        k = 1 << f.log_upsampling
-        weights = self.image.up_weights.get(k)
-        for ch in gm.channels:
-            up = upsample_channel_int(ch.data, k, weights)
-            h = ceil_div(f.disp_height, 1 << ch.vshift)
-            w = ceil_div(f.disp_width, 1 << ch.hshift)
+        ncolor = self._ncolor(f) if f.is_modular else 0
+        for i, ch in enumerate(gm.channels):
+            if i < ncolor or not f.ec_log_upsampling:
+                k = 1 << f.log_upsampling
+                up = upsample_channel_int(ch.data, k,
+                                          self.image.up_weights.get(k))
+                h = ceil_div(f.disp_height, 1 << ch.vshift)
+                w = ceil_div(f.disp_width, 1 << ch.hshift)
+            else:
+                # extra channel: its own factor subsumes the shift
+                k = 1 << f.ec_log_upsampling[i - ncolor]
+                up = upsample_channel_int(ch.data, k,
+                                          self.image.up_weights.get(k))
+                h, w = f.disp_height, f.disp_width
+                ch.hshift = ch.vshift = 0
             ch.data = up[:h, :w]
             ch.width, ch.height = w, h
 

@@ -143,6 +143,9 @@ class EncodeOptions:
     # planes verbatim (signed int), skipping the RGB->YCbCr forward — lets
     # tests drive the render path with hand-picked plane values
     ycbcr_raw: bool = False
+    #: per-extra-channel log2 upsampling factors (frame factor stays 0);
+    #: each EC plane must then be supplied at ceil(size / 2^v)
+    ec_log_upsampling: tuple = ()
 
 
 def encode_modular(image: np.ndarray, bpp: int = 8,
@@ -245,8 +248,9 @@ def _write_modular_frame_header(
         s0, s1, s2 = opt.ycbcr_subsample
         w.u(6, s0 | (s1 << 2) | (s2 << 4))  # jpeg_upsampling
     w.u(2, 0)  # log_upsampling
-    for _ in range(num_alpha):
-        w.u(2, 0)  # per-extra-channel upsampling
+    for i in range(num_alpha):
+        v = opt.ec_log_upsampling[i] if i < len(opt.ec_log_upsampling) else 0
+        w.u(2, v)  # per-extra-channel upsampling
     w.u(2, opt.group_size_shift - 7)  # group_size_shift
     w.u32(((1, 0), (2, 0), (3, 0), (4, 3)), 1)  # num_passes = 1
     have_crop = not (fw == imw and fh == imh and x0 == 0 and y0 == 0)

@@ -81,6 +81,10 @@ class FrameState:
                 code = (f.jpeg_upsampling >> (2 * i)) & 3
                 hs = 1 if code in (1, 2) else 0
                 vs = 1 if code in (1, 3) else 0
+            elif i >= ncolor and f.ec_log_upsampling:
+                # EC upsampling beyond the frame factor codes the channel
+                # at the correspondingly reduced resolution (spec §5.2)
+                hs = vs = f.ec_log_upsampling[i - ncolor] - f.log_upsampling
             channels.append(
                 Channel(ceil_div(f.width, 1 << hs), ceil_div(f.height, 1 << vs),
                         hs, vs)

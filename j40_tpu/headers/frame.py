@@ -124,16 +124,23 @@ def read_frame_header(
                 f.jpeg_upsampling = r.u(6)
             # upsampling (the reference rejects any non-zero value at
             # j40.h:5245-5250; we implement the spec upsampler, see
-            # ops/upsample.py).  Mixed per-EC factors are deferred: every
-            # extra channel must share the frame factor.
+            # ops/upsample.py).  Per-EC factors may exceed the frame factor:
+            # the surplus becomes the channel's hshift/vshift (the EC is
+            # coded at ceil(disp/ec_k)); factors below the frame factor are
+            # not representable (libjxl rejects them too), and a surplus
+            # shift of 3 would route the channel to ModularLfGroup sections
+            # (a TODO in the reference at j40.h:6735 and here).
             f.log_upsampling = r.u(2)
             f.ec_log_upsampling = []
             for _ in range(im.num_extra_channels):
                 v = r.u(2)
-                if v != f.log_upsampling:
+                if v < f.log_upsampling:
                     raise Unsupported(
-                        message="per-EC upsampling factor differs from frame"
-                    )
+                        message="per-EC upsampling below the frame factor")
+                if v - f.log_upsampling > 2:
+                    raise Unsupported(
+                        message="per-EC upsampling shift > 2 (LfGroup-coded "
+                                "modular channels)")
                 f.ec_log_upsampling.append(v)
         if f.is_modular:
             f.group_size_shift = 7 + r.u(2)
