@@ -186,13 +186,13 @@ def _shared_lookup(chunks_ref, n_chunks: int, idx):
     Lane-gather with sublane-uniform column index, then 8-deep sublane
     gather, then select across chunks (entry e at row e>>7, col e&127)."""
     lo = jnp.broadcast_to(idx & 127, (8, LANE))
-    mid = (idx >> 7) & 7
+    mid = jnp.broadcast_to((idx >> 7) & 7, (8, LANE))
     hi = idx >> 10
     acc = None
     for c in range(n_chunks):
         chunk = chunks_ref[c * 8:(c + 1) * 8, :]
         g = jnp.take_along_axis(chunk, lo, axis=1)
-        h = jnp.take_along_axis(g, mid, axis=0)
+        h = jnp.take_along_axis(g, mid, axis=0)[0:1, :]
         acc = h if acc is None else jnp.where(hi == c, h, acc)
     return acc
 
@@ -273,8 +273,9 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             ws = []
             for j in range(4):
                 r = r0 + j
-                g0 = jnp.take_along_axis(pair[0], r & 7, axis=0)
-                g1 = jnp.take_along_axis(pair[1], r & 7, axis=0)
+                r8 = jnp.broadcast_to(r & 7, (8, LANE))
+                g0 = jnp.take_along_axis(pair[0], r8, axis=0)[0:1, :]
+                g1 = jnp.take_along_axis(pair[1], r8, axis=0)[0:1, :]
                 ws.append(_bc_u32(jnp.where(r < 8, g0, g1)))
             w0, w1, w2, w3 = ws
             sh = bitpos & 15
