@@ -102,39 +102,61 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
-    words, skips = pack_streams([(ln.data, ln.bitoff) for ln in lanes])
+    streams = [(ln.data, ln.bitoff) for ln in lanes]
     nsym = np.asarray([ln.nsym for ln in lanes], np.int32)
     n_steps = int(nsym.max())
     L = len(lanes)
 
-    sym_l, fb_l, mb_l, a_l, lo_l, lsb_l = [], [], [], [], [], []
-    for ln in lanes:
-        cl = ln.spec.clusters[0]
-        if use_prefix:
-            sym_l.append(prefix_lut(cl.prefix))
-            fb_l.append(np.zeros(1, np.int32))
-            alpha = 1 << 15
-        else:
-            fb, sym = ans_luts(cl)
-            sym_l.append(sym)
-            fb_l.append(fb)
-            alpha = 1 << ln.spec.log_alpha_size
-        mb, a_, lo = hybrid_luts(cl.config, alpha)
-        mb_l.append(mb)
-        a_l.append(a_)
-        lo_l.append(lo)
-        lsb_l.append(cl.config.lsb_in_token)
-    amax = max(a.shape[0] for a in mb_l)
-    pad = lambda arrs: np.stack(
-        [np.pad(a, (0, amax - a.shape[0])) for a in arrs]
-    )
-    t_setup = time.perf_counter()
+    # Fast path: all lanes share one code spec (the usual case — sections
+    # decode against the global spec) -> the Pallas in-kernel symbol loop
+    # (ops/pallas_entropy.py, ~1 Gsym/s marginal on v5e vs ~3 Msym/s for
+    # the lax.scan lockstep decoder it replaces).
+    from . import pallas_entropy as pe
+    from .pallas_kernels import pallas_available
 
-    vals, fstates, bitpos = decode_tokens(
-        words, skips, nsym, np.stack(sym_l), np.stack(fb_l),
-        pad(mb_l), pad(a_l), pad(lo_l), np.asarray(lsb_l, np.int32),
-        n_steps=n_steps, use_prefix=use_prefix,
+    spec0 = lanes[0].spec
+    shared = (
+        pallas_available()
+        and all(ln.spec is spec0 for ln in lanes)
+        and pe.spec_is_pallas_simple(spec0)
+        and pe.streams_fit_pallas(streams)
     )
+    if shared:
+        t_setup = time.perf_counter()
+        vals, fstates, bitpos = pe.decode_tokens_pallas(
+            streams, nsym, spec0, n_steps)
+        kernel = "pallas"
+    else:
+        words, skips = pack_streams(streams)
+        sym_l, fb_l, mb_l, a_l, lo_l, lsb_l = [], [], [], [], [], []
+        for ln in lanes:
+            cl = ln.spec.clusters[0]
+            if use_prefix:
+                sym_l.append(prefix_lut(cl.prefix))
+                fb_l.append(np.zeros(1, np.int32))
+                alpha = 1 << 15
+            else:
+                fb, sym = ans_luts(cl)
+                sym_l.append(sym)
+                fb_l.append(fb)
+                alpha = 1 << ln.spec.log_alpha_size
+            mb, a_, lo = hybrid_luts(cl.config, alpha)
+            mb_l.append(mb)
+            a_l.append(a_)
+            lo_l.append(lo)
+            lsb_l.append(cl.config.lsb_in_token)
+        amax = max(a.shape[0] for a in mb_l)
+        pad = lambda arrs: np.stack(
+            [np.pad(a, (0, amax - a.shape[0])) for a in arrs]
+        )
+        t_setup = time.perf_counter()
+
+        vals, fstates, bitpos = decode_tokens(
+            words, skips, nsym, np.stack(sym_l), np.stack(fb_l),
+            pad(mb_l), pad(a_l), pad(lo_l), np.asarray(lsb_l, np.int32),
+            n_steps=n_steps, use_prefix=use_prefix,
+        )
+        kernel = "scan"
 
     # --- per-shape-class wavefront reconstruction -------------------------
     classes: dict[tuple, list[int]] = {}
@@ -187,6 +209,7 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
             gm.channels[gi].data[y0 : y0 + h, x0 : x0 + w] = plane[k]
 
     stats = dec.stats.setdefault("device_modular", {})
+    stats["kernel"] = kernel
     stats["lanes"] = stats.get("lanes", 0) + L
     stats["tokens"] = stats.get("tokens", 0) + int(nsym.sum())
     stats["setup_s"] = stats.get("setup_s", 0.0) + (t_setup - t0)

@@ -239,8 +239,12 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
     SEG_SYMS = cfg.seg_syms
     u32 = jnp.uint32
 
-    def kernel(words_ref, skip_ref, nsym_ref, lut_ref, tok_ref, lsb_ref,
+    def kernel(words_ref, init_ref, nsym_ref, lut_ref, tok_ref, lsb_ref,
                out_ref, st_out_ref, l2_ref, g_ref, st_ref):
+        # init_ref rows: 0 = initial ANS state (int32 bit pattern, 0 for
+        # prefix; host pre-reads the 32 init bits, j40.h:2446), 1 = initial
+        # bit position relative to the words block, 2 = global symbol
+        # offset of this call (outer segmentation)
         i = pl.program_id(0)
 
         def refresh_l2(l2base8):
@@ -329,9 +333,8 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
 
         @pl.when(i == 0)
         def _init():
-            st_ref[0:1, :] = jnp.zeros((1, LANE), jnp.int32)
-            st_ref[1:2, :] = skip_ref[:]
-            st_ref[2:3, :] = jnp.zeros((1, LANE), jnp.int32)
+            st_ref[0:1, :] = init_ref[0:1, :]
+            st_ref[1:2, :] = init_ref[1:2, :]
 
         state_u = _bc_u32(st_ref[0:1, :])
         bitpos = st_ref[1:2, :]
@@ -349,22 +352,9 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                 refresh_g(goff8)
                 gbase = l2base + (goff8 << 3)
 
-                if not use_prefix and r == 0:
-                    # one-time ANS state init (j40.h:2446): only on the very
-                    # first L2 period of the stream
-                    first = (i == 0) & (p == 0)
-                    lo, hi = assemble(bitpos, gbase)
-                    s16a = lo & 0xFFFF
-                    lo, hi = _consume(lo, hi, jnp.full((1, LANE), 16,
-                                                       jnp.int32))
-                    s16b = lo & 0xFFFF
-                    istate = s16a | (s16b << 16)
-                    state_u = jnp.where(first, istate, state_u)
-                    bitpos = jnp.where(first, bitpos + 32, bitpos)
-
                 for s in range(ROUND_SYMS):
                     local = p * ROUNDS_PER_L2 * ROUND_SYMS + r * ROUND_SYMS + s
-                    t_glob = i * SEG_SYMS + local
+                    t_glob = init_ref[2:3, :] + i * SEG_SYMS + local
                     state_u, bitpos, value = one_symbol(
                         state_u, bitpos, t_glob, gbase)
                     out_ref[pl.ds(local, 1), :] = value
@@ -388,10 +378,11 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
     jax.jit,
     static_argnames=("n_steps", "use_prefix", "prefix_width", "wrows",
                      "cfg_key"))
-def _decode_pallas(words, skip_bits, nsym, lut, tok, lsb,
+def _decode_pallas(words, init, nsym, lut, tok, lsb,
                    n_steps: int, use_prefix: bool, prefix_width: int,
-                   wrows: int, cfg_key=DEFAULT_CFG.key()):
-    cfg = KernelCfg(*cfg_key)
+                   wrows: int, cfg_key=None):
+    """Whole-stream-in-VMEM mode: one kernel, grid over output segments."""
+    cfg = KernelCfg(*cfg_key) if cfg_key else DEFAULT_CFG
     SEG_SYMS = cfg.seg_syms
     nseg = -(-n_steps // SEG_SYMS)
     kernel = _make_kernel(
@@ -408,7 +399,7 @@ def _decode_pallas(words, skip_bits, nsym, lut, tok, lsb,
         grid=(nseg,),
         in_specs=[
             pl.BlockSpec((wrows, LANE), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, LANE), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((lut.shape[0], LANE), const,
                          memory_space=pltpu.VMEM),
@@ -431,14 +422,57 @@ def _decode_pallas(words, skip_bits, nsym, lut, tok, lsb,
             pltpu.VMEM((8, LANE), jnp.int32),
         ],
         interpret=_interpret(),
-    )(words, skip_bits, nsym, lut, tok, lsb)
+    )(words, init, nsym, lut, tok, lsb)
     return vals, st
 
 
-def build_lane_inputs(streams, spec: CodeSpec):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "use_prefix", "prefix_width",
+                     "k_syms", "wseg", "cfg_key"))
+def _decode_pallas_long(words_lw, init, nsym, lut, tok, lsb,
+                        n_steps: int, use_prefix: bool, prefix_width: int,
+                        k_syms: int, wseg: int, cfg_key=None):
+    """Segmented mode for streams too long for VMEM: an XLA scan slides a
+    per-lane window (vmapped dynamic_slice over the HBM-resident streams)
+    and runs the kernel per window; decoder state threads through the scan.
+    One dispatch end to end."""
+    cfg = KernelCfg(*cfg_key) if cfg_key else DEFAULT_CFG
+    assert k_syms % cfg.seg_syms == 0
+    n_outer = -(-n_steps // k_syms)
+
+    def seg(carry, toff):
+        state, bitpos = carry                       # (1, LANE) each
+        ws = bitpos >> 4                            # per-lane window start
+        win = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (wseg,))
+        )(words_lw, ws[0])                          # (LANE, wseg)
+        win = win.T                                 # (wseg, LANE)
+        init_seg = jnp.concatenate(
+            [state, bitpos - (ws << 4),
+             jnp.broadcast_to(toff, (1, LANE))], axis=0)
+        vals, st = _decode_pallas(
+            win, init_seg, nsym, lut, tok, lsb,
+            n_steps=k_syms, use_prefix=use_prefix,
+            prefix_width=prefix_width, wrows=wseg, cfg_key=cfg.key())
+        state2 = st[0:1, :]
+        bitpos2 = st[1:2, :] + (ws << 4)
+        return (state2, bitpos2), vals[:k_syms]
+
+    toffs = jnp.arange(n_outer, dtype=jnp.int32) * k_syms
+    (state, bitpos), vs = jax.lax.scan(
+        seg, (init[0:1, :], init[1:2, :]), toffs)
+    vals = vs.reshape(n_outer * k_syms, LANE)
+    return vals, jnp.concatenate([state, bitpos], axis=0)
+
+
+def build_lane_inputs(streams, spec: CodeSpec, segmented: bool = False,
+                      k_syms: int = 0):
     """Host-side packing of per-lane streams + shared-spec LUTs.
 
-    streams: list of (bytes, bit_offset).  Returns dict of device inputs."""
+    streams: list of (bytes, bit_offset).  Returns a dict of device inputs;
+    the ANS init state (j40.h:2446) is pre-read on the host so the kernel
+    needs no special-case first step."""
     from .device_entropy import pack_streams
 
     L = len(streams)
@@ -458,43 +492,102 @@ def build_lane_inputs(streams, spec: CodeSpec):
         alpha = 1 << spec.log_alpha_size
     tok = pack_token_lut(cl.config, alpha)
 
-    words_lw, skips = pack_streams(streams)   # (L, W16), (L,)
+    words_lw, skips = pack_streams(streams)   # (L, W16) uint32, (L,)
     w16 = words_lw.shape[1]
-    # +256 rows: L2 barrel may address 32 blocks past the final word
-    wrows = -(-(w16 + 256) // 64) * 64
-    words = np.zeros((wrows, LANE), np.int32)
-    words[:w16, :L] = words_lw.astype(np.int32).T
-    skip = np.zeros((1, LANE), np.int32)
-    skip[0, :L] = skips
-    lsb = np.full((1, LANE), cl.config.lsb_in_token, np.int32)
-    return {
-        "words": words, "skip": skip, "lsb": lsb,
+
+    init = np.zeros((3, LANE), np.int32)
+    if spec.use_prefix_code:
+        init[1, :L] = skips
+    else:
+        cat = (words_lw[:, 0].astype(np.uint64)
+               | (words_lw[:, 1].astype(np.uint64) << 16)
+               | (words_lw[:, 2].astype(np.uint64) << 32))
+        st0 = ((cat >> skips.astype(np.uint64)) & 0xFFFFFFFF).astype(
+            np.uint32)
+        init[0, :L] = st0.view(np.int32)
+        init[1, :L] = skips + 32
+
+    out = {
+        "init": init,
+        "lsb": np.full((1, LANE), cl.config.lsb_in_token, np.int32),
         "lut": _to_chunks(lut), "tok": _to_chunks(tok),
         "use_prefix": spec.use_prefix_code, "prefix_width": width,
-        "wrows": wrows,
     }
+    if segmented:
+        # lane-major full streams, padded so any window slice stays in range
+        wseg = -(-(k_syms * 3 + 280) // 64) * 64
+        wtot = w16 + wseg
+        wl = np.zeros((LANE, wtot), np.int32)
+        wl[:L, :w16] = words_lw.astype(np.int32)
+        out["words_lw"] = wl
+        out["wseg"] = wseg
+    else:
+        # +256 rows: the L2 barrel may address 32 blocks past the last word
+        wrows = -(-(w16 + 256) // 64) * 64
+        words = np.zeros((wrows, LANE), np.int32)
+        words[:w16, :L] = words_lw.astype(np.int32).T
+        out["words"] = words
+        out["wrows"] = wrows
+    return out
+
+
+MAX_WROWS = 8192   # VMEM gate for whole-stream mode (words = wrows*128*4 B)
+LONG_K_SYMS = 2400  # symbols per outer segment in segmented mode
+
+
+def streams_fit_pallas(streams) -> bool:
+    """True when whole-stream-in-VMEM mode applies (else segmented mode)."""
+    longest = max(len(d) for d, _ in streams)
+    return longest // 2 + 300 <= MAX_WROWS
 
 
 def decode_tokens_pallas(streams, nsym, spec: CodeSpec, n_steps: int,
-                         cfg: KernelCfg = DEFAULT_CFG):
-    """Decode `n_steps` hybrid-int values per lane for up to 128 per-section
-    streams sharing one code spec (spec_is_pallas_simple must hold).
+                         cfg: KernelCfg | None = None,
+                         k_syms: int | None = None):
+    """Decode `n_steps` hybrid-int values per lane for per-section streams
+    sharing one code spec (spec_is_pallas_simple must hold); more than 128
+    lanes run as multiple 128-lane kernel calls; streams too long for VMEM
+    run in segmented mode.
 
     streams: list of (bytes, bit_offset) per lane; nsym: per-lane symbol
-    counts.  Returns (values (L, n_steps) int32, final ANS state (L,)
-    uint32, final bit position (L,) relative to each lane's packed base)."""
+    counts.  Returns device arrays (values (L, n_steps) int32, final ANS
+    state (L,) int32 bit-pattern, final bit position (L,) relative to each
+    lane's packed base)."""
+    if cfg is None:
+        cfg = TEST_CFG if _interpret() else DEFAULT_CFG
     L = len(streams)
-    inp = build_lane_inputs(streams, spec)
-    ns = np.zeros((1, LANE), np.int32)
-    ns[0, :L] = np.asarray(nsym, np.int32)
-    vals, st = _decode_pallas(
-        jnp.asarray(inp["words"]), jnp.asarray(inp["skip"]),
-        jnp.asarray(ns), jnp.asarray(inp["lut"]), jnp.asarray(inp["tok"]),
-        jnp.asarray(inp["lsb"]),
-        n_steps=n_steps, use_prefix=inp["use_prefix"],
-        prefix_width=inp["prefix_width"], wrows=inp["wrows"],
-        cfg_key=cfg.key(),
-    )
-    vals = np.asarray(vals)[:n_steps, :L].T
-    st = np.asarray(st)
-    return vals, st[0, :L].astype(np.uint32), st[1, :L]
+    nsym = np.asarray(nsym, np.int32)
+    segmented = not streams_fit_pallas(streams)
+    if k_syms is None:
+        k_syms = LONG_K_SYMS if cfg is DEFAULT_CFG else 2 * cfg.seg_syms
+    k_syms = -(-k_syms // cfg.seg_syms) * cfg.seg_syms
+
+    v_parts, s_parts, b_parts = [], [], []
+    for lo in range(0, L, LANE):
+        part = streams[lo:lo + LANE]
+        n = len(part)
+        inp = build_lane_inputs(part, spec, segmented=segmented,
+                                k_syms=k_syms)
+        ns = np.zeros((1, LANE), np.int32)
+        ns[0, :n] = nsym[lo:lo + n]
+        common = dict(n_steps=n_steps, use_prefix=inp["use_prefix"],
+                      prefix_width=inp["prefix_width"], cfg_key=cfg.key())
+        if segmented:
+            vals, st = _decode_pallas_long(
+                jnp.asarray(inp["words_lw"]), jnp.asarray(inp["init"]),
+                jnp.asarray(ns), jnp.asarray(inp["lut"]),
+                jnp.asarray(inp["tok"]), jnp.asarray(inp["lsb"]),
+                k_syms=k_syms, wseg=inp["wseg"], **common)
+        else:
+            vals, st = _decode_pallas(
+                jnp.asarray(inp["words"]), jnp.asarray(inp["init"]),
+                jnp.asarray(ns), jnp.asarray(inp["lut"]),
+                jnp.asarray(inp["tok"]), jnp.asarray(inp["lsb"]),
+                wrows=inp["wrows"], **common)
+        v_parts.append(vals[:n_steps, :n].T)
+        s_parts.append(st[0, :n])
+        b_parts.append(st[1, :n])
+    if len(v_parts) == 1:
+        return v_parts[0], s_parts[0], b_parts[0]
+    return (jnp.concatenate(v_parts, axis=0),
+            jnp.concatenate(s_parts), jnp.concatenate(b_parts))

@@ -121,3 +121,21 @@ def test_pallas_matches_scan_decoder():
     np.testing.assert_array_equal(np.asarray(sv), pv)
     np.testing.assert_array_equal(np.asarray(ss), ps)
     np.testing.assert_array_equal(np.asarray(sp), pp)
+
+
+def test_pallas_segmented_long_streams(monkeypatch):
+    """Segmented (windowed) mode: force it by shrinking the VMEM gate; the
+    outer-scan window slide must reproduce the whole-stream results."""
+    import j40_tpu.ops.pallas_entropy as pe
+
+    rng = np.random.default_rng(9)
+    L, S = 3, 101
+    lanes = [rng.integers(0, 3000, size=S).astype(np.int64)
+             for _ in range(L)]
+    streams, spec, host_vals, _ = make_shared_streams(lanes, False)
+    monkeypatch.setattr(pe, "MAX_WROWS", 1)  # everything is "too long" now
+    vals, state, bitpos = decode_tokens_pallas(
+        streams, [S] * L, spec, S, cfg=TEST_CFG)
+    for l in range(L):
+        np.testing.assert_array_equal(vals[l, :S], host_vals[l])
+    assert (np.asarray(state)[:L].astype(np.uint32) == 0x130000).all()
