@@ -134,6 +134,11 @@ class EncodeOptions:
     use_prefix: bool = True  # prefix vs ANS coding
     group_size_shift: int = 8
     permute_toc: bool = False  # exercise the TOC permutation path
+    #: emit ONE global tree + code spec in LfGlobal shared by all group
+    #: sections (cjxl -e2+ shape; j40.h:6320-6336) instead of per-section
+    #: local trees — one histogram over the whole image, and the decoder's
+    #: device path can batch all sections against shared LUTs
+    global_tree: bool = False
     lz77: bool = False  # RLE-style LZ77 emission in the token stream
     frame_extension_bits: int = 0  # emit a skippable frame-header extension
     ycbcr: bool = False  # store YCbCr samples (do_ycbcr; near-lossless)
@@ -333,27 +338,53 @@ def _write_frame_body(
         return
 
     # multi-group layout: LfGlobal + LF groups (empty) + HfGlobal(empty) + groups
-    sections: list[bytes] = []
-    sw = BitWriter()
-    _lf_global_multi(sw, channels, opt)
-    sections.append(sw.finish())
-    for _ in range(num_lf_groups):
-        sections.append(b"")  # no shift>=3 channels -> empty LF group sections
-    sections.append(b"")  # HfGlobal: must be empty for modular frames
+    group_slices = []
     for gidx in range(num_groups):
         row, col = divmod(gidx, gcolumns)
         x0 = col * group_size
         y0 = row * group_size
         gw_ = min(wd - x0, group_size)
         gh_ = min(h - y0, group_size)
+        group_slices.append([c[y0 : y0 + gh_, x0 : x0 + gw_]
+                             for c in channels])
+
+    genc = None
+    if opt.global_tree and not opt.lz77:
+        # one spec over all sections' tokens, emitted with the global tree
+        from .entropy import EntropyEncoder
+
+        genc = EntropyEncoder(1, use_prefix=opt.use_prefix)
+        # stream `num_groups` is LfGlobal's own (empty) gmodular stream: its
+        # code is still finish()ed by the decoder, which for ANS reads the
+        # 32-bit init state even when nothing was decoded (j40.h:2884-2891)
+        genc.streams.setdefault(num_groups, [])
+        for gidx, chans in enumerate(group_slices):
+            for data in chans:
+                toks = _channel_tokens_np(data, opt.predictor)
+                if toks is not None:
+                    genc.add_array(0, toks, stream=gidx)
+                else:
+                    for t in _channel_tokens(data, opt.predictor):
+                        genc.add(0, t, stream=gidx)
+
+    sections: list[bytes] = []
+    sw = BitWriter()
+    _lf_global_multi(sw, channels, opt, genc)
+    sections.append(sw.finish())
+    for _ in range(num_lf_groups):
+        sections.append(b"")  # no shift>=3 channels -> empty LF group sections
+    sections.append(b"")  # HfGlobal: must be empty for modular frames
+    for gidx, chans in enumerate(group_slices):
         gsw = BitWriter()
-        _write_modular_stream(
-            gsw,
-            [c[y0 : y0 + gh_, x0 : x0 + gw_] for c in channels],
-            opt.predictor,
-            opt.use_prefix,
-            lz77=opt.lz77,
-        )
+        if genc is not None:
+            # header referencing the global tree, then this section's tokens
+            gsw.u(1, 1)  # use_global_tree
+            gsw.u(1, 1)  # default WP params
+            gsw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms
+            genc.write_tokens(gsw, stream=gidx)
+        else:
+            _write_modular_stream(gsw, chans, opt.predictor, opt.use_prefix,
+                                  lz77=opt.lz77)
         sections.append(gsw.finish())
 
     _write_toc(w, sections, opt.permute_toc, opt.use_prefix)
@@ -457,10 +488,23 @@ def _lf_global_single(w: BitWriter, channels, opt: EncodeOptions) -> None:
                           lz77=opt.lz77)
 
 
-def _lf_global_multi(w: BitWriter, channels, opt: EncodeOptions) -> None:
-    """LfGlobal for multi-group: gmodular header only (no global channels
-    since there are no meta channels)."""
+def _lf_global_multi(w: BitWriter, channels, opt: EncodeOptions,
+                     genc=None) -> None:
+    """LfGlobal for multi-group: gmodular header (no global channels since
+    there are no meta channels); with `genc`, also the global tree + the
+    shared leaf code spec every section decodes against (j40.h:6320-6336)."""
     w.u(1, 1)  # LfChannelDequantization all_default
+    if genc is not None:
+        w.u(1, 1)  # global tree present
+        _write_single_leaf_tree(w, opt.predictor, opt.use_prefix)
+        genc.write_spec(w)  # leaf code spec read at the end of read_tree
+        # gmodular header references the global tree; nothing decodes here
+        w.u(1, 1)  # use_global_tree
+        w.u(1, 1)  # default WP
+        w.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # nb_transforms = 0
+        # the decoder still finish()es this (empty) stream's code
+        genc.write_tokens(w, stream=max(genc.streams))
+        return
     w.u(1, 0)  # no global tree
     # gmodular header: local tree; channels are decoded in the group sections
     w.u(1, 0)  # use_global_tree = false

@@ -119,7 +119,6 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
         pallas_available()
         and all(ln.spec is spec0 for ln in lanes)
         and pe.spec_is_pallas_simple(spec0)
-        and pe.streams_fit_pallas(streams)
     )
     if shared:
         t_setup = time.perf_counter()

@@ -381,7 +381,15 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
 def _decode_pallas(words, init, nsym, lut, tok, lsb,
                    n_steps: int, use_prefix: bool, prefix_width: int,
                    wrows: int, cfg_key=None):
-    """Whole-stream-in-VMEM mode: one kernel, grid over output segments."""
+    """Whole-stream-in-VMEM mode: one kernel, grid over output segments.
+
+    `words` is (L, w16) uint16 — the raw 16-bit stream words of the ACTIVE
+    lanes only; padding to 128 lanes / wrows and the transpose happen here
+    on device (host->device bytes ~= the actual stream bytes)."""
+    if words.dtype == jnp.uint16:
+        L, w16 = words.shape
+        words = jnp.pad(words.astype(jnp.int32),
+                        ((0, LANE - L), (0, wrows - w16))).T
     cfg = KernelCfg(*cfg_key) if cfg_key else DEFAULT_CFG
     SEG_SYMS = cfg.seg_syms
     nseg = -(-n_steps // SEG_SYMS)
@@ -440,6 +448,10 @@ def _decode_pallas_long(words_lw, init, nsym, lut, tok, lsb,
     cfg = KernelCfg(*cfg_key) if cfg_key else DEFAULT_CFG
     assert k_syms % cfg.seg_syms == 0
     n_outer = -(-n_steps // k_syms)
+    if words_lw.dtype == jnp.uint16:
+        L, w16 = words_lw.shape
+        words_lw = jnp.pad(words_lw.astype(jnp.int32),
+                           ((0, LANE - L), (0, wseg)))
 
     def seg(carry, toff):
         state, bitpos = carry                       # (1, LANE) each
@@ -513,21 +525,13 @@ def build_lane_inputs(streams, spec: CodeSpec, segmented: bool = False,
         "lut": _to_chunks(lut), "tok": _to_chunks(tok),
         "use_prefix": spec.use_prefix_code, "prefix_width": width,
     }
+    out["words"] = words_lw.astype(np.uint16)  # (L, w16), device-padded
     if segmented:
-        # lane-major full streams, padded so any window slice stays in range
-        wseg = -(-(k_syms * 3 + 280) // 64) * 64
-        wtot = w16 + wseg
-        wl = np.zeros((LANE, wtot), np.int32)
-        wl[:L, :w16] = words_lw.astype(np.int32)
-        out["words_lw"] = wl
-        out["wseg"] = wseg
+        # window size: any k_syms-symbol run fits, plus barrel slack
+        out["wseg"] = -(-(k_syms * 3 + 280) // 64) * 64
     else:
         # +256 rows: the L2 barrel may address 32 blocks past the last word
-        wrows = -(-(w16 + 256) // 64) * 64
-        words = np.zeros((wrows, LANE), np.int32)
-        words[:w16, :L] = words_lw.astype(np.int32).T
-        out["words"] = words
-        out["wrows"] = wrows
+        out["wrows"] = -(-(w16 + 256) // 64) * 64
     return out
 
 
@@ -574,7 +578,7 @@ def decode_tokens_pallas(streams, nsym, spec: CodeSpec, n_steps: int,
                       prefix_width=inp["prefix_width"], cfg_key=cfg.key())
         if segmented:
             vals, st = _decode_pallas_long(
-                jnp.asarray(inp["words_lw"]), jnp.asarray(inp["init"]),
+                jnp.asarray(inp["words"]), jnp.asarray(inp["init"]),
                 jnp.asarray(ns), jnp.asarray(inp["lut"]),
                 jnp.asarray(inp["tok"]), jnp.asarray(inp["lsb"]),
                 k_syms=k_syms, wseg=inp["wseg"], **common)

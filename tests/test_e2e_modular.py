@@ -220,3 +220,16 @@ def test_low_bpp_render(bpp):
     half = 1 << (bpp - 1)
     exp = ((img.astype(np.int64) * 255 + half) // maxv).astype(np.uint8)
     assert np.array_equal(out[:, :, :3], exp)
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_multi_group_global_tree(dj40, tmp_path, use_prefix):
+    """Global tree + shared code spec across sections (cjxl -e2+ shape;
+    j40.h:6320-6336) — also the decoder's device-batch fast path."""
+    rng = np.random.default_rng(8)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(300, 600, 3)), axis=0),
+                  axis=1) % 256
+    ).astype(np.uint8)
+    _roundtrip(dj40, tmp_path, img,
+               EncodeOptions(use_prefix=use_prefix, global_tree=True))

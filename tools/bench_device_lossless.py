@@ -34,7 +34,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from j40_tpu.decode import Decoder
-    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
 
     rng = np.random.default_rng(99)
     img = (
@@ -42,7 +42,10 @@ def main() -> None:
         % 200
         + 20
     ).astype(np.uint8)
-    data = encode_modular(img)
+    # global tree => sections share one code spec (cjxl -e2+ shape), which
+    # is the Pallas kernel's batching premise; local-tree files take the
+    # per-lane-LUT lax.scan fallback instead
+    data = encode_modular(img, options=EncodeOptions(global_tree=True))
     ngroups = ((SIZE + 255) // 256) ** 2
     print(f"# {SIZE}x{SIZE}, {ngroups} groups, {len(data)} bytes",
           file=sys.stderr)
