@@ -295,6 +295,19 @@ class Decoder:
                     s for s in pg_todo if (s.pass_, s.idx) not in done
                 ]
 
+            if self.backend == "device" and not f.is_modular:
+                # TPU VarDCT path: eligible DCT8 pass-group sections upload
+                # raw section bytes and entropy-decode on chip
+                # (ops/device_vardct.py); the rest take the host chains.
+                from .ops.device_vardct import try_device_hf_sections
+
+                dev_run = [s for s in pg_todo if _avail(s) and _lf_ready(s)]
+                for s in try_device_hf_sections(self, state, f, dev_run):
+                    done.add((s.pass_, s.idx))
+                pg_todo = [
+                    s for s in pg_todo if (s.pass_, s.idx) not in done
+                ]
+
             # Group the runnable pass sections into per-group chains ordered
             # by pass: two passes of the SAME group accumulate (+=) into the
             # same coefficient planes, so they must run on one thread;

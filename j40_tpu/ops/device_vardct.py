@@ -1,0 +1,134 @@
+"""Device-side VarDCT HF coefficient decode of pass-group sections.
+
+The VarDCT dual of ops/device_modular.py: eligible pass-group sections
+upload their raw section BYTES and decode in SIMD lockstep on the chip
+(ops/pallas_hf.py — one lane per section, per-section stream isolation per
+reference j40.h:7749-7776), replacing the host entropy + coefficient-plane
+upload.  Eligibility (anything else falls back to the host path with
+identical results):
+
+- single-pass frame, single-cluster LZ77-free coefficient spec
+  (the context model then cannot change the symbol sequence)
+- every cell of the section is a DCT8 varblock corner (j40.h:6915)
+
+Correctness gates mirror the host: per-lane "coef" structure errors, the
+final ANS state (j40.h:2884-2891), and section padding/end checks
+(j40.h:2011-2016) are all enforced from the kernel's machine snapshot.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..errors import check
+from ..io.bits import ceil_lg
+from ..mathutil import ceil_div
+from .device_modular import _check_lane_end
+
+YXB2XYB = (1, 0, 2)
+
+
+class _HfLane:
+    __slots__ = ("section", "data", "bitoff", "gg", "gx8", "gy8",
+                 "gw8", "gh8")
+
+    def __init__(self, section, data, bitoff, gg, gx8, gy8, gw8, gh8):
+        self.section = section
+        self.data = data
+        self.bitoff = bitoff
+        self.gg = gg
+        self.gx8 = gx8
+        self.gy8 = gy8
+        self.gw8 = gw8
+        self.gh8 = gh8
+
+
+def _prepare_hf_lane(dec, state, f, vd, s, preset_bits):
+    row, col = divmod(s.idx, f.gcolumns)
+    ggidx = (row // 8) * f.ggcolumns + (col // 8)
+    gg = vd.lf_groups.get(ggidx)
+    if gg is None or gg.blocks is None:
+        return None
+    gx8 = ((col % 8) << f.group_size_shift) // 8
+    gy8 = ((row % 8) << f.group_size_shift) // 8
+    gw8 = ceil_div(min(f.width - (col << f.group_size_shift), f.group_size), 8)
+    gh8 = ceil_div(min(f.height - (row << f.group_size_shift), f.group_size), 8)
+    rect = gg.blocks[gy8:gy8 + gh8, gx8:gx8 + gw8]
+    if rect.shape != (gh8, gw8) or not (rect >> 20 == 2).all():
+        return None  # non-DCT8 varblocks -> host path
+    data = dec.src.read(s.codeoff, s.size)
+    return _HfLane(s, data, preset_bits, gg, gx8, gy8, gw8, gh8)
+
+
+def try_device_hf_sections(dec, state, f, sections) -> list:
+    """Decode eligible DCT8 pass-group sections on device; write their
+    coefficient planes into the owning LF groups; return handled sections."""
+    if not sections or f.num_passes != 1:
+        return []
+    vd = state.vardct
+    if vd is None or not vd.coeff_codespec:
+        return []
+    spec = vd.coeff_codespec[0]
+
+    from . import pallas_hf as ph
+    from .pallas_kernels import pallas_available
+
+    if not pallas_available() or not ph.hf_spec_is_device_simple(spec):
+        return []
+    if vd.orders is None or vd.orders[0][0][0] is None:
+        return []
+
+    preset_bits = ceil_lg(vd.num_hf_presets)
+    lanes = [
+        ln for s in sections
+        if (ln := _prepare_hf_lane(dec, state, f, vd, s, preset_bits))
+    ]
+    if not lanes:
+        return []
+
+    orders_yxb = np.stack([
+        np.asarray(vd.orders[0][0][YXB2XYB[cyxb]], np.int32)
+        for cyxb in range(3)
+    ])
+    t0 = time.perf_counter()
+    out = []
+    for base in range(0, len(lanes), 128):
+        batch = lanes[base:base + 128]
+        _decode_hf_batch(dec, state, spec, batch, orders_yxb)
+        out.extend(ln.section for ln in batch)
+    stats = dec.stats.setdefault("device_vardct", {})
+    stats["lanes"] = stats.get("lanes", 0) + len(lanes)
+    stats["hf_s"] = stats.get("hf_s", 0.0) + (time.perf_counter() - t0)
+    return out
+
+
+def _decode_hf_batch(dec, state, spec, lanes, orders_yxb) -> None:
+    from . import pallas_hf as ph
+
+    streams = [(ln.data, ln.bitoff) for ln in lanes]
+    ncells = [ln.gw8 * ln.gh8 for ln in lanes]
+    ncells_max = int(max(ncells))
+    coeffs_dev, st = ph.decode_hf_dct8(
+        streams, ncells, spec, orders_yxb, ncells_max)
+
+    for li, ln in enumerate(lanes):
+        check(int(st["err"][li]) == 0, "coef")
+        check(int(st["done"][li]) == 1, "coef",
+              "device HF decode budget exhausted")
+        base = (ln.bitoff // 8) & ~1
+        _check_lane_end(ln, base * 8 + int(st["bitpos"][li]),
+                        spec.use_prefix_code, int(st["ans_state"][li]))
+
+    dense = np.asarray(coeffs_dev)  # (L, 3, ncells_max, 64)
+    pos64 = np.arange(64)
+    for li, ln in enumerate(lanes):
+        gg = ln.gg
+        sub = gg.blocks[ln.gy8:ln.gy8 + ln.gh8,
+                        ln.gx8:ln.gx8 + ln.gw8].ravel()
+        offs = gg.vb_coeffoff[sub & 0xFFFFF].astype(np.int64)
+        idx = offs[:, None] + pos64[None, :]
+        n = ln.gw8 * ln.gh8
+        for c in range(3):
+            gg.coeffs[c][idx.ravel()] += dense[li, c, :n].ravel()

@@ -233,6 +233,11 @@ def _consume(win_lo, win_hi, k):
 def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                  use_prefix: bool, prefix_width: int, cfg: KernelCfg):
     n_word_blocks = wrows // 8
+    # small-stream mode: the whole words block is narrow enough to barrel
+    # the G window from it directly — the L2 level (and its refresh cost)
+    # disappears.  Shift bound: wordpos stays <= wrows-240 words (the +256
+    # row pad), so goff8 <= n_word_blocks - 30 - 8.
+    small = wrows <= 512
     ROUND_SYMS = cfg.round_syms
     ROUNDS_PER_L2 = cfg.rounds_per_l2
     L2_PER_SEG = cfg.l2_per_seg
@@ -255,7 +260,11 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                 l2_ref[b * 8:(b + 1) * 8, :] = out[b]
 
         def refresh_g(goff8):
-            src = [l2_ref[b * 8:(b + 1) * 8, :] for b in range(32)]
+            if small:
+                src = [words_ref[b * 8:(b + 1) * 8, :]
+                       for b in range(n_word_blocks)]
+            else:
+                src = [l2_ref[b * 8:(b + 1) * 8, :] for b in range(32)]
             out = _barrel_blocks(src, 8, goff8)
             for b in range(8):
                 g_ref[b * 8:(b + 1) * 8, :] = out[b]
@@ -342,8 +351,10 @@ def _make_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
         def l2_period(p, carry):
             state_u, bitpos = carry
             wordpos = bitpos >> 4
-            l2base8 = wordpos >> 3
-            refresh_l2(l2base8)
+            l2base8 = jnp.zeros((1, LANE), jnp.int32) if small \
+                else (wordpos >> 3)
+            if not small:
+                refresh_l2(l2base8)
             l2base = l2base8 << 3
 
             for r in range(ROUNDS_PER_L2):
