@@ -96,8 +96,8 @@ def try_device_hf_sections(dec, state, f, sections) -> list:
     out = []
     for base in range(0, len(lanes), 128):
         batch = lanes[base:base + 128]
-        _decode_hf_batch(dec, state, spec, batch, orders_yxb)
-        out.extend(ln.section for ln in batch)
+        if _decode_hf_batch(dec, state, spec, batch, orders_yxb):
+            out.extend(ln.section for ln in batch)
     stats = dec.stats.setdefault("device_vardct", {})
     stats["lanes"] = stats.get("lanes", 0) + len(lanes)
     stats["hf_s"] = stats.get("hf_s", 0.0) + (time.perf_counter() - t0)
@@ -113,10 +113,12 @@ def _decode_hf_batch(dec, state, spec, lanes, orders_yxb) -> None:
     coeffs_dev, st = ph.decode_hf_dct8(
         streams, ncells, spec, orders_yxb, ncells_max)
 
+    if not st["done"].all():
+        # step budget exhausted (pathological stream density): leave the
+        # whole batch for the host path, which has no budget
+        return False
     for li, ln in enumerate(lanes):
         check(int(st["err"][li]) == 0, "coef")
-        check(int(st["done"][li]) == 1, "coef",
-              "device HF decode budget exhausted")
         base = (ln.bitoff // 8) & ~1
         _check_lane_end(ln, base * 8 + int(st["bitpos"][li]),
                         spec.use_prefix_code, int(st["ans_state"][li]))
@@ -132,3 +134,4 @@ def _decode_hf_batch(dec, state, spec, lanes, orders_yxb) -> None:
         n = ln.gw8 * ln.gh8
         for c in range(3):
             gg.coeffs[c][idx.ravel()] += dense[li, c, :n].ravel()
+    return True

@@ -58,6 +58,8 @@ YXB2XYB = (1, 0, 2)
 def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                     use_prefix: bool, prefix_width: int, cfg: KernelCfg,
                     ncells_max: int):
+    import os
+    ABL = os.environ.get("J40T_HF_ABL", "")
     n_word_blocks = wrows // 8
     # small-stream mode: the whole words block is narrow enough to barrel
     # the G window from it directly — the L2 level (and its refresh cost)
@@ -168,6 +170,9 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             active = (k < ncells_ref[:]) & (err == 0)
             state_u, bitpos, value = decode_one(state_u, bitpos, active,
                                                 gbase)
+            if ABL == "nomachine":
+                return ((state_u, bitpos, k + 1, cyxb, nzrem, ii, err),
+                        value, value)
             is_nz = nzrem == 0
 
             # -- nz phase (j40.h:6959-6967, DCT8: log_size = 6)
@@ -179,7 +184,10 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             half = value >> 1
             sval = jnp.where((value & 1) == 1, -half - 1, half)
             c_xyb = jnp.where(cyxb == 0, 1, jnp.where(cyxb == 1, 0, 2))
-            opos = _shared_lookup(order_ref, 1, cyxb * 64 + ii)
+            if ABL == "noorder":
+                opos = ii
+            else:
+                opos = _shared_lookup(order_ref, 1, cyxb * 64 + ii)
             sidx = (c_xyb * ncells_max + k) * 64 + opos
             hit = value != 0
             nzrem_c = nzrem - jnp.where(hit, 1, 0)
@@ -209,38 +217,64 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             for row in range(7):
                 st_ref[row:row + 1, :] = init_ref[row:row + 1, :]
 
+        if ABL == "gut":
+            # control: behave exactly like the plain entropy kernel
+            state_u0 = _bc_u32(st_ref[0:1, :])
+            bitpos0 = st_ref[1:2, :]
+
+            def l2p(p, carry):
+                state_u, bitpos = carry
+                wordpos = bitpos >> 4
+                l2base8 = jnp.zeros((1, LANE), jnp.int32) if small \
+                    else (wordpos >> 3)
+                if not small:
+                    refresh_l2(l2base8)
+                l2base = l2base8 << 3
+                for r in range(ROUNDS_PER_L2):
+                    wordpos = bitpos >> 4
+                    goff8 = (wordpos - l2base) >> 3
+                    refresh_g(goff8)
+                    gbase = l2base + (goff8 << 3)
+                    for ss in range(ROUND_SYMS):
+                        local = (p * ROUNDS_PER_L2 + r) * ROUND_SYMS + ss
+                        active = jnp.ones((1, LANE), jnp.bool_)
+                        state_u, bitpos, value = decode_one(
+                            state_u, bitpos, active, gbase)
+                        vals_ref[pl.ds(local, 1), :] = value
+                return state_u, bitpos
+
+            state_u, bitpos = jax.lax.fori_loop(0, L2_PER_SEG, l2p,
+                                                (state_u0, bitpos0))
+            st_ref[0:1, :] = _bc_i32(state_u)
+            st_ref[1:2, :] = bitpos
+            idxs_ref[0:1, :] = bitpos  # touch so output isn't elided
+            for row in range(8):
+                st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
+            return
+
         carry0 = (_bc_u32(st_ref[0:1, :]), st_ref[1:2, :], st_ref[2:3, :],
                   st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :],
                   st_ref[6:7, :])
 
         def l2_period(p, carry):
             state_u, bitpos = carry[0], carry[1]
-            all_done = jnp.all((carry[2] >= ncells_ref[:])
-                               | (carry[6] != 0))
             wordpos = bitpos >> 4
             l2base8 = jnp.zeros((1, LANE), jnp.int32) if small \
                 else (wordpos >> 3)
-
             if not small:
-                @pl.when(jnp.logical_not(all_done))
-                def _():
-                    refresh_l2(l2base8)
-
+                refresh_l2(l2base8)
             l2base = l2base8 << 3
             for r in range(ROUNDS_PER_L2):
                 wordpos = carry[1] >> 4
                 goff8 = (wordpos - l2base) >> 3
-
-                @pl.when(jnp.logical_not(all_done))
-                def _():
-                    refresh_g(goff8)
-
+                refresh_g(goff8)
                 gbase = l2base + (goff8 << 3)
                 for s in range(ROUND_SYMS):
                     local = (p * ROUNDS_PER_L2 + r) * ROUND_SYMS + s
                     carry, out_val, out_idx = one_step(carry, gbase)
                     vals_ref[pl.ds(local, 1), :] = out_val
-                    idxs_ref[pl.ds(local, 1), :] = out_idx
+                    if ABL != "nostore2":
+                        idxs_ref[pl.ds(local, 1), :] = out_idx
             return carry
 
         carry = jax.lax.fori_loop(0, L2_PER_SEG, l2_period, carry0)
@@ -324,6 +358,56 @@ def _scatter_coeffs(vals, idxs, ncells_max: int):
             .transpose(3, 0, 1, 2))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_syms", "wseg", "n_outer_cap", "use_prefix",
+                     "prefix_width", "ncells_max", "cfg_key"))
+def _decode_hf_long(words_lw, init8, ncells, lut, tok, lsb, order,
+                    k_syms: int, wseg: int, n_outer_cap: int,
+                    use_prefix: bool, prefix_width: int, ncells_max: int,
+                    cfg_key=None):
+    """Windowed mode for sections too long for VMEM: an XLA scan slides
+    per-lane windows (vmapped dynamic_slice over the HBM-resident streams)
+    around the kernel, threading the machine snapshot through; a lax.cond
+    skips the kernel entirely once every lane is finished, so the fixed
+    scan length costs only cheap copies past the true end.  One dispatch;
+    a single scatter-add materializes the dense planes at the end."""
+    L, w16 = words_lw.shape
+    words = jnp.pad(words_lw.astype(jnp.int32), ((0, LANE - L), (0, wseg)))
+
+    def finished(st8):
+        return (st8[2:3, :] >= ncells) | (st8[6:7, :] != 0)
+
+    def work(st8):
+        ws = st8[1:2, :] >> 4
+        win = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (wseg,))
+        )(words, ws[0]).T
+        init_seg = st8.at[1:2, :].add(-(ws << 4))
+        vals, idxs, st2 = _decode_hf_pallas(
+            win, init_seg, ncells, lut, tok, lsb, order,
+            n_steps=k_syms, use_prefix=use_prefix,
+            prefix_width=prefix_width, wrows=wseg,
+            ncells_max=ncells_max, cfg_key=cfg_key)
+        st2 = st2.at[1:2, :].add(ws << 4)
+        return st2, vals[:k_syms], idxs[:k_syms]
+
+    def skip(st8):
+        return (st8, jnp.zeros((k_syms, LANE), jnp.int32),
+                jnp.full((k_syms, LANE), -1, jnp.int32))
+
+    def seg(st8, _):
+        st2, vals, idxs = jax.lax.cond(
+            jnp.all(finished(st8)), skip, work, st8)
+        return st2, (vals, idxs)
+
+    st8, (vb, ib) = jax.lax.scan(seg, init8, None, length=n_outer_cap)
+    vb = vb.reshape(n_outer_cap * k_syms, LANE)
+    ib = ib.reshape(n_outer_cap * k_syms, LANE)
+    st8 = st8.at[7:8, :].set(finished(st8).astype(jnp.int32))
+    return vb, ib, st8
+
+
 def hf_spec_is_device_simple(spec) -> bool:
     """Single-cluster, LZ77-free coefficient spec (context-free symbols)."""
     return spec_is_pallas_simple(spec)
@@ -343,18 +427,25 @@ def decode_hf_dct8(streams, ncells, spec, orders_yxb, ncells_max: int,
         cfg = TEST_CFG if _interpret() else DEFAULT_CFG
     L = len(streams)
     assert L <= LANE
-    inp = build_lane_inputs(streams, spec)
+    from .pallas_entropy import streams_fit_pallas
+
+    segmented = not streams_fit_pallas(streams)
+    k_syms = 10 * cfg.seg_syms
+    inp = build_lane_inputs(streams, spec, segmented=segmented,
+                            k_syms=k_syms)
     nc = np.zeros((1, LANE), np.int32)
     nc[0, :L] = np.asarray(ncells, np.int32)
     order_flat = np.zeros(192, np.int32)
     for cyxb in range(3):
         order_flat[cyxb * 64:(cyxb + 1) * 64] = orders_yxb[cyxb]
     if cap_steps is None:
-        # 3 nz symbols per block plus a per-bit coefficient budget; skewed
-        # single-cluster ANS can code symbols below one bit, so the done
-        # flags are checked and decoding resumes when the budget is short
+        # initial estimate: 3 nz symbols per block + one symbol per stream
+        # bit; clamped to the format's hard bound (one nz + <= 63 coeff
+        # symbols per block-channel => 192 * ncells); the resume loop
+        # covers any shortfall of the estimate
+        nmax = int(max(ncells))
         bits = max(len(d) for d, _ in streams) * 8
-        cap_steps = 3 * int(max(ncells)) + 2 * bits + 64
+        cap_steps = min(3 * nmax + bits + 64, 192 * nmax)
     if _interpret():
         # interpret-mode compile cost scales with the unrolled segment
         # count; lean on the resume loop instead of one big budget
@@ -369,9 +460,31 @@ def decode_hf_dct8(streams, ncells, spec, orders_yxb, ncells_max: int,
     order_j = jnp.asarray(_to_chunks(order_flat))
     nc_j = jnp.asarray(nc)
 
+    if segmented:
+        # shape-bucketed outer cap so recompiles stay rare
+        n_outer_cap = 1
+        while n_outer_cap * k_syms < cap_steps:
+            n_outer_cap *= 2
+        vals, idxs, st = _decode_hf_long(
+            words_j, jnp.asarray(init), nc_j, lut_j, tok_j, lsb_j,
+            order_j, k_syms=k_syms, wseg=inp["wseg"],
+            n_outer_cap=n_outer_cap, use_prefix=inp["use_prefix"],
+            prefix_width=inp["prefix_width"], ncells_max=ncells_max,
+            cfg_key=cfg.key())
+        coeffs = _scatter_coeffs(vals, idxs, ncells_max)
+        stn = np.asarray(st)
+        state = {
+            "ans_state": stn[0, :L].astype(np.uint32),
+            "bitpos": stn[1, :L],
+            "err": stn[6, :L],
+            "done": stn[7, :L],
+        }
+        return coeffs[:L], state
+
     coeffs = None
     for _attempt in range(64):
-        n_steps = -(-cap_steps // cfg.seg_syms) * cfg.seg_syms
+        n_steps = min(-(-cap_steps // cfg.seg_syms) * cfg.seg_syms,
+                      128 * cfg.seg_syms)
         vals, idxs, st = _decode_hf_pallas(
             words_j, jnp.asarray(init), nc_j, lut_j, tok_j, lsb_j, order_j,
             n_steps=n_steps, use_prefix=inp["use_prefix"],
