@@ -48,7 +48,9 @@ from .pallas_entropy import (
     _interpret,
     _shared_lookup,
     _to_chunks,
-    build_lane_inputs,
+    pack_alias_lut,
+    pack_prefix_lut,
+    pack_token_lut,
     spec_is_pallas_simple,
 )
 
@@ -56,10 +58,8 @@ YXB2XYB = (1, 0, 2)
 
 
 def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
-                    use_prefix: bool, prefix_width: int, cfg: KernelCfg,
-                    ncells_max: int):
-    import os
-    ABL = os.environ.get("J40T_HF_ABL", "")
+                    n_order_chunks: int, use_prefix: bool,
+                    prefix_width: int, cfg: KernelCfg, ncells_max: int):
     n_word_blocks = wrows // 8
     # small-stream mode: the whole words block is narrow enough to barrel
     # the G window from it directly — the L2 level (and its refresh cost)
@@ -73,12 +73,16 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
     u32 = jnp.uint32
 
     def kernel(words_ref, init_ref, ncells_ref, lut_ref, tok_ref, lsb_ref,
-               order_ref, vals_ref, idxs_ref, st_out_ref,
+               tb_ref, order_ref, vals_ref, idxs_ref, st_out_ref,
                l2_ref, g_ref, st_ref):
         # init_ref/st_ref rows: 0 ANS state bits, 1 bit position,
         # 2 cell k, 3 cyxb, 4 nzrem, 5 i, 6 err — a resumable machine
         # snapshot (a second call continues where a too-small step budget
-        # left off)
+        # left off).  tb_ref rows 0/1/2: per-lane base ENTRY offsets into
+        # the stacked symbol/token/order LUTs — one call can mix sections
+        # of many images, each against its own code spec; lookup cost
+        # scales with the stacked table size, lane occupancy with the
+        # number of sections.
         i_seg = pl.program_id(0)
 
         def refresh_l2(l2base8):
@@ -131,7 +135,8 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             lo, hi = assemble(bitpos, gbase)
             consumed = jnp.zeros((1, LANE), jnp.int32)
             if use_prefix:
-                pat = _bc_i32(lo) & ((1 << prefix_width) - 1)
+                pat = tb_ref[0:1, :] + (_bc_i32(lo)
+                                        & ((1 << prefix_width) - 1))
                 e = _shared_lookup(lut_ref, n_lut_chunks, pat)
                 length = jnp.where(active, e >> 16, 0)
                 tok = e & 0xFFFF
@@ -139,7 +144,7 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                 consumed = consumed + length
                 new_state = state_u
             else:
-                idx = _bc_i32(state_u & 0xFFF)
+                idx = tb_ref[0:1, :] + _bc_i32(state_u & 0xFFF)
                 p = _shared_lookup(lut_ref, n_lut_chunks, idx)
                 tok = (p >> 24) & 0xFF
                 freqf = (p >> 12) & 0xFFF
@@ -154,7 +159,8 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                 consumed = consumed + k16
                 new_state = jnp.where(active, nstate, state_u)
             tok = jnp.where(active, tok, 0)
-            tp = _shared_lookup(tok_ref, n_tok_chunks, tok)
+            tp = _shared_lookup(tok_ref, n_tok_chunks,
+                                tb_ref[1:2, :] + tok)
             A = tp & 0x3FFF
             mb = jnp.where(active, (tp >> 14) & 0x1F, 0)
             tlo = (tp >> 19) & 0xFF
@@ -170,9 +176,6 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             active = (k < ncells_ref[:]) & (err == 0)
             state_u, bitpos, value = decode_one(state_u, bitpos, active,
                                                 gbase)
-            if ABL == "nomachine":
-                return ((state_u, bitpos, k + 1, cyxb, nzrem, ii, err),
-                        value, value)
             is_nz = nzrem == 0
 
             # -- nz phase (j40.h:6959-6967, DCT8: log_size = 6)
@@ -184,10 +187,8 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             half = value >> 1
             sval = jnp.where((value & 1) == 1, -half - 1, half)
             c_xyb = jnp.where(cyxb == 0, 1, jnp.where(cyxb == 1, 0, 2))
-            if ABL == "noorder":
-                opos = ii
-            else:
-                opos = _shared_lookup(order_ref, 1, cyxb * 64 + ii)
+            opos = _shared_lookup(order_ref, n_order_chunks,
+                                  tb_ref[2:3, :] + cyxb * 64 + ii)
             sidx = (c_xyb * ncells_max + k) * 64 + opos
             hit = value != 0
             nzrem_c = nzrem - jnp.where(hit, 1, 0)
@@ -217,13 +218,33 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
             for row in range(7):
                 st_ref[row:row + 1, :] = init_ref[row:row + 1, :]
 
-        if ABL == "gut":
-            # control: behave exactly like the plain entropy kernel
-            state_u0 = _bc_u32(st_ref[0:1, :])
-            bitpos0 = st_ref[1:2, :]
+        # whole-grid-step skip: once every lane is finished (decoded or
+        # errored), later grid steps only fill their output blocks, making
+        # a hard-bound step budget affordable (the TPU grid is sequential,
+        # so this is a real dynamic early-out, unlike an XLA cond around
+        # the kernel which select-izes)
+        done_all = jnp.all((st_ref[2:3, :] >= ncells_ref[:])
+                           | (st_ref[6:7, :] != 0))
 
-            def l2p(p, carry):
-                state_u, bitpos = carry
+        @pl.when(done_all)
+        def _fill():
+            zero = jnp.zeros((8, LANE), jnp.int32)
+            neg = jnp.full((8, LANE), -1, jnp.int32)
+            for b in range(SEG_SYMS // 8):
+                vals_ref[b * 8:(b + 1) * 8, :] = zero
+                idxs_ref[b * 8:(b + 1) * 8, :] = neg
+            for row in range(7):
+                st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
+            st_out_ref[7:8, :] = jnp.ones((1, LANE), jnp.int32)
+
+        @pl.when(jnp.logical_not(done_all))
+        def _segment_body():
+            carry0 = (_bc_u32(st_ref[0:1, :]), st_ref[1:2, :],
+                      st_ref[2:3, :], st_ref[3:4, :], st_ref[4:5, :],
+                      st_ref[5:6, :], st_ref[6:7, :])
+
+            def l2_period(p, carry):
+                state_u, bitpos = carry[0], carry[1]
                 wordpos = bitpos >> 4
                 l2base8 = jnp.zeros((1, LANE), jnp.int32) if small \
                     else (wordpos >> 3)
@@ -231,61 +252,26 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
                     refresh_l2(l2base8)
                 l2base = l2base8 << 3
                 for r in range(ROUNDS_PER_L2):
-                    wordpos = bitpos >> 4
+                    wordpos = carry[1] >> 4
                     goff8 = (wordpos - l2base) >> 3
                     refresh_g(goff8)
                     gbase = l2base + (goff8 << 3)
                     for ss in range(ROUND_SYMS):
                         local = (p * ROUNDS_PER_L2 + r) * ROUND_SYMS + ss
-                        active = jnp.ones((1, LANE), jnp.bool_)
-                        state_u, bitpos, value = decode_one(
-                            state_u, bitpos, active, gbase)
-                        vals_ref[pl.ds(local, 1), :] = value
-                return state_u, bitpos
-
-            state_u, bitpos = jax.lax.fori_loop(0, L2_PER_SEG, l2p,
-                                                (state_u0, bitpos0))
-            st_ref[0:1, :] = _bc_i32(state_u)
-            st_ref[1:2, :] = bitpos
-            idxs_ref[0:1, :] = bitpos  # touch so output isn't elided
-            for row in range(8):
-                st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
-            return
-
-        carry0 = (_bc_u32(st_ref[0:1, :]), st_ref[1:2, :], st_ref[2:3, :],
-                  st_ref[3:4, :], st_ref[4:5, :], st_ref[5:6, :],
-                  st_ref[6:7, :])
-
-        def l2_period(p, carry):
-            state_u, bitpos = carry[0], carry[1]
-            wordpos = bitpos >> 4
-            l2base8 = jnp.zeros((1, LANE), jnp.int32) if small \
-                else (wordpos >> 3)
-            if not small:
-                refresh_l2(l2base8)
-            l2base = l2base8 << 3
-            for r in range(ROUNDS_PER_L2):
-                wordpos = carry[1] >> 4
-                goff8 = (wordpos - l2base) >> 3
-                refresh_g(goff8)
-                gbase = l2base + (goff8 << 3)
-                for s in range(ROUND_SYMS):
-                    local = (p * ROUNDS_PER_L2 + r) * ROUND_SYMS + s
-                    carry, out_val, out_idx = one_step(carry, gbase)
-                    vals_ref[pl.ds(local, 1), :] = out_val
-                    if ABL != "nostore2":
+                        carry, out_val, out_idx = one_step(carry, gbase)
+                        vals_ref[pl.ds(local, 1), :] = out_val
                         idxs_ref[pl.ds(local, 1), :] = out_idx
-            return carry
+                return carry
 
-        carry = jax.lax.fori_loop(0, L2_PER_SEG, l2_period, carry0)
+            carry = jax.lax.fori_loop(0, L2_PER_SEG, l2_period, carry0)
 
-        st_ref[0:1, :] = _bc_i32(carry[0])
-        for row in range(1, 7):
-            st_ref[row:row + 1, :] = carry[row]
-        for row in range(7):
-            st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
-        st_out_ref[7:8, :] = jnp.where(
-            (carry[2] >= ncells_ref[:]) | (carry[6] != 0), 1, 0)  # finished
+            st_ref[0:1, :] = _bc_i32(carry[0])
+            for row in range(1, 7):
+                st_ref[row:row + 1, :] = carry[row]
+            for row in range(7):
+                st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
+            st_out_ref[7:8, :] = jnp.where(
+                (carry[2] >= ncells_ref[:]) | (carry[6] != 0), 1, 0)
 
     return kernel
 
@@ -294,7 +280,7 @@ def _make_hf_kernel(wrows: int, n_lut_chunks: int, n_tok_chunks: int,
     jax.jit,
     static_argnames=("n_steps", "use_prefix", "prefix_width", "wrows",
                      "ncells_max", "cfg_key"))
-def _decode_hf_pallas(words, init, ncells, lut, tok, lsb, order,
+def _decode_hf_pallas(words, init, ncells, lut, tok, lsb, tb, order,
                       n_steps: int, use_prefix: bool, prefix_width: int,
                       wrows: int, ncells_max: int, cfg_key=None):
     if words.dtype == jnp.uint16:
@@ -306,7 +292,8 @@ def _decode_hf_pallas(words, init, ncells, lut, tok, lsb, order,
     nseg = -(-n_steps // SEG_SYMS)
     kernel = _make_hf_kernel(
         wrows=wrows, n_lut_chunks=lut.shape[0] // 8,
-        n_tok_chunks=tok.shape[0] // 8, use_prefix=use_prefix,
+        n_tok_chunks=tok.shape[0] // 8,
+        n_order_chunks=order.shape[0] // 8, use_prefix=use_prefix,
         prefix_width=prefix_width, cfg=cfg, ncells_max=ncells_max)
     const = lambda i: (0, 0)
     vals, idxs, st = pl.pallas_call(
@@ -321,7 +308,9 @@ def _decode_hf_pallas(words, init, ncells, lut, tok, lsb, order,
             pl.BlockSpec((tok.shape[0], LANE), const,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((order.shape[0], LANE), const,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((SEG_SYMS, LANE), lambda i: (i, 0),
@@ -341,7 +330,7 @@ def _decode_hf_pallas(words, init, ncells, lut, tok, lsb, order,
             pltpu.VMEM((8, LANE), jnp.int32),
         ],
         interpret=_interpret(),
-    )(words, init, ncells, lut, tok, lsb, order)
+    )(words, init, ncells, lut, tok, lsb, tb, order)
     return vals, idxs, st
 
 
@@ -362,7 +351,7 @@ def _scatter_coeffs(vals, idxs, ncells_max: int):
     jax.jit,
     static_argnames=("k_syms", "wseg", "n_outer_cap", "use_prefix",
                      "prefix_width", "ncells_max", "cfg_key"))
-def _decode_hf_long(words_lw, init8, ncells, lut, tok, lsb, order,
+def _decode_hf_long(words_lw, init8, ncells, lut, tok, lsb, tb, order,
                     k_syms: int, wseg: int, n_outer_cap: int,
                     use_prefix: bool, prefix_width: int, ncells_max: int,
                     cfg_key=None):
@@ -378,28 +367,21 @@ def _decode_hf_long(words_lw, init8, ncells, lut, tok, lsb, order,
     def finished(st8):
         return (st8[2:3, :] >= ncells) | (st8[6:7, :] != 0)
 
-    def work(st8):
+    def seg(st8, _):
+        # no XLA-level cond: the kernel itself skips all work per grid
+        # step once every lane is finished (scratch-state predication)
         ws = st8[1:2, :] >> 4
         win = jax.vmap(
             lambda row, s: jax.lax.dynamic_slice(row, (s,), (wseg,))
         )(words, ws[0]).T
         init_seg = st8.at[1:2, :].add(-(ws << 4))
         vals, idxs, st2 = _decode_hf_pallas(
-            win, init_seg, ncells, lut, tok, lsb, order,
+            win, init_seg, ncells, lut, tok, lsb, tb, order,
             n_steps=k_syms, use_prefix=use_prefix,
             prefix_width=prefix_width, wrows=wseg,
             ncells_max=ncells_max, cfg_key=cfg_key)
         st2 = st2.at[1:2, :].add(ws << 4)
-        return st2, vals[:k_syms], idxs[:k_syms]
-
-    def skip(st8):
-        return (st8, jnp.zeros((k_syms, LANE), jnp.int32),
-                jnp.full((k_syms, LANE), -1, jnp.int32))
-
-    def seg(st8, _):
-        st2, vals, idxs = jax.lax.cond(
-            jnp.all(finished(st8)), skip, work, st8)
-        return st2, (vals, idxs)
+        return st2, (vals[:k_syms], idxs[:k_syms])
 
     st8, (vb, ib) = jax.lax.scan(seg, init8, None, length=n_outer_cap)
     vb = vb.reshape(n_outer_cap * k_syms, LANE)
@@ -413,89 +395,175 @@ def hf_spec_is_device_simple(spec) -> bool:
     return spec_is_pallas_simple(spec)
 
 
+def build_multi_inputs(lane_groups, k_syms: int):
+    """Pack lanes drawn from MANY code specs into one kernel call.
+
+    lane_groups: list of (streams, ncells_list, spec, orders_yxb (3,64)).
+    Stacks each spec's symbol/token/order LUTs and gives every lane base
+    offsets into them (tb rows 0/1/2) — one call then decodes sections of
+    many images at full lane occupancy.  All specs must agree on
+    use_prefix; prefix LUTs are padded to the widest code."""
+    from .device_entropy import pack_streams
+    from .pallas_entropy import MAX_WROWS
+
+    all_streams = []
+    for streams, _nc, _spec, _o in lane_groups:
+        all_streams.extend(streams)
+    L = len(all_streams)
+    assert L <= LANE
+    use_prefix = lane_groups[0][2].use_prefix_code
+    assert all(g[2].use_prefix_code == use_prefix for g in lane_groups)
+
+    width = (max(max(1, g[2].clusters[0].prefix.max_len)
+                 for g in lane_groups) if use_prefix else 0)
+
+    luts, toks, orders = [], [], []
+    lut_base, tok_base, order_base, lsb_of = [], [], [], []
+    for streams, _nc, spec, orders_yxb in lane_groups:
+        cl = spec.clusters[0]
+        lut_base.append(sum(len(x) for x in luts))
+        tok_base.append(sum(len(x) for x in toks))
+        order_base.append(sum(len(x) for x in orders))
+        if use_prefix:
+            luts.append(pack_prefix_lut(cl.prefix, width))
+            if cl.prefix.single_symbol is not None:
+                alpha = cl.prefix.single_symbol + 1
+            else:
+                alpha = max(max(d.values())
+                            for d in cl.prefix.by_len if d) + 1
+        else:
+            luts.append(pack_alias_lut(cl))
+            alpha = 1 << spec.log_alpha_size
+        toks.append(pack_token_lut(cl.config, alpha))
+        flat = np.zeros(192, np.int32)
+        for cyxb in range(3):
+            flat[cyxb * 64:(cyxb + 1) * 64] = orders_yxb[cyxb]
+        orders.append(flat)
+        lsb_of.append(cl.config.lsb_in_token)
+
+    words_lw, skips = pack_streams(all_streams)   # (L, W16) uint32
+    w16 = words_lw.shape[1]
+    init = np.zeros((8, LANE), np.int32)
+    if use_prefix:
+        init[1, :L] = skips
+    else:
+        cat = (words_lw[:, 0].astype(np.uint64)
+               | (words_lw[:, 1].astype(np.uint64) << 16)
+               | (words_lw[:, 2].astype(np.uint64) << 32))
+        st0 = ((cat >> skips.astype(np.uint64)) & 0xFFFFFFFF).astype(
+            np.uint32)
+        init[0, :L] = st0.view(np.int32)
+        init[1, :L] = skips + 32
+
+    tb = np.zeros((4, LANE), np.int32)
+    lsb = np.zeros((1, LANE), np.int32)
+    nc = np.zeros((1, LANE), np.int32)
+    ncells_all = []
+    li = 0
+    for gi, (streams, ncl, _spec, _o) in enumerate(lane_groups):
+        for c in ncl:
+            tb[0, li] = lut_base[gi]
+            tb[1, li] = tok_base[gi]
+            tb[2, li] = order_base[gi]
+            lsb[0, li] = lsb_of[gi]
+            nc[0, li] = c
+            ncells_all.append(c)
+            li += 1
+
+    longest = max(len(d) for d, _ in all_streams)
+    segmented = longest // 2 + 300 > MAX_WROWS
+    out = {
+        "words": words_lw.astype(np.uint16), "init": init, "tb": tb,
+        "lsb": lsb, "nc": nc, "ncells_all": ncells_all,
+        "max_bytes": longest,
+        "lut": _to_chunks(np.concatenate(luts)),
+        "tok": _to_chunks(np.concatenate(toks)),
+        "order": _to_chunks(np.concatenate(orders)),
+        "use_prefix": use_prefix, "prefix_width": width,
+        "segmented": segmented, "L": L,
+    }
+    if segmented:
+        out["wseg"] = -(-(k_syms * 3 + 280) // 64) * 64
+    else:
+        out["wrows"] = -(-(w16 + 256) // 64) * 64
+    return out
+
+
+def _hf_call(inp, init, cap_steps: int, ncells_max: int, cfg: KernelCfg,
+             k_syms: int):
+    """One kernel invocation (whole-stream or windowed) from packed
+    inputs; returns device (vals, idxs, st)."""
+    common = dict(use_prefix=inp["use_prefix"],
+                  prefix_width=inp["prefix_width"],
+                  ncells_max=ncells_max, cfg_key=cfg.key())
+    args = (jnp.asarray(inp["words"]), jnp.asarray(init),
+            jnp.asarray(inp["nc"]), jnp.asarray(inp["lut"]),
+            jnp.asarray(inp["tok"]), jnp.asarray(inp["lsb"]),
+            jnp.asarray(inp["tb"]), jnp.asarray(inp["order"]))
+    if inp["segmented"]:
+        n_outer_cap = 1
+        while n_outer_cap * k_syms < cap_steps:
+            n_outer_cap *= 2
+        return _decode_hf_long(*args, k_syms=k_syms, wseg=inp["wseg"],
+                               n_outer_cap=n_outer_cap, **common)
+    n_steps = -(-cap_steps // cfg.seg_syms) * cfg.seg_syms
+    return _decode_hf_pallas(*args, n_steps=n_steps, wrows=inp["wrows"],
+                             **common)
+
+
+def launch_hf_multi(lane_groups, ncells_max: int,
+                    cfg: KernelCfg | None = None):
+    """Async multi-spec launch for the serving pipeline: one kernel call
+    decodes sections of MANY images (full lane occupancy) with the
+    format's hard step bound (192 syms/cell: it can never exhaust), NO
+    host sync.  Returns (coeffs_dev (L,3,ncells_max,64), st_dev)."""
+    if cfg is None:
+        cfg = TEST_CFG if _interpret() else DEFAULT_CFG
+    k_syms = 10 * cfg.seg_syms
+    inp = build_multi_inputs(lane_groups, k_syms)
+    nmax = int(max(inp["ncells_all"]))
+    cap = 192 * nmax  # hard bound; the in-kernel grid skip makes it cheap
+    vals, idxs, st = _hf_call(inp, inp["init"], cap, ncells_max, cfg,
+                              k_syms)
+    return _scatter_coeffs(vals, idxs, ncells_max)[:inp["L"]], st
+
+
 def decode_hf_dct8(streams, ncells, spec, orders_yxb, ncells_max: int,
                    cap_steps: int | None = None,
                    cfg: KernelCfg | None = None):
-    """Decode <=128 DCT8-only pass-group sections sharing one single-cluster
-    coefficient spec, entirely on device.
+    """Decode <=128 DCT8-only pass-group sections sharing one
+    single-cluster coefficient spec, entirely on device (synchronous,
+    budget-resume loop for explicit small budgets).
 
     streams: [(bytes, bit_offset)] per lane; ncells: 8x8 block count per
-    lane; orders_yxb: (3, 64) int32 coefficient order per YXB channel slot.
-    Returns (coeffs (L, 3, ncells_max, 64) f32 device array, state dict with
-    final ANS states / bit positions / done / err flags as numpy)."""
+    lane; orders_yxb: (3, 64) int32 coefficient order per YXB channel
+    slot.  Returns (coeffs (L, 3, ncells_max, 64) f32 device array, state
+    dict with final ANS states / bit positions / done / err flags)."""
     if cfg is None:
         cfg = TEST_CFG if _interpret() else DEFAULT_CFG
     L = len(streams)
-    assert L <= LANE
-    from .pallas_entropy import streams_fit_pallas
-
-    segmented = not streams_fit_pallas(streams)
     k_syms = 10 * cfg.seg_syms
-    inp = build_lane_inputs(streams, spec, segmented=segmented,
-                            k_syms=k_syms)
-    nc = np.zeros((1, LANE), np.int32)
-    nc[0, :L] = np.asarray(ncells, np.int32)
-    order_flat = np.zeros(192, np.int32)
-    for cyxb in range(3):
-        order_flat[cyxb * 64:(cyxb + 1) * 64] = orders_yxb[cyxb]
+    inp = build_multi_inputs(
+        [(streams, list(ncells), spec, orders_yxb)], k_syms)
     if cap_steps is None:
-        # initial estimate: 3 nz symbols per block + one symbol per stream
-        # bit; clamped to the format's hard bound (one nz + <= 63 coeff
-        # symbols per block-channel => 192 * ncells); the resume loop
-        # covers any shortfall of the estimate
-        nmax = int(max(ncells))
-        bits = max(len(d) for d, _ in streams) * 8
-        cap_steps = min(3 * nmax + bits + 64, 192 * nmax)
+        cap_steps = 192 * int(max(ncells))  # hard bound
     if _interpret():
         # interpret-mode compile cost scales with the unrolled segment
         # count; lean on the resume loop instead of one big budget
         cap_steps = min(cap_steps, 4 * cfg.seg_syms)
-    init = np.zeros((8, LANE), np.int32)
-    init[:3] = inp["init"]
 
-    words_j = jnp.asarray(inp["words"])
-    lut_j = jnp.asarray(inp["lut"])
-    tok_j = jnp.asarray(inp["tok"])
-    lsb_j = jnp.asarray(inp["lsb"])
-    order_j = jnp.asarray(_to_chunks(order_flat))
-    nc_j = jnp.asarray(nc)
-
-    if segmented:
-        # shape-bucketed outer cap so recompiles stay rare
-        n_outer_cap = 1
-        while n_outer_cap * k_syms < cap_steps:
-            n_outer_cap *= 2
-        vals, idxs, st = _decode_hf_long(
-            words_j, jnp.asarray(init), nc_j, lut_j, tok_j, lsb_j,
-            order_j, k_syms=k_syms, wseg=inp["wseg"],
-            n_outer_cap=n_outer_cap, use_prefix=inp["use_prefix"],
-            prefix_width=inp["prefix_width"], ncells_max=ncells_max,
-            cfg_key=cfg.key())
-        coeffs = _scatter_coeffs(vals, idxs, ncells_max)
-        stn = np.asarray(st)
-        state = {
-            "ans_state": stn[0, :L].astype(np.uint32),
-            "bitpos": stn[1, :L],
-            "err": stn[6, :L],
-            "done": stn[7, :L],
-        }
-        return coeffs[:L], state
-
+    init = inp["init"]
     coeffs = None
     for _attempt in range(64):
-        n_steps = min(-(-cap_steps // cfg.seg_syms) * cfg.seg_syms,
-                      128 * cfg.seg_syms)
-        vals, idxs, st = _decode_hf_pallas(
-            words_j, jnp.asarray(init), nc_j, lut_j, tok_j, lsb_j, order_j,
-            n_steps=n_steps, use_prefix=inp["use_prefix"],
-            prefix_width=inp["prefix_width"], wrows=inp["wrows"],
-            ncells_max=ncells_max, cfg_key=cfg.key())
+        vals, idxs, st = _hf_call(inp, init, cap_steps, ncells_max, cfg,
+                                  k_syms)
         part = _scatter_coeffs(vals, idxs, ncells_max)
         coeffs = part if coeffs is None else coeffs + part
         stn = np.asarray(st)
         if stn[7, :L].all():  # every lane finished (decoded or errored)
             break
         init = stn[:7].copy()  # resume from the machine snapshot
+        init = np.vstack([init, np.zeros((1, LANE), np.int32)])
     state = {
         "ans_state": stn[0, :L].astype(np.uint32),
         "bitpos": stn[1, :L],

@@ -383,14 +383,25 @@ def _chunk_rgba(cup, exc_idx, exc_val, aux, weights, consts, kind,
             from ..ops.combine_jax import unpack_i4_jax
             from ..ops.pallas_kernels import reconstruct_dct8_full
 
-            if kind == "i4":
-                coeffs = unpack_i4_jax(cup, (3, chunk * h8 * w8, 64))
+            if kind == "f32":
+                # dense on-device planes (the on-chip HF entropy path):
+                # no exception scatter needed
+                from ..ops.pallas_kernels import reconstruct_dct8_srgb_pallas
+
+                srgb = jnp.clip(
+                    reconstruct_dct8_srgb_pallas(
+                        cup, aux[0:3], aux[3], aux[4], aux[5],
+                        weights, consts, chunk * h8, w8),
+                    0, 255).astype(jnp.uint8)
             else:
-                coeffs = cup
-            srgb = reconstruct_dct8_full(
-                coeffs, exc_idx, exc_val, aux, weights, consts,
-                chunk * h8, w8, True,
-            )  # (3, chunk*H, W) uint8
+                if kind == "i4":
+                    coeffs = unpack_i4_jax(cup, (3, chunk * h8 * w8, 64))
+                else:
+                    coeffs = cup
+                srgb = reconstruct_dct8_full(
+                    coeffs, exc_idx, exc_val, aux, weights, consts,
+                    chunk * h8, w8, True,
+                )  # (3, chunk*H, W) uint8
             H, W = h8 * 8, w8 * 8
             rgb = srgb.reshape(3, chunk, H, W).transpose(1, 2, 3, 0)
             alpha = jnp.full((chunk, H, W, 1), jnp.uint8(255))
@@ -425,3 +436,200 @@ def _decode_batch_roundrobin(blobs, workers, backend, per_image_workers):
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(one, enumerate(blobs)))
+
+
+@functools.lru_cache(maxsize=4)
+def _assemble_hf_jit():
+    import jax
+
+    @functools.partial(jax.jit)
+    def run(dense, lane_b, cell_b):
+        # dense (L, 3, ncmax, 64) -> (3, n, 64) image-raster blocks
+        img = dense[lane_b, :, cell_b, :]          # (n, 3, 64)
+        return img.transpose(1, 0, 2)
+
+    return run
+
+
+def decode_batch_device_hf(
+    blobs: list[bytes],
+    workers: int = 8,
+    chunk: int = 16,
+    fetch: bool = False,
+    stats_out: dict | None = None,
+):
+    """Serving-shape batched decode with ON-CHIP HF entropy decode: the host
+    parses only headers + LF metadata per image (Decoder max_passes=0);
+    pass-group sections upload their raw BYTES and decode in the Pallas HF
+    kernel (ops/pallas_hf.py); dense coefficient planes stay on device and
+    feed the fused reconstruction.  Upload is ~section bytes + aux instead
+    of the coefficient planes — the lever that beats a slow host link.
+
+    Per-image kernel launches run async; stream-end/ANS validation is one
+    batched fetch at the end (j40.h:2884-2897 checks preserved).  Output:
+    device-resident (B, H, W, 4) uint8."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode import Decoder
+    from ..io.bits import ceil_lg
+    from ..ops import pallas_hf as ph
+    from ..ops.combine_jax import _plan_aux_dct8
+    from ..ops.device_vardct import YXB2XYB, _prepare_hf_lane
+    from ..ops.device_modular import _check_lane_end
+    from ..ops.pallas_kernels import pallas_available
+
+    if not pallas_available():
+        raise ValueError("device batch path needs the TPU Pallas backend")
+    t0 = time.perf_counter()
+
+    def phase1(blob):
+        d = Decoder(blob, backend="jax", max_passes=0)
+        d.decode_frame(_defer_finish=True)
+        return d
+
+    stats = {
+        "images": len(blobs), "chunk": chunk, "upload_bytes": 0,
+        "lf_s": 0.0, "launch_s": 0.0,
+    }
+    ex = ThreadPoolExecutor(max_workers=max(1, workers))
+    try:
+        futs = [ex.submit(phase1, b) for b in blobs]
+        pend = []
+        geom = None
+        for ft in futs:
+            tl0 = time.perf_counter()
+            d = ft.result()
+            stats["lf_s"] += time.perf_counter() - tl0
+            f, toc, state = d._deferred
+            vd = state.vardct
+            if (f.num_lf_groups != 1 or f.num_passes != 1
+                    or d.image.bpp != 8 or not f.is_last):
+                raise ValueError("non-uniform batch (shape/passes)")
+            spec = vd.coeff_codespec[0]
+            if not ph.hf_spec_is_device_simple(spec):
+                raise ValueError("coefficient spec not device-simple")
+            gg = vd.lf_groups[0]
+            blocks_arr = np.asarray(gg.blocks)
+            if not ((blocks_arr >> 20) == 2).all():
+                raise ValueError("non-DCT8 varblocks")
+            if geom is None:
+                geom = (gg.height8, gg.width8)
+            elif geom != (gg.height8, gg.width8):
+                raise ValueError("non-uniform batch (geometry)")
+            preset_bits = ceil_lg(vd.num_hf_presets)
+            lanes = []
+            for sct in toc.sections:
+                if sct.pass_ != 0:
+                    continue
+                ln = _prepare_hf_lane(d, state, f, vd, sct, preset_bits)
+                if ln is None:
+                    raise ValueError("ineligible pass section")
+                lanes.append(ln)
+            streams = [(ln.data, ln.bitoff) for ln in lanes]
+            ncells = [ln.gw8 * ln.gh8 for ln in lanes]
+            orders_yxb = np.stack([
+                np.asarray(vd.orders[0][0][YXB2XYB[c]], np.int32)
+                for c in range(3)])
+            stats["upload_bytes"] += sum(len(ln.data) for ln in lanes)
+
+            h8, w8 = gg.height8, gg.width8
+            lane_b = np.empty(h8 * w8, np.int32)
+            cell_b = np.empty(h8 * w8, np.int32)
+            for li, ln in enumerate(lanes):
+                ys = np.arange(ln.gy8, ln.gy8 + ln.gh8)
+                xs = np.arange(ln.gx8, ln.gx8 + ln.gw8)
+                bb = (ys[:, None] * w8 + xs[None, :]).ravel()
+                lane_b[bb] = li
+                cell_b[bb] = np.arange(ln.gh8 * ln.gw8)
+            voffs = (blocks_arr & 0xFFFFF).reshape(-1)
+            offs = np.asarray(gg.vb_coeffoff)[voffs]
+            aux, weights, consts = _plan_aux_dct8(
+                vd, gg, d.image, f, voffs, offs)
+            pend.append(dict(
+                lanes=lanes, spec=spec, streams=streams, ncells=ncells,
+                orders=orders_yxb, lane_b=lane_b, cell_b=cell_b, aux=aux,
+                weights=weights, consts=consts))
+
+        # multi-spec kernel calls at full lane occupancy: pack images'
+        # section lanes into <=128-lane calls; one call decodes sections
+        # of many images against their own (stacked) code specs
+        tk0 = time.perf_counter()
+        calls, cur, cur_n = [], [], 0
+        for pe in pend:
+            ln_count = len(pe["streams"])
+            if cur and cur_n + ln_count > 128:
+                calls.append(cur)
+                cur, cur_n = [], 0
+            cur.append(pe)
+            cur_n += ln_count
+        if cur:
+            calls.append(cur)
+        ncmax = max(max(pe["ncells"]) for pe in pend)
+        for group in calls:
+            lane_groups = [(pe["streams"], pe["ncells"], pe["spec"],
+                            pe["orders"]) for pe in group]
+            coeffs_dev, st_dev = ph.launch_hf_multi(lane_groups, ncmax)
+            off = 0
+            for pe in group:
+                pe["coeffs"] = coeffs_dev
+                pe["lane_off"] = off
+                pe["st"] = st_dev
+                pe["st_off"] = off
+                off += len(pe["streams"])
+        stats["launch_s"] += time.perf_counter() - tk0
+        stats["kernel_calls"] = len(calls)
+
+        h8, w8 = geom
+        n = h8 * w8
+        asm = _assemble_hf_jit()
+        dweights = jax.device_put(pend[0]["weights"])
+        dconsts = jax.device_put(pend[0]["consts"])
+        dummy = jnp.zeros(1, jnp.int32)
+        devs = []
+        for pos in range(0, len(pend), chunk):
+            part = pend[pos:pos + chunk]
+            imgs = [asm(pe["coeffs"],
+                        jnp.asarray(pe["lane_b"] + pe["lane_off"]),
+                        jnp.asarray(pe["cell_b"])) for pe in part]
+            while len(imgs) < chunk:  # ragged tail: repeat the last image
+                imgs.append(imgs[-1])
+            coeffs = jnp.concatenate(imgs, axis=1)
+            aux = np.zeros((6, chunk * n), np.float32)
+            for i, pe in enumerate(part):
+                aux[:, i * n:(i + 1) * n] = pe["aux"]
+            stats["upload_bytes"] += aux.nbytes
+            devs.append(_chunk_rgba(
+                coeffs, dummy, dummy, jax.device_put(aux),
+                dweights, dconsts, "f32", chunk, h8, w8))
+        out = (jnp.concatenate(devs, axis=0)[: len(blobs)]
+               if len(devs) > 1 else devs[0][: len(pend)])
+        out.block_until_ready()
+        stats["ready_s"] = time.perf_counter() - t0
+
+        # batched validation: one fetch for every call's machine snapshot
+        sts = jax.device_get([pe["st"] for pe in pend])
+        for pe, stn in zip(pend, sts):
+            o = pe["st_off"]
+            L = len(pe["lanes"])
+            if not stn[7, o:o + L].all() or stn[6, o:o + L].any():
+                raise ValueError("device HF decode failed validation")
+            for li, ln in enumerate(pe["lanes"]):
+                base = (ln.bitoff // 8) & ~1
+                _check_lane_end(
+                    ln, base * 8 + int(stn[1, o + li]),
+                    pe["spec"].use_prefix_code, int(stn[0, o + li]))
+    finally:
+        ex.shutdown(wait=False)
+
+    if fetch:
+        tf0 = time.perf_counter()
+        out = _fetch_copy(out)
+        out = np.asarray(out)
+        stats["fetch_s"] = time.perf_counter() - tf0
+    stats["total_s"] = time.perf_counter() - t0
+    if stats_out is not None:
+        stats_out.update(stats)
+    return out
