@@ -236,7 +236,100 @@ def _bench_batch64_device(n: int = 64, size: int = 512,
         out["tunnel_floor_s"] = round(floor, 3)
         out["fraction_of_tunnel_floor"] = round(
             floor / best["total_s"], 3)
+
+    # ON-CHIP HF entropy variant (r4): raw section bytes upload + the
+    # Pallas HF kernel decode, exact-match-checked against the pack path
+    try:
+        from j40_tpu.parallel.batch import decode_batch_device_hf
+
+        ref = decode_batch_device(blobs[:16], workers=WORKERS, fetch=True)
+        got = decode_batch_device_hf(blobs[:16], workers=WORKERS,
+                                     fetch=True)
+        exact = bool(np.array_equal(ref, got))
+        bhf = None
+        for _ in range(3):
+            st: dict = {}
+            decode_batch_device_hf(blobs, workers=WORKERS, stats_out=st)
+            if bhf is None or st["total_s"] < bhf["total_s"]:
+                bhf = st
+        out["onchip_hf"] = {
+            "aggregate_mpixps": round(pixels / bhf["total_s"] / 1e6, 3),
+            "upload_MB": round(bhf["upload_bytes"] / 1e6, 1),
+            "kernel_calls": bhf.get("kernel_calls"),
+            "exact_match_vs_pack": exact,
+        }
+        if tunnel and tunnel.get("up_MBps"):
+            out["onchip_hf"]["tunnel_floor_s"] = round(
+                bhf["upload_bytes"] / 1e6 / tunnel["up_MBps"], 3)
+    except Exception as e:
+        out["onchip_hf"] = {"error": str(e)[:160]}
     return out
+
+
+
+def _bench_pallas_entropy() -> dict:
+    """On-chip entropy decode probe (the r4 north-star artifact): 128
+    shared-spec lanes through the Pallas symbol-loop kernel
+    (ops/pallas_entropy.py), bit-exact vs the host oracle; reports total
+    Msym/s at two sizes plus the marginal per-step cost with the ~24 ms
+    dispatch floor subtracted out."""
+    import jax
+    import jax.numpy as jnp
+
+    from j40_tpu.encode.bitwriter import BitWriter
+    from j40_tpu.encode.entropy import EntropyEncoder
+    from j40_tpu.entropy.code import read_code_spec
+    from j40_tpu.io.bits import BitReader
+    from j40_tpu.ops import pallas_entropy as pe
+
+    rng = np.random.default_rng(42)
+    S1, S2, L = 2400, 24000, 128
+    lanes = [np.minimum((rng.pareto(1.2, size=S2) * 2).astype(np.int64),
+                        60000) for _ in range(L)]
+    enc = EntropyEncoder(1, use_prefix=False)
+    for l, v in enumerate(lanes):
+        enc.add_array(0, v, stream=l)
+    streams = []
+    spec = None
+    for l in range(L):
+        w = BitWriter()
+        enc.write_spec(w)
+        enc.write_tokens(w, stream=l)
+        data = w.finish()
+        r = BitReader(data)
+        spec = read_code_spec(r, 1)
+        streams.append((data, r.bits_consumed))
+
+    def run(n):
+        best = float("inf")
+        v = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            v, st, bp = pe.decode_tokens_pallas(streams, [n] * L, spec, n)
+            jax.block_until_ready(v)
+            best = min(best, time.perf_counter() - t0)
+        return best, v
+
+    run(S1)  # compile
+    t1, v1 = run(S1)
+    run(S2)
+    t2, v2 = run(S2)
+    # bit-exactness vs the host oracle on one lane
+    from j40_tpu.entropy.code import CodeState
+
+    r = BitReader(streams[0][0])
+    read_code_spec(r, 1)
+    code = CodeState(spec)
+    host = [code.code(r, 0) for _ in range(2000)]
+    assert list(np.asarray(v2)[0][:2000]) == host, "device mismatch"
+    marginal_ns = (t2 - t1) / (S2 - S1) * 1e9
+    return {
+        "lanes": L,
+        "Msym_s_24k": round(L * S2 / t2 / 1e6, 1),
+        "marginal_ns_per_step": round(marginal_ns, 1),
+        "marginal_Gsym_s": round(L / marginal_ns, 2),
+        "bit_exact": True,
+    }
 
 
 def _bench_tunnel() -> dict:
@@ -637,6 +730,23 @@ def main() -> None:
             )
             out["vardct_device_e2e_mpixps"] = round(ve2e, 3)
             print(f"# vardct device e2e: {ve2e:.2f} Mpix/s", file=sys.stderr)
+            try:
+                # r4: full backend="device" decode — pass sections entropy-
+                # decoded ON CHIP (ops/pallas_hf.py) when eligible
+                vhf, _, _ = _time_ours(
+                    (CACHE / f"vardct_ans_{SIZE}x{SIZE}.jxl").read_bytes(),
+                    "device")
+                out["vardct_device_hf_e2e_mpixps"] = round(vhf, 3)
+                print(f"# vardct device on-chip-HF e2e: {vhf:.2f} Mpix/s",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"# device hf e2e probe failed: {e}", file=sys.stderr)
+        try:
+            out["pallas_entropy"] = _bench_pallas_entropy()
+            print(f"# pallas_entropy: {out['pallas_entropy']}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# pallas_entropy probe failed: {e}", file=sys.stderr)
     if not ONLY or "batch64" in ONLY:
         out["batch64"] = _bench_batch64(device_backend)
         print(f"# batch64: {out['batch64']}", file=sys.stderr)
