@@ -154,8 +154,34 @@ class Decoder:
         """Streaming: append file bytes; mid-frame progress is preserved and
         the next decode_frame() resumes at the first incomplete section
         (the reference's buffer checkpoint analog, j40.h:1662).  The box
-        walk resumes incrementally — a push is O(new bytes), not a reparse."""
+        walk resumes incrementally — a push is O(new bytes), not a reparse,
+        and committed input is released so retained memory stays O(pending
+        sections), not O(stream) (j40.h:1706-1715)."""
         self.src.extend(data)
+        if self.streaming:
+            self._trim_committed()
+
+    def _trim_committed(self) -> None:
+        """Release source bytes every remaining decode step is past."""
+        prog = self._prog
+        if prog is None:
+            return
+        if prog.toc is None:
+            # frame header/TOC not fully parsed: keep from the frame start
+            self.src.trim_codestream(prog.header_bits // 8)
+            return
+        toc = prog.toc
+        lw = toc.end_codeoff
+        if not prog.lf_global_done:
+            lw = min(lw, toc.lf_global_codeoff)
+        if not prog.hf_global_done and toc.hf_global_size:
+            lw = min(lw, toc.hf_global_codeoff)
+        npasses = (prog.f.num_passes if self.max_passes is None
+                   else min(self.max_passes, prog.f.num_passes))
+        for s in toc.sections:
+            if s.pass_ < npasses and (s.pass_, s.idx) not in prog.done_sections:
+                lw = min(lw, s.codeoff)
+        self.src.trim_codestream(lw)
 
     def decode_frame(self, _defer_finish: bool = False) -> Frame | None:
         """Decode the next frame.  With `_defer_finish` the entropy/section

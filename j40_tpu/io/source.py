@@ -50,20 +50,30 @@ class Source:
 
 
 class MemorySource(Source):
-    """Source over a caller buffer; extend() appends (push streaming)."""
+    """Source over a caller buffer; extend() appends (push streaming).
+
+    `trim(upto)` releases bytes before file offset `upto` so a streaming
+    decode holds only the uncommitted suffix (the reference's
+    checkpoint-trim, j40.h:1706-1715); reads below the trim point are a
+    programming error."""
 
     def __init__(self, data, final: bool = True):
         self._buf = bytearray(data)
         self._final = final
+        self._base = 0  # file offset of _buf[0]
 
     def read_at(self, fileoff: int, n: int) -> bytes:
-        return bytes(self._buf[fileoff : fileoff + n])
+        off = fileoff - self._base
+        assert off >= 0, "read below the trimmed checkpoint"
+        return bytes(self._buf[off : off + n])
 
     def view_at(self, fileoff: int, n: int) -> memoryview:
-        return memoryview(self._buf)[fileoff : fileoff + n]
+        off = fileoff - self._base
+        assert off >= 0, "read below the trimmed checkpoint"
+        return memoryview(self._buf)[off : off + n]
 
     def size(self) -> int:
-        return len(self._buf)
+        return self._base + len(self._buf)
 
     @property
     def final(self) -> bool:
@@ -71,6 +81,17 @@ class MemorySource(Source):
 
     def extend(self, data) -> None:
         self._buf.extend(data)
+
+    def trim(self, upto: int) -> None:
+        """Release buffered bytes before file offset `upto`."""
+        drop = min(max(0, upto - self._base), len(self._buf))
+        if drop:
+            del self._buf[:drop]
+            self._base += drop
+
+    @property
+    def retained(self) -> int:
+        return len(self._buf)
 
 
 class FileSource(Source):
@@ -353,6 +374,36 @@ class CodestreamSource:
         assert isinstance(self.src, MemorySource), "extend() needs MemorySource"
         self.src.extend(data)
         self.advance()
+
+    def trim_codestream(self, codeoff: int) -> None:
+        """Release source bytes before codestream offset `codeoff` — the
+        committed-prefix trim that keeps streaming memory bounded
+        (reference j40.h:1706-1715).  Conservative: never trims past the
+        box-walk cursor or any mapped non-codestream box payload (those
+        stay addressable for read_box)."""
+        if not isinstance(self.src, MemorySource):
+            return
+        fo = None
+        for co, f, ln in self.spans:
+            if ln >= 0 and codeoff >= co + ln:
+                continue
+            fo = f + max(0, codeoff - co)
+            break
+        if fo is None:
+            return
+        # the box-walk cursor only matters while the walk is still running
+        # (bare codestreams never move it)
+        keep = fo if self._walk_done else min(fo, self._pos)
+        for _t, bfo, _ln in self.boxes:
+            keep = min(keep, bfo)
+        if self.frame_index_span is not None:
+            keep = min(keep, self.frame_index_span[0])
+        self.src.trim(keep)
+
+    @property
+    def retained_bytes(self) -> int:
+        return (self.src.retained
+                if isinstance(self.src, MemorySource) else self.src.size())
 
 
 class PrefixReader:

@@ -225,3 +225,33 @@ def test_render_rgba8_device():
     d.decode_frame()
     dev = d.render_rgba8_device()
     assert np.array_equal(np.asarray(dev), d.render_rgba8())
+
+
+def test_streaming_input_trimming():
+    """Committed input is released as sections complete: retained buffer
+    stays O(pending section), not O(stream) (j40.h:1706-1715 analog)."""
+    rng = np.random.default_rng(17)
+    img = (
+        np.cumsum(np.cumsum(rng.integers(-2, 3, size=(300, 900, 3)), 0), 1)
+        % 256
+    ).astype(np.uint8)
+    from j40_tpu.encode.encoder import encode_modular
+
+    cs = encode_modular(img)  # 1x4 groups of 256px
+
+    im = Image.from_memory(b"")
+    step = max(1, len(cs) // 60)
+    pos = 0
+    peak = 0
+    while not im.next_frame():
+        assert im.error == "shrt", im.error_string()
+        assert pos < len(cs)
+        im.push(cs[pos : pos + step])
+        pos += step
+        if im._dec is not None:
+            peak = max(peak, im._dec.src.retained_bytes)
+    got = im.current_frame().pixels_u8x4()
+    assert np.array_equal(got[:, :, :3], img)
+    # each of the 4 groups is ~len/4; retained must stay well under the
+    # whole stream (pending-section suffix + one push chunk)
+    assert peak < 0.55 * len(cs), (peak, len(cs))
