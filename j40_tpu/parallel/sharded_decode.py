@@ -576,9 +576,19 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
                 jnp.asarray(quant_bias), quant_bias_num, meta["ds"])
             rr = jnp.arange(vals.shape[2])
             cc = jnp.arange(vals.shape[3])
-            yidx = pyl[:, None, None] + rr[None, :, None]
-            xidx = pxv[:, None, None] + cc[None, None, :]
-            samples = samples.at[:, yidx, xidx].set(vals, mode="drop")
+            # flat 1-D scatter: a single index tensor avoids the
+            # concatenate-of-broadcast index build that advanced
+            # multi-axis indexing lowers to, which the SPMD partitioner
+            # can only reshard by full rematerialization (MULTICHIP r3
+            # tail warnings); padded entries (y == shard_h) land past the
+            # sentinel row and are dropped
+            Wp = samples.shape[2]
+            flat = ((pyl[:, None, None] + rr[None, :, None]) * Wp
+                    + pxv[:, None, None] + cc[None, None, :]).reshape(-1)
+            sflat = jnp.pad(samples, ((0, 0), (0, 1), (0, 0)))
+            sflat = sflat.reshape(3, -1).at[:, flat].set(
+                vals.reshape(3, -1), mode="drop")
+            samples = sflat.reshape(3, -1, Wp)[:, :samples.shape[1]]
 
         idx = jax.lax.axis_index(row_axis)
         is_last = idx == n_rows - 1

@@ -89,8 +89,13 @@ def _inv_squeeze_h_scan(down, residu):
         return second, (first, second)
 
     _, (firsts, seconds) = jax.lax.scan(step, jnp.zeros((h,), down.dtype), xs)
-    pairs = jnp.stack([firsts, seconds], axis=-1)       # (wr, h, 2)
-    out = jnp.swapaxes(pairs, 0, 1).reshape(h, 2 * wr)  # (h, 2*wr)
+    # interleave via strided set-slices (lowers to interior padding), NOT
+    # jnp.stack: the stack's concatenate-of-broadcasts is the op the SPMD
+    # partitioner could only reshard by full rematerialization on the row
+    # mesh (MULTICHIP r3 tail warnings)
+    out = jnp.zeros((h, 2 * wr), down.dtype)
+    out = out.at[:, 0::2].set(jnp.swapaxes(firsts, 0, 1))
+    out = out.at[:, 1::2].set(jnp.swapaxes(seconds, 0, 1))
     if w & 1:
         out = jnp.concatenate([out, down[:, -1:]], axis=1)
     return out
