@@ -267,6 +267,12 @@ def _bench_batch64_device(n: int = 64, size: int = 512,
 
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def _bench_pallas_entropy() -> dict:
     """On-chip entropy decode probe (the r4 north-star artifact): 128
     shared-spec lanes through the Pallas symbol-loop kernel
@@ -300,20 +306,55 @@ def _bench_pallas_entropy() -> dict:
         spec = read_code_spec(r, 1)
         streams.append((data, r.bits_consumed))
 
-    def run(n):
-        best = float("inf")
-        v = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            v, st, bp = pe.decode_tokens_pallas(streams, [n] * L, spec, n)
-            jax.block_until_ready(v)
-            best = min(best, time.perf_counter() - t0)
-        return best, v
+    # device inputs staged once: the metric is the KERNEL symbol rate
+    # (upload cost is the tunnel probe's domain)
+    inp = pe.build_lane_inputs(streams, spec)
+    ns = np.zeros((1, pe.LANE), np.int32)
+    ns[0, :L] = S2
+    # three word buffers differing only in the ignored pad tail: repeated
+    # identical invocations can be served from caches on this stack, so
+    # each timed call gets a distinct input buffer
+    words_v = []
+    for k in range(3):
+        w = inp["words"].copy()
+        w[:, -1] = k
+        words_v.append(jnp.asarray(w))
+    rest = [jnp.asarray(inp["init"]), jnp.asarray(ns),
+            jnp.asarray(inp["lut"]), jnp.asarray(inp["tok"]),
+            jnp.asarray(inp["lsb"])]
+    jax.block_until_ready(words_v + rest)
 
-    run(S1)  # compile
+    # jax.block_until_ready is unreliable through the axon tunnel (it can
+    # return before execution), so timings pipeline NLOOP calls and force
+    # completion with a scalar fetch; the measured null-RTT is subtracted.
+    NLOOP = 8
+
+    def call(k, n):
+        return pe._decode_pallas(
+            words_v[k % len(words_v)], *rest, n_steps=n,
+            use_prefix=inp["use_prefix"],
+            prefix_width=inp["prefix_width"], wrows=inp["wrows"])
+
+    def run(n):
+        v, _ = call(0, n)
+        int(np.asarray(v[0, 0]))  # compile + drain
+        t0 = time.perf_counter()
+        outs = [call(k, n) for k in range(NLOOP)]
+        int(np.asarray(outs[-1][0][0, 0]))
+        return (time.perf_counter() - t0) / NLOOP, outs[-1][0]
+
+    # null round-trip: enqueue+fetch with no device work (warmed so no
+    # compile lands in the timed region)
+    tiny = jnp.zeros((1, 1), jnp.int32)
+    add1 = jax.jit(lambda x: x + 1)
+    int(np.asarray(add1(tiny)[0, 0]))
+    rtt = min(
+        _timed(lambda: int(np.asarray(add1(tiny)[0, 0]))) for _ in range(3))
+
     t1, v1 = run(S1)
-    run(S2)
     t2, v2 = run(S2)
+    t1 = max(1e-6, t1 - rtt / NLOOP)
+    t2 = max(1e-6, t2 - rtt / NLOOP)
     # bit-exactness vs the host oracle on one lane
     from j40_tpu.entropy.code import CodeState
 
@@ -321,15 +362,78 @@ def _bench_pallas_entropy() -> dict:
     read_code_spec(r, 1)
     code = CodeState(spec)
     host = [code.code(r, 0) for _ in range(2000)]
-    assert list(np.asarray(v2)[0][:2000]) == host, "device mismatch"
-    marginal_ns = (t2 - t1) / (S2 - S1) * 1e9
+    assert list(np.asarray(v2)[:2000, 0]) == host, "device mismatch"
+    marginal_ns = max(0.01, (t2 - t1) / (S2 - S1) * 1e9)
     return {
         "lanes": L,
         "Msym_s_24k": round(L * S2 / t2 / 1e6, 1),
+        "device_ms_per_24k_call": round(t2 * 1e3, 2),
         "marginal_ns_per_step": round(marginal_ns, 1),
         "marginal_Gsym_s": round(L / marginal_ns, 2),
         "bit_exact": True,
+        "method": "pipelined x8 + forced scalar fetch, null-RTT subtracted",
     }
+
+
+
+def _bench_serving_photo(n: int = 64, size: int = 512,
+                         tunnel: dict | None = None) -> dict:
+    """Serving head-to-head on photographic-density content (~2 bpp at the
+    encoder's quant — the BASELINE "d1.0" regime; the batch64 corpus is
+    noise-like at ~15 bpp, which biases against entropy-bound paths):
+    pack-and-upload vs on-chip HF entropy decode, device-resident RGBA,
+    exact-match-checked."""
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+    from j40_tpu.parallel.batch import (
+        decode_batch_device, decode_batch_device_hf)
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    blobs = []
+    for i in range(n):
+        p = CACHE / f"photo_{size}_{i}.jxl"
+        if not p.exists():
+            base = (96 + 60 * np.sin(xx / (31.0 + i % 7)) *
+                    np.cos(yy / (23.0 + i % 5))
+                    + 40 * np.sin((xx + yy) / (71.0 + i % 11)))
+            img = np.stack([
+                base + 10 * np.sin(xx / (9.0 + 2 * c)) +
+                rng.normal(0, 0.7, size=(size, size))
+                for c in range(3)
+            ], axis=-1).clip(0, 255).astype(np.uint8)
+            p.write_bytes(encode_vardct(img, VarDCTOptions(use_prefix=False)))
+        blobs.append(p.read_bytes())
+    pixels = n * size * size
+
+    ref = decode_batch_device(blobs[:16], workers=WORKERS, fetch=True)
+    got = decode_batch_device_hf(blobs[:16], workers=WORKERS, fetch=True)
+    exact = bool(np.array_equal(ref, got))
+
+    out = {"images": n, "image_px": size, "exact_match": exact,
+           "corpus_MB": round(sum(len(b) for b in blobs) / 1e6, 1)}
+    for name, fn in (("pack", decode_batch_device),
+                     ("onchip_hf", decode_batch_device_hf)):
+        best = None
+        ub = 0
+        for _ in range(3):
+            st: dict = {}
+            t0 = time.perf_counter()
+            arr = fn(blobs, workers=WORKERS, stats_out=st)
+            # force completion: block_until_ready is unreliable through
+            # the axon tunnel, a scalar fetch is not
+            int(np.asarray(arr[0, 0, 0, 0]))
+            dt = time.perf_counter() - t0
+            ub = st["upload_bytes"]
+            if best is None or dt < best:
+                best = dt
+        out[name] = {
+            "aggregate_mpixps": round(pixels / best / 1e6, 3),
+            "upload_MB": round(ub / 1e6, 1),
+        }
+        if tunnel and tunnel.get("up_MBps"):
+            out[name]["tunnel_floor_s"] = round(
+                ub / 1e6 / tunnel["up_MBps"], 3)
+    return out
 
 
 def _bench_tunnel() -> dict:
@@ -758,6 +862,13 @@ def main() -> None:
                       file=sys.stderr)
             except Exception as e:
                 print(f"# batch64_device probe failed: {e}", file=sys.stderr)
+            try:
+                out["serving_photo"] = _bench_serving_photo(
+                    tunnel=out.get("tunnel"))
+                print(f"# serving_photo: {out['serving_photo']}",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"# serving_photo probe failed: {e}", file=sys.stderr)
 
     rated = [c for c in configs.values() if "ratio" in c]
     value = math.exp(
