@@ -11,6 +11,17 @@ regardless of tap count.  Measured on a 1 MP 3-step EPF (v5e): 660 µs vs
 804 µs for the fused-XLA chain; 24-row stripes are the sweet spot (437 µs
 single 12-tap step vs 907 µs at 64 rows — VMEM pressure vs grid overhead).
 
+r4: the 3-step chain also runs as ONE fused kernel (`_epf_fused_pallas`):
+the stripe stays VMEM-resident across steps (intermediate halo rows/cols
+re-mirrored in-register, since the filter's (dy,dx) swap breaks reflection
+symmetry at edges), cutting HBM traffic from 6 plane-passes to 2.  Measured
+1 MP 3-step EPF on v5e: 645 us fused vs 740 us XLA chain vs 704 us
+per-step Pallas.  The bytes-based floor for the fused form is ~48 us
+(7 plane transfers at the measured ~610 GB/s), i.e. the kernel is
+VPU-COMPUTE-bound at ~13x its traffic floor — the r3 "thin margin" was
+never an HBM-fusion gap, and further speedup needs tap-math reduction
+(fewer |d| recomputations), not more fusion.
+
 Shapes are static per trace; halos come from a mirror pad done once in XLA
 (matching the reference's j40__mirror1d convention, j40.h:7328).  Math is
 kept in lockstep with ops/filters.epf_step (the numpy oracle), including the
@@ -329,6 +340,190 @@ def _gaborish_pallas(channels, *, weights: tuple, tile: int = 128):
     return out.transpose(1, 0, 2, 3).reshape(3, Hp, Wp)[:, :H, :W]
 
 
+def _epf_step_vals(vals, inv_sigma, row_off, col_off, out_rows, out_cols,
+                   kernels, cross, channel_scale):
+    """One EPF step over in-register window values.
+
+    vals: [3] x (Hw, Ww) current samples; inv_sigma: (out_rows, out_cols)
+    border-adjusted reciprocal sigma (negative entries = skip).  Computes
+    the output region vals[.][row_off:row_off+out_rows,
+    col_off:col_off+out_cols]; same math as _epf_step_kernel."""
+    def win(c, dy, dx, h, w):
+        return vals[c][row_off + dy: row_off + dy + h,
+                       col_off + dx: col_off + dx + w]
+
+    scale = [jnp.float32(s) for s in channel_scale]
+    T, W = out_rows, out_cols
+    sum_w = jnp.ones((T, W), jnp.float32)
+    sums = [win(c, 0, 0, T, W) for c in range(3)]
+    for (k0, k1) in kernels:
+        dxD, dyD = k0, k1
+        dist = jnp.zeros((T, W), jnp.float32)
+        for c in range(3):
+            if cross:
+                d = jnp.abs(
+                    win(c, -1, -1, T + 2, W + 2)
+                    - win(c, dyD - 1, dxD - 1, T + 2, W + 2)
+                )
+                dist = dist + scale[c] * (
+                    d[1: 1 + T, 1: 1 + W]
+                    + d[1: 1 + T, 0:W] + d[0:T, 1: 1 + W]
+                    + d[2: 2 + T, 1: 1 + W] + d[1: 1 + T, 2: 2 + W]
+                )
+            else:
+                dist = dist + scale[c] * jnp.abs(
+                    win(c, 0, 0, T, W) - win(c, dyD, dxD, T, W))
+        wgt = jnp.maximum(jnp.float32(0.0),
+                          jnp.float32(1.0) + dist * inv_sigma)
+        sum_w = sum_w + wgt
+        for c in range(3):
+            sums[c] = sums[c] + win(c, k0, k1, T, W) * wgt
+    inv = jnp.float32(1.0) / sum_w
+    skip = inv_sigma < 0.0
+    return [jnp.where(skip, win(c, 0, 0, T, W), sums[c] * inv)
+            for c in range(3)]
+
+
+def _remirror_vals(vals, ys, xs, H, W, ext):
+    """Replace out-of-image halo entries of intermediate step outputs with
+    half-sample mirrors of the in-image values (what the reference's next
+    step reads).  The filter's latent (dy,dx) swap between distance and
+    sampling taps (see module docstring) breaks reflection symmetry, so
+    values computed ON the mirrored-padded grid differ at the edges and
+    must be patched; masks are per absolute coordinate, sources are static
+    row/column shifts."""
+    out = []
+    for c in range(3):
+        v = vals[c]
+        for j in range(ext):
+            sh = 2 * j + 1
+            # rolls instead of shifts: the wrapped entries land only where
+            # the coordinate masks are false (odd-offset concatenates do
+            # not lower in Mosaic)
+            v = jnp.where(ys == -1 - j, jnp.roll(v, -sh, axis=0), v)
+            v = jnp.where(ys == H + j, jnp.roll(v, sh, axis=0), v)
+        for j in range(ext):
+            sh = 2 * j + 1
+            v = jnp.where(xs == -1 - j, jnp.roll(v, -sh, axis=1), v)
+            v = jnp.where(xs == W + j, jnp.roll(v, sh, axis=1), v)
+        out.append(v)
+    return out
+
+
+def _epf_fused_kernel(
+    padded_hbm,   # (3, Hp + 2*R8, Wp) mirror-padded samples (ANY)
+    rs_hbm,       # (Hp + 2*R8, Wp) mirror-padded reciprocal sigmas (ANY)
+    out_ref,      # (1, 3, T, Wp)
+    win_ref,      # (3, T + 2*R8, Wp) scratch
+    rs_ref,       # (T + 2*R8, Wp) scratch
+    sem, sem2,
+    *,
+    T: int,
+    W: int,
+    H_img: int,
+    R8: int,
+    PC: int,
+    steps: tuple,        # ((kernels, cross, sigma_scale, border_scale), ...)
+    channel_scale: tuple,
+):
+    k = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        padded_hbm.at[:, pl.ds(k * T, T + 2 * R8), :], win_ref, sem)
+    dma.start()
+    dma2 = pltpu.make_async_copy(
+        rs_hbm.at[pl.ds(k * T, T + 2 * R8), :], rs_ref, sem2)
+    dma2.start()
+    dma.wait()
+    dma2.wait()
+
+    n = len(steps)
+    vals = [win_ref[c] for c in range(3)]
+    # frame-relative offsets of the FINAL output region within `vals`
+    # (shrinks as steps re-anchor); rs/border always address the ORIGINAL
+    # window frame, where the final region sits at (R8, PC)
+    row_off, col_off = R8, PC
+    for si, (kernels, cross, sigma_scale, border_scale) in enumerate(steps):
+        ext = 3 * (n - 1 - si)
+        orows, ocols = T + 2 * ext, W + 2 * ext
+        ro = row_off - ext          # frame-relative origin of this output
+        co = col_off - ext
+        oro = R8 - ext              # original-window origin of the same
+        oco = PC - ext
+        # border mask on the padded coordinate grid: for plane dims that
+        # are multiples of 8 (always true for these 8x8-block planes) the
+        # half-sample mirror maps border flags onto themselves, so the
+        # mirrored halo rows/cols get exactly the reference's sigma
+        ys = (jax.lax.broadcasted_iota(jnp.int32, (orows, ocols), 0)
+              + k * T + oro - R8)
+        xs = (jax.lax.broadcasted_iota(jnp.int32, (orows, ocols), 1)
+              + oco - PC)
+        border = (((xs + 1) | (ys + 1)) & 7) < 2
+        rsw = rs_ref[oro: oro + orows, oco: oco + ocols]
+        inv_sigma = rsw * jnp.where(
+            border, jnp.float32(border_scale), jnp.float32(sigma_scale))
+        vals = _epf_step_vals(vals, inv_sigma, ro, co, orows, ocols,
+                              kernels, cross, channel_scale)
+        if si < n - 1 and ext:
+            vals = _remirror_vals(vals, ys, xs, H_img, W, ext)
+        # re-anchor: the final region now sits at (ext, ext) of `vals`
+        row_off, col_off = ext, ext
+    for c in range(3):
+        out_ref[0, c, :, 0:W] = vals[c]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("steps", "channel_scale", "tile"))
+def _epf_fused_pallas(channels, rs_px, *, steps: tuple,
+                      channel_scale: tuple, tile: int = 48):
+    """All EPF steps in ONE kernel pass: the stripe stays VMEM-resident
+    across steps, so HBM traffic is one read + one write total instead of
+    per step (the r3 `device_filters` margin was three separate launches
+    with HBM round-trips between them)."""
+    _, H, W = channels.shape
+    n = len(steps)
+    R8 = 8 if n <= 2 else 16
+    PC = 3 * n
+    Wp = _round_up(W + 2 * PC, 128)
+    T = _fit_tile(tile, H, Wp)
+    Hp = _round_up(H, T)
+
+    if H >= R8 and W >= PC:
+        padded = jnp.pad(channels, ((0, 0), (R8, R8), (PC, PC)),
+                         mode="symmetric")
+        rsp = jnp.pad(rs_px, ((R8, R8), (PC, PC)), mode="symmetric")
+    else:
+        padded = channels[:, _mirror_idx(H, R8)][:, :, _mirror_idx(W, PC)]
+        rsp = rs_px[_mirror_idx(H, R8)][:, _mirror_idx(W, PC)]
+    padded = jnp.pad(
+        padded, ((0, 0), (0, Hp - H), (0, Wp - (W + 2 * PC))), mode="edge")
+    rsp = jnp.pad(
+        rsp, ((0, Hp - H), (0, Wp - (W + 2 * PC))),
+        mode="constant", constant_values=-1.0)
+
+    grid = (Hp // T,)
+    out = pl.pallas_call(
+        functools.partial(
+            _epf_fused_kernel, T=T, W=W, H_img=H, R8=R8, PC=PC,
+            steps=steps, channel_scale=channel_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 3, T, Wp), lambda k: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Hp // T, 3, T, Wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, T + 2 * R8, Wp), jnp.float32),
+            pltpu.VMEM((T + 2 * R8, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(padded, rsp)
+    return out.transpose(1, 0, 2, 3).reshape(3, Hp, Wp)[:, :H, :W]
+
+
 def gaborish_pallas(channels, weights):
     """Pallas dual of ops/filters.gaborish: (3, H, W) float32 in/out."""
     norm = []
@@ -349,19 +544,39 @@ def epf_pallas(channels, rs_px, *, iters: int, channel_scale,
     rs_px = jnp.asarray(rs_px)
     cs = tuple(float(s) for s in channel_scale)
 
-    def step(ch, sscale, kern, cross):
-        ss = float(sscale) * POS_MULT
+    steps = []
+    if iters >= 3:
+        ss = float(p0_scale) * POS_MULT
+        steps.append((tuple(KERNELS12), True, ss,
+                      ss * float(border_sad_mul)))
+    if iters >= 1:
+        ss = POS_MULT
+        steps.append((tuple(KERNELS4), True, ss,
+                      ss * float(border_sad_mul)))
+    if iters >= 2:
+        ss = float(p2_scale) * POS_MULT
+        steps.append((tuple(KERNELS4), False, ss,
+                      ss * float(border_sad_mul)))
+    if not steps:
+        return channels
+    _, H, W = channels.shape
+    PC = 3 * len(steps)
+    if H % 8 == 0 and W % 8 == 0 and not _too_wide(
+            _round_up(W + 2 * PC, 128)):
+        # single fused pass (mirror-on-padded-grid only matches the
+        # reference for 8-multiple planes; others take the per-step path)
+        return _epf_fused_pallas(channels, rs_px, steps=tuple(steps),
+                                 channel_scale=cs)
+
+    def step(ch, st):
+        kern, cross, ss, bs = st
         return _epf_step_pallas(
-            ch, rs_px, kernels=tuple(kern), cross=cross, sigma_scale=ss,
-            border_scale=ss * float(border_sad_mul), channel_scale=cs,
+            ch, rs_px, kernels=kern, cross=cross, sigma_scale=ss,
+            border_scale=bs, channel_scale=cs,
         )
 
-    if iters >= 3:
-        channels = step(channels, p0_scale, KERNELS12, True)
-    if iters >= 1:
-        channels = step(channels, 1.0, KERNELS4, True)
-    if iters >= 2:
-        channels = step(channels, p2_scale, KERNELS4, False)
+    for st in steps:
+        channels = step(channels, st)
     return channels
 
 
