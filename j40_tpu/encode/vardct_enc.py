@@ -38,17 +38,19 @@ from .headers import write_image_metadata, write_signature
 YXB2XYB = (1, 0, 2)
 
 
-def srgb_to_xyb(rgb: np.ndarray, intensity_target: float = 255.0) -> np.ndarray:
-    """(h, w, 3) uint8 sRGB -> (3, h, w) float32 XYB, inverting the decoder's
-    XYB -> sRGB path (j40.h:7208-7241)."""
-    if rgb.dtype == np.uint8:
+def srgb_to_xyb(rgb: np.ndarray, intensity_target: float = 255.0,
+                maxval: float = 255.0) -> np.ndarray:
+    """(h, w, 3) uint8/uint16 sRGB -> (3, h, w) float32 XYB, inverting the
+    decoder's XYB -> sRGB path (j40.h:7208-7241).  `maxval` is the sample
+    maximum ((1<<bpp)-1); >8bpp inputs are uint16."""
+    if rgb.dtype == np.uint8 and maxval == 255.0:
         # gamma expansion via a 256-entry LUT: bit-identical to the direct
         # formula (the input has 256 distinct values) and skips ~10M pow calls
         s = np.arange(256, dtype=np.float64) / 255.0
         lut = np.where(s <= 0.04045, s / 12.92, ((s + 0.055) / 1.055) ** 2.4)
         linear = lut[rgb]
     else:
-        srgb = rgb.astype(np.float64) / 255.0
+        srgb = rgb.astype(np.float64) / maxval
         linear = np.where(
             srgb <= 0.04045, srgb / 12.92, ((srgb + 0.055) / 1.055) ** 2.4
         )
@@ -98,6 +100,8 @@ class VarDCTOptions:
     opsin: tuple | None = None
     # custom ToneMapping intensity target in nits (f16-exact); None = 255
     intensity_target: float | None = None
+    # sample bit depth (8..14; >8 inputs are uint16 and render to RGBA16)
+    bpp: int = 8
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -110,7 +114,7 @@ def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> by
     h, wd, nc = image.shape
     w = BitWriter()
     write_signature(w)
-    write_image_metadata(w, wd, h, bpp=8, xyb_encoded=True,
+    write_image_metadata(w, wd, h, bpp=opt.bpp, xyb_encoded=True,
                          num_alpha=0 if nc != 4 else 1, opsin=opt.opsin,
                          intensity_target=opt.intensity_target)
     _encode_vardct_frame(w, image, opt)
@@ -156,7 +160,7 @@ def _encode_vardct_frame(w: BitWriter, image: np.ndarray,
 
     # pad to multiple of 8 by edge replication
     pad = np.pad(image, ((0, h8 * 8 - h), (0, w8 * 8 - wd), (0, 0)), mode="edge")
-    xyb = srgb_to_xyb(pad)  # (3, H, W)
+    xyb = srgb_to_xyb(pad, maxval=float((1 << opt.bpp) - 1))  # (3, H, W)
 
     # forward DCT per 8x8 block: C = F8 @ block @ F8^T / 64
     F8 = forward_matrix(8).astype(np.float64)

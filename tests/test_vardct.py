@@ -399,3 +399,31 @@ def test_vardct_alpha_multigroup_vs_dj40(dj40, tmp_path):
     assert r.returncode == 0, r.stderr
     ref = np.asarray(PILImage.open(png).convert("RGB"))
     assert np.abs(rgba[:, :, :3].astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("bpp", [10, 12])
+def test_vardct_high_bitdepth(dj40, tmp_path, bpp):
+    # bpp>8 VarDCT: uint16 input, RGBA16 render; dj40 renders the same
+    # stream at 8 bits (j40.h:7917-7921 keeps render integer-u8-only),
+    # so the differential gate is on our 8-bit render.
+    from j40_tpu.decode import Decoder
+
+    rng = np.random.default_rng(5)
+    maxval = (1 << bpp) - 1
+    base = rng.integers(maxval // 16, maxval - maxval // 16, (8, 12, 3))
+    img = np.kron(base.astype(np.float64), np.ones((8, 8, 1)))[:64, :96]
+    img = img.astype(np.uint16)
+    cs = encode_vardct(img, VarDCTOptions(bpp=bpp))
+
+    dec = Decoder(cs)
+    while not dec.done:
+        dec.decode_frame()
+    ref = _dj40(dj40, cs, tmp_path)
+    ours8 = dec.render_rgba8()
+    assert np.abs(ref.astype(int) - ours8.astype(int)).max() <= 1
+
+    out16 = dec.render_rgba16()
+    assert out16.dtype == np.uint16
+    o = out16[:, :, :3].astype(np.float64) * maxval / 65535.0
+    psnr = 10 * np.log10(maxval**2 / np.mean((o - img) ** 2))
+    assert psnr > 55, psnr  # flat blocks quantize near-losslessly
