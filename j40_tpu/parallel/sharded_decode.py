@@ -80,8 +80,9 @@ def plan_frame(data: bytes, owners: int = 1, backend: str = "numpy") -> _Plan:
     f = read_frame_header(r, im, dec.limits)
     check(f.type == FRAME_REGULAR, "TODO", "sharded: regular frames only")
     check(not f.is_modular, "TODO", "sharded: VarDCT frames only")
-    check(not f.do_ycbcr, "TODO", "sharded: ycbcr")
-    check(im.bpp == 8, "TODO", "sharded: 8bpp output only")
+    # (do_ycbcr VarDCT is rejected by the engine itself, matching the
+    # reference, vardct/state.py:813 / j40.h:6749; sharded YCbCr decode is
+    # the modular path's job — see sharded_lossless)
     toc = read_toc(r, f)
 
     state = FrameState(im, f, dec.limits)
@@ -334,26 +335,48 @@ def _pad_rows(plan: _Plan, n_rows: int, row_mult: int = 1) -> tuple[int, np.ndar
     return h8p, mir
 
 
+def _peek_modular(data: bytes) -> bool:
+    """Header-only probe: is the first frame modular? (cheap — stops after
+    the frame header, no section decode)."""
+    from ..decode import Decoder
+
+    dec = Decoder(data)
+    f = read_frame_header(dec.r, dec.image, dec.limits)
+    return bool(f.is_modular)
+
+
 def decode_sharded(
     data: bytes,
     n_devices: int | None = None,
     mesh=None,
     apply_filters: bool = True,
     owners: int | None = None,
+    bit_depth: int = 8,
 ) -> np.ndarray:
-    """Decode one .jxl across a device mesh; returns (H, W, 3) uint8 sRGB.
+    """Decode one .jxl across a device mesh; returns (H, W, 3) sRGB
+    (uint8, or uint16 with bit_depth=16 — the U16X4 analog).
 
-    Bit-for-bit framework parity: matches `Decoder(apply_filters=...)` within
-    float tolerance (the gate used by tests is <= +-1 gray level)."""
+    Unified entry point: modular (lossless) frames dispatch to the
+    sharded Squeeze/RCT transform-chain program (sharded_lossless),
+    VarDCT frames to the row-striped dequant+IDCT+filters program below.
+    Bit-for-bit framework parity: matches `Decoder(apply_filters=...)`
+    within float tolerance (the gate used by tests is <= +-1 gray level;
+    modular frames are bit-exact)."""
     import jax
     from jax.sharding import Mesh
 
     if mesh is None:
         devs = jax.devices()[: (n_devices or len(jax.devices()))]
         mesh = Mesh(np.array(devs), ("rows",))
-    n_rows = mesh.shape["rows"]
+    n_rows = mesh.shape[mesh.axis_names[-1]]
+    if _peek_modular(data):
+        from .sharded_lossless import decode_sharded_lossless
+
+        rgba = decode_sharded_lossless(data, mesh=mesh, owners=owners,
+                                       bit_depth=bit_depth)
+        return rgba[:, :, :3]
     plan = plan_frame(data, owners=owners or n_rows)
-    out = _run_sharded([plan], mesh, ("rows",), apply_filters)
+    out = _run_sharded([plan], mesh, ("rows",), apply_filters, bit_depth)
     return out[0]
 
 
@@ -362,23 +385,39 @@ def decode_sharded_batch(
     mesh,
     apply_filters: bool = True,
     owners: int | None = None,
+    bit_depth: int = 8,
 ) -> list[np.ndarray]:
     """Batch decode over a 2-D ("img", "rows") mesh: images data-parallel on
-    the "img" axis, each image's block rows striped over "rows".  All images
-    must share dimensions (same encoder geometry)."""
+    the "img" axis, each image's block rows striped over "rows".
+
+    Unequal image dimensions are handled by shape-bucketing: plans are
+    grouped by (width, height, dq-table) and each bucket runs as one
+    sharded program, padded up to a multiple of the img axis by repeating
+    its last plan (padding outputs are dropped).  One bucket = one compile;
+    a service decoding a few canonical resolutions amortizes them all."""
     n_img = mesh.shape["img"]
     n_rows = mesh.shape["rows"]
-    check(len(datas) % n_img == 0, "TODO", "batch size must divide img axis")
     plans = [plan_frame(d, owners=owners or n_rows) for d in datas]
-    p0 = plans[0]
-    for p in plans[1:]:
-        check((p.width, p.height) == (p0.width, p0.height), "TODO",
-              "sharded batch: equal image dims required")
-        assert np.allclose(p.dq_weights, p0.dq_weights), "dq tables differ"
-    return _run_sharded(plans, mesh, ("img", "rows"), apply_filters)
+
+    buckets: dict[tuple, list[int]] = {}
+    for i, p in enumerate(plans):
+        key = (p.width, p.height, p.dq_weights.tobytes())
+        buckets.setdefault(key, []).append(i)
+
+    outs: list[np.ndarray | None] = [None] * len(plans)
+    for idxs in buckets.values():
+        group = [plans[i] for i in idxs]
+        npad = (-len(group)) % n_img
+        group = group + [group[-1]] * npad
+        res = _run_sharded(group, mesh, ("img", "rows"), apply_filters,
+                           bit_depth)
+        for j, i in enumerate(idxs):
+            outs[i] = res[j]
+    return outs
 
 
-def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
+def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool,
+                 bit_depth: int = 8):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -510,6 +549,11 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
     opsin_bias = jnp.asarray(im.opsin_bias, jnp.float32)
     itscale = np.float32(255.0 / im.intensity_target)
     maxval = np.float32((1 << im.bpp) - 1)
+    check(bit_depth in (8, 16), "fmt?", "bit_depth must be 8 or 16")
+    bpp = int(im.bpp)
+    omax = (1 << bit_depth) - 1
+    half = 1 << (bpp - 1)
+    odt = jnp.uint8 if bit_depth == 8 else jnp.uint16
     gab = bool(f.gab_enabled) and apply_filters
     epf_iters = int(f.epf_iters) if apply_filters else 0
     gab_w = [tuple(map(float, wc)) for wc in f.gab_weights]
@@ -622,7 +666,13 @@ def _run_sharded(plans: list[_Plan], mesh, axes, apply_filters: bool):
                 )
         out = xyb_to_srgb_u8(samples, opsin_inv, opsin_bias,
                              jnp.float32(itscale), jnp.float32(maxval))
-        return jnp.clip(out, 0, 255).astype(jnp.uint8)
+        # scale bpp-domain int samples to the output depth with the host
+        # _render semantics (decode.py::_render); int32 is safe: maxpixel
+        # <= 16383 (LV10 modular 16-bit ceiling) x omax <= 65535 < 2^31
+        if bpp == bit_depth:
+            return jnp.clip(out, 0, omax).astype(odt)
+        p = jnp.clip(out, 0, int(maxval))
+        return ((p * omax + half) // int(maxval)).astype(odt)
 
     if len(axes) == 2:
         fn = jax.vmap(per_shard)

@@ -106,11 +106,17 @@ def _device_finish_fn(transforms, meta, mesh, shard_axis, bpp):
 
     `transforms` is a static list of ("sq", begin_c, num_c, offset,
     horizontal) / ("rct", begin_c, rct_type) steps in inverse application
-    order; `meta` carries channel empty-flags."""
+    order; `meta` is a static render descriptor: ncolor, alpha channel
+    index (or None), do_ycbcr, and the output depth (8 or 16)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
+
+    ncolor = meta["ncolor"]
+    alpha_idx = meta["alpha_idx"]
+    ycbcr = meta["ycbcr"]
+    depth = meta["depth"]
 
     rows = NamedSharding(mesh, P(shard_axis, None))
     cols = NamedSharding(mesh, P(None, shard_axis))
@@ -164,12 +170,53 @@ def _device_finish_fn(transforms, meta, mesh, shard_axis, bpp):
                 chans[b], chans[b + 1], chans[b + 2] = out
         # clamp + interleave render (j40.h:7910-7962), row-sharded output
         maxp = (1 << bpp) - 1
-        rgb = [jnp.clip(
-                   jax.lax.with_sharding_constraint(chans[min(i, len(chans) - 1)],
-                                                    rows),
-                   0, maxp).astype(jnp.uint8)
-               for i in range(3)]
-        a = jnp.full_like(rgb[0], 255)
+        omax = (1 << depth) - 1
+        half = 1 << (bpp - 1)
+        odt = jnp.uint8 if depth == 8 else jnp.uint16
+
+        def to_depth(p):
+            # host _render scale-to-depth semantics (decode.py::_render)
+            if bpp == depth:
+                return jnp.clip(p, 0, omax).astype(odt)
+            p = jnp.clip(p, 0, maxp)
+            return ((p * omax + half) // maxp).astype(odt)
+
+        if ycbcr:
+            # full-range BT.601 with the libjxl +128/255 luma offset;
+            # channels are (Cb, Y, Cr) centered, chroma possibly 2x
+            # subsampled (upsamples by replication).  Matches the host
+            # render within 1 gray level (device f32 vs host f64 rounding).
+            yy = jax.lax.with_sharding_constraint(chans[1], rows)
+            h, w = yy.shape
+
+            def up(p):
+                if p.shape[0] != h:
+                    p = jnp.repeat(p, 2, 0)[:h]
+                if p.shape[1] != w:
+                    p = jnp.repeat(p, 2, 1)[:, :w]
+                return jax.lax.with_sharding_constraint(p, rows)
+
+            inv = jnp.float32(1.0 / maxp)
+            cb = up(chans[0]).astype(jnp.float32) * inv
+            y = yy.astype(jnp.float32) * inv + jnp.float32(128.0 / 255.0)
+            cr = up(chans[2]).astype(jnp.float32) * inv
+            fm = jnp.float32(omax)
+            rgbf = [
+                (y + 1.402 * cr) * fm,
+                (y - 0.344136 * cb - 0.714136 * cr) * fm,
+                (y + 1.772 * cb) * fm,
+            ]
+            rgb = [jnp.clip(jnp.round(p), 0, omax).astype(odt) for p in rgbf]
+        else:
+            rgb = [to_depth(
+                       jax.lax.with_sharding_constraint(
+                           chans[min(i, ncolor - 1)], rows))
+                   for i in range(3)]
+        if alpha_idx is None:
+            a = jnp.full_like(rgb[0], omax)
+        else:
+            a = to_depth(
+                jax.lax.with_sharding_constraint(chans[alpha_idx], rows))
         return jnp.stack(rgb + [a], axis=-1)
 
     return jax.jit(run)
@@ -180,15 +227,19 @@ def decode_sharded_lossless(
     mesh=None,
     n_devices: int | None = None,
     owners: int | None = None,
+    bit_depth: int = 8,
 ) -> np.ndarray:
-    """Decode a lossless Modular .jxl across a device mesh; (H, W, 4) uint8.
+    """Decode a lossless Modular .jxl across a device mesh; (H, W, 4) uint8
+    (or uint16 with bit_depth=16, the U16X4 analog of api.output_format).
 
     Host threads entropy-decode the TOC sections (one owner chunk per mesh
     row); the Squeeze/RCT inverse-transform chain and the render run as one
-    sharded device program.  Bit-exact vs the single-device Decoder."""
+    sharded device program.  Bit-exact vs the single-device Decoder
+    (YCbCr frames: within 1 gray level — device f32 vs host f64 BT.601)."""
     import jax
     from jax.sharding import Mesh
 
+    check(bit_depth in (8, 16), "fmt?", "bit_depth must be 8 or 16")
     if mesh is None:
         devs = jax.devices()[: (n_devices or len(jax.devices()))]
         mesh = Mesh(np.array(devs), ("rows",))
@@ -207,8 +258,8 @@ def decode_sharded_lossless(
     if d.image.bpp > 14 or gm.wide:
         raise Unsupported(message="sharded lossless: bpp > 14 (int32 margin)")
     # (gab/EPF flags are signaled but only apply to VarDCT sample frames)
-    if f.do_ycbcr or f.log_upsampling:
-        raise Unsupported(message="sharded lossless: ycbcr/upsampled frames")
+    if f.log_upsampling:
+        raise Unsupported(message="sharded lossless: upsampled frames")
 
     steps = []
     for tr in reversed(gm.transforms):
@@ -224,9 +275,22 @@ def decode_sharded_lossless(
         if c.empty:
             raise Unsupported(message="sharded lossless: empty channel")
 
-    run = _device_finish_fn(tuple(steps), None, mesh, shard_axis, d.image.bpp)
+    im = d.image
+    ncolor = d._ncolor(f)
+    alpha_idx = None
+    # post-transform channel layout: ncolor color planes then the declared
+    # extra channels (gm.channels still holds the pre-transform list here)
+    for i, ec in enumerate(im.ec_info):
+        if ec.type == 0:  # alpha
+            alpha_idx = ncolor + i
+            break
+    if f.do_ycbcr and ncolor != 3:
+        raise Unsupported(message="sharded lossless: ycbcr needs 3 channels")
+    meta = {"ncolor": ncolor, "alpha_idx": alpha_idx,
+            "ycbcr": bool(f.do_ycbcr), "depth": bit_depth}
+    run = _device_finish_fn(tuple(steps), meta, mesh, shard_axis, im.bpp)
     planes = [np.ascontiguousarray(c.data, dtype=np.int32)
               for c in gm.channels]
     out = np.asarray(run(*planes))
-    H, W = d.image.height, d.image.width
+    H, W = im.height, im.width
     return out[:H, :W]

@@ -482,3 +482,129 @@ def test_sharded_mixed_classes_as_compute():
     assert run(512).overlay is None
     # 128 px: group alignment infeasible (pad >= shard) -> overlay fallback
     assert run(128).overlay is not None
+
+
+def test_sharded_unified_entry_dispatches_modular():
+    # decode_sharded is the single entry point: a modular (lossless) frame
+    # routes to the sharded Squeeze/RCT transform-chain program internally
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.parallel.sharded_decode import decode_sharded
+
+    rng = np.random.default_rng(83)
+    img = (np.cumsum(rng.integers(-3, 4, (96, 128, 3)), 1) % 230).astype(
+        np.uint8)
+    blob = encode_modular(img)
+    _, ref = decode_file(blob)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    out = decode_sharded(blob, mesh=mesh)
+    np.testing.assert_array_equal(out, ref[:, :, :3])
+
+
+def test_sharded_vardct_16bit_output():
+    # bpp=12 VarDCT frame rendered at 16 bits by the shard program; the
+    # per-sample gate scales with the depth ratio (1 bpp-domain gray level
+    # = ceil(65535/4095) = 17 output units)
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+    from j40_tpu.parallel.sharded_decode import decode_sharded
+
+    rng = np.random.default_rng(84)
+    img = (np.cumsum(np.cumsum(rng.integers(-20, 21, (96, 112, 3)), 0), 1)
+           % 3800 + 100).astype(np.uint16)
+    cs = encode_vardct(img, VarDCTOptions(bpp=12))
+    d = Decoder(cs, apply_filters=True)
+    d.decode_frame()
+    ref16 = d.render_rgba16()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    out16 = decode_sharded(cs, mesh=mesh, apply_filters=True, bit_depth=16)
+    assert out16.dtype == np.uint16
+    assert np.abs(out16.astype(int) - ref16[:, :, :3].astype(int)).max() <= 17
+    out8 = decode_sharded(cs, mesh=mesh, apply_filters=True, bit_depth=8)
+    ref8 = d.render_rgba8()
+    assert np.abs(out8.astype(int) - ref8[:, :, :3].astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("subsample", [(0, 0, 0), (1, 0, 1)])
+def test_sharded_lossless_ycbcr(subsample):
+    # YCbCr modular frames through the sharded path: BT.601 conversion (and
+    # chroma replication for subsampled planes) runs inside the shard
+    # program; device f32 vs host f64 rounding allows 1 gray level
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+    from j40_tpu.parallel.sharded_lossless import decode_sharded_lossless
+
+    rng = np.random.default_rng(85)
+    img = (np.cumsum(rng.integers(-3, 4, (96, 128, 3)), 1) % 200).astype(
+        np.uint8)
+    blob = encode_modular(img, options=EncodeOptions(
+        ycbcr=True, ycbcr_subsample=subsample))
+    _, ref = decode_file(blob)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    out = decode_sharded_lossless(blob, mesh=mesh)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_sharded_lossless_alpha_and_16bit():
+    # RGBA modular stream: the alpha plane renders from the extra channel
+    # (not constant 255); 16-bit output of a 12-bit stream uses the host
+    # integer scale-to-depth formula, so it stays bit-exact
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.parallel.sharded_lossless import decode_sharded_lossless
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+
+    rng = np.random.default_rng(86)
+    rgba = (np.cumsum(rng.integers(-3, 4, (64, 96, 4)), 1) % 256).astype(
+        np.uint8)
+    blob = encode_modular(rgba)
+    _, ref = decode_file(blob)
+    out = decode_sharded_lossless(blob, mesh=mesh)
+    np.testing.assert_array_equal(out, ref)
+    assert not (out[:, :, 3] == 255).all()  # alpha actually varies
+
+    img12 = (np.cumsum(rng.integers(-9, 10, (64, 96, 3)), 1) % 4096).astype(
+        np.uint16)
+    blob12 = encode_modular(img12, bpp=12)
+    d = Decoder(blob12)
+    d.decode_frame()
+    ref16 = d.render_rgba16()
+    out16 = decode_sharded_lossless(blob12, mesh=mesh, bit_depth=16)
+    np.testing.assert_array_equal(out16, ref16)
+
+
+def test_sharded_batch_shape_buckets():
+    # unequal-dims batch: plans bucket by geometry, each bucket runs as one
+    # sharded program (padded to the img axis), outputs return in order
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.vardct_enc import encode_vardct
+    from j40_tpu.parallel.sharded_decode import decode_sharded_batch
+
+    _require_devices(8)
+    rng = np.random.default_rng(87)
+    dims = [(96, 320), (64, 256), (96, 320)]
+    imgs = [
+        (np.cumsum(rng.integers(-2, 3, size=(h, w, 3)), axis=1) % 180 + 30)
+        .astype(np.uint8)
+        for h, w in dims
+    ]
+    blobs = [encode_vardct(im) for im in imgs]
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("img", "rows"))
+    outs = decode_sharded_batch(blobs, mesh, apply_filters=False)
+    assert [o.shape[:2] for o in outs] == dims
+    for blob, out in zip(blobs, outs):
+        _, ref = decode_file(blob)
+        assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
