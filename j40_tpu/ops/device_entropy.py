@@ -120,13 +120,7 @@ def hybrid_luts(cfg, alpha_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return mb, A, lo
 
 
-def spec_is_device_simple(spec: CodeSpec, max_value_bits: int = 17) -> bool:
-    """True when the code spec fits the device fast path: one cluster, no
-    LZ77, and every reachable token's extra-bit count within the refill
-    discipline (MAX_MIDBITS)."""
-    if spec.lz77_enabled or spec.num_clusters != 1:
-        return False
-    cl = spec.clusters[0]
+def _cluster_is_device_simple(spec: CodeSpec, cl) -> bool:
     cfg = cl.config
     if spec.use_prefix_code:
         if cl.prefix.max_len > 15:
@@ -144,6 +138,24 @@ def spec_is_device_simple(spec: CodeSpec, max_value_bits: int = 17) -> bool:
     bits_in_token = cfg.msb_in_token + cfg.lsb_in_token
     worst = cfg.split_exp - bits_in_token + ((top_token - split) >> bits_in_token)
     return worst <= MAX_MIDBITS
+
+
+def spec_is_device_simple(spec: CodeSpec, max_value_bits: int = 17) -> bool:
+    """True when the code spec fits the device fast path: one cluster, no
+    LZ77, and every reachable token's extra-bit count within the refill
+    discipline (MAX_MIDBITS)."""
+    if spec.lz77_enabled or spec.num_clusters != 1:
+        return False
+    return _cluster_is_device_simple(spec, spec.clusters[0])
+
+
+def spec_is_device_multi(spec: CodeSpec) -> bool:
+    """True when EVERY cluster of the spec fits the device fast path (the
+    multi-context lane eligibility: no LZ77, each cluster's reachable
+    extra-bit counts within the refill discipline)."""
+    if spec.lz77_enabled:
+        return False
+    return all(_cluster_is_device_simple(spec, cl) for cl in spec.clusters)
 
 
 def pack_streams(streams: list[tuple[bytes, int]]) -> tuple[np.ndarray, np.ndarray]:
@@ -311,6 +323,118 @@ def decode_tokens(
     return values, state, final_bitpos
 
 
+@functools.partial(jax.jit, static_argnames=("n_steps", "use_prefix", "unroll"))
+def decode_tokens_ctx(
+    words,        # (L, W16) uint32 16-bit stream words
+    skip_bits,    # (L,) int32 initial bit skip
+    nsym,         # (L,) int32 symbols per lane
+    cids,         # (L, n_steps_padded) int32 per-token cluster ids
+    sym_lut,      # ANS: (L, C*4096) int32; prefix: (L, C*32768) len<<16|sym
+    fb_lut,       # ANS: (L, C*4096) int32 freq<<12|base; prefix: (L, 1)
+    mb_lut,       # (L, C*amax) int32 hybrid midbits per (cluster, token)
+    a_lut,        # (L, C*amax) int32
+    lo_lut,       # (L, C*amax) int32
+    lsb,          # (L, C) int32 per-(lane, cluster) lsb_in_token
+    n_steps: int,
+    use_prefix: bool,
+    unroll: int = 4,
+):
+    """Multi-context lockstep decode: like `decode_tokens`, but each token's
+    symbol/hybrid LUTs are selected by a per-token cluster id (the MA-tree
+    context walk, precomputed on the host for static-property trees).  The
+    per-cluster LUT blocks are flattened along axis 1; a step's gather index
+    is cid * block + local (the per-token analog of the per-lane base
+    offsets in the multi-spec HF Pallas kernel)."""
+    L = words.shape[0]
+    u32 = jnp.uint32
+    C = lsb.shape[1]
+    amax = mb_lut.shape[1] // C
+
+    buf = jnp.zeros(L, u32)
+    cnt = jnp.zeros(L, jnp.int32)
+    pos = jnp.zeros(L, jnp.int32)
+    buf, cnt, pos = _refill(words, buf, cnt, pos)
+    buf, cnt, pos = _refill(words, buf, cnt, pos)
+    buf, cnt = _consume(buf, cnt, skip_bits)
+
+    if use_prefix:
+        state = jnp.zeros(L, u32)
+    else:
+        buf, cnt, pos = _refill(words, buf, cnt, pos)
+        lo16 = buf & 0xFFFF
+        buf, cnt = _consume(buf, cnt, jnp.full(L, 16, jnp.int32))
+        buf, cnt, pos = _refill(words, buf, cnt, pos)
+        buf, cnt, pos = _refill(words, buf, cnt, pos)
+        hi16 = buf & 0xFFFF
+        buf, cnt = _consume(buf, cnt, jnp.full(L, 16, jnp.int32))
+        state = lo16 | (hi16 << 16)
+
+    def one_symbol(carry, t, cid, src, base):
+        buf, cnt, pos, state = carry
+        active = t < nsym
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
+
+        if use_prefix:
+            pat = (buf & 0x7FFF).astype(jnp.int32) + cid * (1 << 15)
+            e = jnp.take_along_axis(sym_lut, pat[:, None], axis=1)[:, 0]
+            length = jnp.where(active, e >> 16, 0)
+            tok = e & 0xFFFF
+            buf, cnt = _consume(buf, cnt, length)
+        else:
+            idx = (state & 0xFFF).astype(jnp.int32) + cid * (1 << DIST_BITS)
+            fb = jnp.take_along_axis(fb_lut, idx[:, None], axis=1)[:, 0]
+            tok = jnp.take_along_axis(sym_lut, idx[:, None], axis=1)[:, 0]
+            freq = (fb >> 12).astype(u32)
+            fbase = (fb & 0xFFF).astype(u32)
+            nstate = freq * (state >> 12) + fbase
+            renorm = active & (nstate < (1 << 16))
+            w16 = buf & 0xFFFF
+            nstate = jnp.where(renorm, (nstate << 16) | w16, nstate)
+            buf, cnt = _consume(
+                buf, cnt, jnp.where(renorm, 16, 0).astype(jnp.int32)
+            )
+            state = jnp.where(active, nstate, state)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
+        buf, cnt, pos = _refill(src, buf, cnt, pos, base)
+
+        tok = jnp.where(active, tok, 0)
+        hidx = cid * amax + tok
+        mb = jnp.take_along_axis(mb_lut, hidx[:, None], axis=1)[:, 0]
+        A = jnp.take_along_axis(a_lut, hidx[:, None], axis=1)[:, 0]
+        lo = jnp.take_along_axis(lo_lut, hidx[:, None], axis=1)[:, 0]
+        lsb_c = jnp.take_along_axis(lsb, cid[:, None], axis=1)[:, 0]
+        mb = jnp.where(active, mb, 0)
+        mid = (buf & ((jnp.uint32(1) << mb.astype(u32)) - 1)).astype(jnp.int32)
+        buf, cnt = _consume(buf, cnt, mb)
+        value = (A << mb) | (mid << lsb_c) | lo
+        return (buf, cnt, pos, state), jnp.where(active, value, 0)
+
+    win_w = -(-(33 * unroll) // 16) + 4
+    woff = jnp.arange(win_w, dtype=jnp.int32)[None, :]
+
+    def body(carry, xs):
+        ts, cs = xs
+        buf, cnt, pos, state = carry
+        base = pos
+        win = jnp.take_along_axis(words, base[:, None] + woff, axis=1)
+        vals = []
+        carry = (buf, cnt, pos, state)
+        for j in range(unroll):
+            carry, v = one_symbol(carry, ts[j], cs[j], win, base)
+            vals.append(v)
+        return carry, jnp.stack(vals)
+
+    n_blocks = -(-n_steps // unroll)
+    ts = jnp.arange(n_blocks * unroll, dtype=jnp.int32).reshape(n_blocks, unroll)
+    cs = cids[:, : n_blocks * unroll].T.reshape(n_blocks, unroll, L)
+    (buf, cnt, pos, state), vals = jax.lax.scan(
+        body, (buf, cnt, pos, state), (ts, cs))
+    values = vals.reshape(n_blocks * unroll, L)[:n_steps].T
+    final_bitpos = pos * 16 - cnt
+    return values, state, final_bitpos
+
+
 @jax.jit
 def unpack_signed_dev(u):
     """Zig-zag decode (j40.h:610-615): 0,1,2,3 -> 0,-1,1,-2."""
@@ -366,6 +490,63 @@ def gradient_reconstruct(res, height: int, width: int):
         (resk.transpose(2, 0, 1), jnp.arange(D, dtype=jnp.int32)),
     )
     # unskew: val[:, y, x] = cols[y + x][:, y]
+    valk = cols.transpose(1, 2, 0)  # (L, H, D)
+    unskew = (yy + xx).astype(np.int32)  # (H, W)
+    return jnp.take_along_axis(
+        valk, jnp.broadcast_to(jnp.asarray(unskew)[None], (L, H, W)), axis=2
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def mixed_reconstruct(res, pcode, height: int, width: int):
+    """Reconstruct (L, H, W) planes with a PER-PIXEL predictor code
+    (0=zero, 1=W, 2=N, 5=clamped gradient) via the same anti-diagonal
+    wavefront as `gradient_reconstruct` — the multi-leaf MA-tree case where
+    leaves carry different predictors (host analog decode.py::_predict).
+
+    `pcode` is (L, H, W) int32.  Edge substitutions match the host chain:
+    predictor 1 reads w_ (which falls back to N at x=0, 0 at the origin)
+    and predictor 2 reads n_ (fallback w_)."""
+    L = res.shape[0]
+    H, W = height, width
+    D = H + W - 1
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    skew_src = np.clip(np.arange(D)[None, :] - yy, 0, W - 1).astype(np.int32)
+    skew_idx = jnp.broadcast_to(jnp.asarray(skew_src)[None], (L, H, D))
+    resk = jnp.take_along_axis(res, skew_idx, axis=2)
+    pck = jnp.take_along_axis(pcode, skew_idx, axis=2)
+
+    yrow = jnp.arange(H, dtype=jnp.int32)[None, :]  # (1, H)
+
+    def step(carry, xs):
+        col1, col2 = carry  # diagonals d-1, d-2: (L, H)
+        resd, pcd, d = xs
+        x = d - yrow
+        valid = (x >= 0) & (x < W)
+        shift_up = lambda c: jnp.concatenate(
+            [jnp.zeros((L, 1), res.dtype), c[:, :-1]], axis=1
+        )
+        col1_up = shift_up(col1)
+        col2_up = shift_up(col2)
+        has_w = x > 0
+        has_n = yrow > 0
+        w_ = jnp.where(has_w, col1, jnp.where(has_n, col1_up, 0))
+        n_ = jnp.where(has_n, col1_up, w_)
+        nw = jnp.where(has_w & has_n, col2_up, w_)
+        grad = jnp.clip(w_ + n_ - nw, jnp.minimum(w_, n_), jnp.maximum(w_, n_))
+        pred = jnp.where(
+            pcd == 0, 0,
+            jnp.where(pcd == 1, w_, jnp.where(pcd == 2, n_, grad)))
+        newcol = jnp.where(valid, pred + resd, 0)
+        return (newcol, col1), newcol
+
+    _, cols = jax.lax.scan(
+        step,
+        (jnp.zeros((L, H), res.dtype), jnp.zeros((L, H), res.dtype)),
+        (resk.transpose(2, 0, 1), pck.transpose(2, 0, 1),
+         jnp.arange(D, dtype=jnp.int32)),
+    )
     valk = cols.transpose(1, 2, 0)  # (L, H, D)
     unskew = (yy + xx).astype(np.int32)  # (H, W)
     return jnp.take_along_axis(

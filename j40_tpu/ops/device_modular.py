@@ -34,21 +34,31 @@ from ..modular.decode import Channel, ModularImage, parse_modular_header
 from .device_entropy import (
     ans_luts,
     decode_tokens,
+    decode_tokens_ctx,
     hybrid_luts,
+    mixed_reconstruct,
     pack_streams,
     prefix_lut,
     reconstruct_channel,
+    spec_is_device_multi,
     spec_is_device_simple,
     unpack_signed_dev,
 )
 
 INT16_MIN, INT16_MAX = -0x8000, 0x7FFF
 
+#: MA-tree properties computable before any sample decode (channel index,
+#: stream index, y, x — decode.py:360-367 / j40.h:4046-4053); trees built
+#: from ONLY these split the image into static regions, so the per-pixel
+#: context walk vectorizes on the host and the lanes stay data-independent
+STATIC_PROPS = (0, 1, 2, 3)
+
 
 class _Lane:
-    __slots__ = ("section", "data", "bitoff", "picks", "nsym", "leaf", "spec")
+    __slots__ = ("section", "data", "bitoff", "picks", "nsym", "leaf", "spec",
+                 "ctx")
 
-    def __init__(self, section, data, bitoff, picks, leaf, spec):
+    def __init__(self, section, data, bitoff, picks, leaf, spec, ctx=None):
         self.section = section
         self.data = data
         self.bitoff = bitoff
@@ -56,11 +66,44 @@ class _Lane:
         self.nsym = sum(w * h for (_, _, _, w, h) in picks)
         self.leaf = leaf
         self.spec = spec
+        #: multi-node static-property lanes: per-slot dict of per-pixel
+        #: (cluster, predictor, offset, multiplier) planes from the
+        #: vectorized tree walk (None for the single-leaf fast path)
+        self.ctx = ctx
+
+
+def _static_tree_walk(tree, cidx: int, sidx: int, h: int, w: int) -> np.ndarray:
+    """Vectorized MA-tree walk over a (h, w) grid for STATIC_PROPS-only
+    trees: every pixel descends the flattened node table simultaneously
+    (property gathers, no per-pixel Python).  Returns per-pixel leaf node
+    indices (host analog: decode.py:355-389, branch rule `val > node.value`
+    -> left)."""
+    prop = np.asarray([n.prop for n in tree], np.int32)
+    value = np.asarray([n.value for n in tree], np.int32)
+    left = np.asarray([n.left for n in tree], np.int32)
+    right = np.asarray([n.right for n in tree], np.int32)
+    yg, xg = np.mgrid[0:h, 0:w]
+    yg = yg.astype(np.int32)
+    xg = xg.astype(np.int32)
+    node = np.zeros((h, w), np.int32)
+    while True:
+        p = prop[node]
+        leafm = p < 0
+        if leafm.all():
+            return node
+        v = np.select(
+            [p == 0, p == 1, p == 2, p == 3],
+            [np.full((h, w), cidx, np.int32),
+             np.full((h, w), sidx, np.int32), yg, xg],
+        )
+        nxt = np.where(v > value[node], left[node], right[node])
+        node = np.where(leafm, node, nxt)
 
 
 def _prepare_lane(dec, state, s):
     """Host-parse one section's modular header; None when the section needs
-    the host path (branchy tree, transforms, LZ77...) or decodes nothing."""
+    the host path (neighbor-dependent tree properties, transforms, LZ77...)
+    or decodes nothing."""
     data = dec.src.read(s.codeoff, s.size)
     region = state._group_region(s.idx)
     picks = state.modular_picks(region, 0, 3)
@@ -77,11 +120,42 @@ def _prepare_lane(dec, state, s):
     if sub.transforms:
         return None
     leaf = sub.tree[0]
-    if not leaf.is_leaf or leaf.predictor not in (0, 1, 2, 5):
+    if leaf.is_leaf:
+        if leaf.predictor not in (0, 1, 2, 5):
+            return None
+        if not spec_is_device_simple(sub.codespec):
+            return None
+        return _Lane(s, data, r.bits_consumed, picks, leaf, sub.codespec)
+
+    # multi-node tree: device-eligible when every branch tests a static
+    # property and every leaf uses a wavefront predictor
+    for n in sub.tree:
+        if n.is_leaf:
+            if n.predictor not in (0, 1, 2, 5):
+                return None
+        elif n.prop not in STATIC_PROPS:
+            return None
+    if not spec_is_device_multi(sub.codespec):
         return None
-    if not spec_is_device_simple(sub.codespec):
-        return None
-    return _Lane(s, data, r.bits_consumed, picks, leaf, sub.codespec)
+    cmap = np.asarray(sub.codespec.cluster_map, np.int32)
+    ctxs = np.asarray([n.ctx for n in sub.tree], np.int32)
+    preds = np.asarray([n.predictor for n in sub.tree], np.int32)
+    offs = np.asarray([n.offset for n in sub.tree], np.int32)
+    mults = np.asarray([n.multiplier for n in sub.tree], np.int32)
+    # pass-group stream index (MA property 1), frame_state.py:146 rule
+    sidx = (1 + 3 * state.f.num_lf_groups + 17
+            + s.pass_ * state.f.num_groups + s.idx)
+    slots = []
+    for ci, (_, _, _, w, h) in enumerate(picks):
+        nodes = _static_tree_walk(sub.tree, ci, sidx, h, w)
+        slots.append({
+            "cluster": cmap[ctxs[nodes]],
+            "pred": preds[nodes],
+            "offset": offs[nodes],
+            "mult": mults[nodes],
+        })
+    return _Lane(s, data, r.bits_consumed, picks, leaf, sub.codespec,
+                 ctx=slots)
 
 
 def _check_lane_end(lane, absbits: int, use_prefix: bool, fstate: int) -> None:
@@ -216,6 +290,130 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
     stats["write_s"] = stats.get("write_s", 0.0) + (time.perf_counter() - t_fetch)
 
 
+def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool) -> None:
+    """Lockstep-decode multi-context (static-property MA tree) lanes.
+
+    Same pipeline as `_decode_lane_batch` with two generalizations:
+    per-TOKEN cluster ids select the LUT block inside the scan
+    (`decode_tokens_ctx`), and reconstruction uses the per-PIXEL predictor
+    wavefront (`mixed_reconstruct`) with per-pixel offset/multiplier."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    streams = [(ln.data, ln.bitoff) for ln in lanes]
+    nsym = np.asarray([ln.nsym for ln in lanes], np.int32)
+    n_steps = int(nsym.max())
+    L = len(lanes)
+    unroll = 4
+    n_padded = -(-n_steps // unroll) * unroll
+
+    words, skips = pack_streams(streams)
+    cmax = max(ln.spec.num_clusters for ln in lanes)
+    sym_l, fb_l, mb_l, a_l, lo_l, lsb_l, cid_l = [], [], [], [], [], [], []
+    sym_w = (1 << 15) if use_prefix else 4096
+    amax = 0
+    hyb = []
+    for ln in lanes:
+        alpha = (1 << 15) if use_prefix else (1 << ln.spec.log_alpha_size)
+        per = [hybrid_luts(cl.config, alpha) for cl in ln.spec.clusters]
+        hyb.append(per)
+        amax = max(amax, max(p[0].shape[0] for p in per))
+    for ln, per in zip(lanes, hyb):
+        C = ln.spec.num_clusters
+        sym = np.zeros((cmax, sym_w), np.int32)
+        fb = np.zeros((cmax, 4096 if not use_prefix else 1), np.int32)
+        mb = np.zeros((cmax, amax), np.int32)
+        a_ = np.zeros((cmax, amax), np.int32)
+        lo = np.zeros((cmax, amax), np.int32)
+        lsbv = np.zeros(cmax, np.int32)
+        for c, cl in enumerate(ln.spec.clusters):
+            if use_prefix:
+                sym[c] = prefix_lut(cl.prefix)
+            else:
+                fb[c], sym[c] = ans_luts(cl)
+            pmb, pa, plo = per[c]
+            mb[c, : pmb.shape[0]] = pmb
+            a_[c, : pa.shape[0]] = pa
+            lo[c, : plo.shape[0]] = plo
+            lsbv[c] = cl.config.lsb_in_token
+        sym_l.append(sym.reshape(-1))
+        fb_l.append(fb.reshape(-1))
+        mb_l.append(mb.reshape(-1))
+        a_l.append(a_.reshape(-1))
+        lo_l.append(lo.reshape(-1))
+        lsb_l.append(lsbv)
+        cids = np.zeros(n_padded, np.int32)
+        cids[: ln.nsym] = np.concatenate(
+            [slot["cluster"].ravel() for slot in ln.ctx])
+        cid_l.append(cids)
+    t_setup = time.perf_counter()
+
+    vals, fstates, bitpos = decode_tokens_ctx(
+        words, skips, nsym, np.stack(cid_l), np.stack(sym_l), np.stack(fb_l),
+        np.stack(mb_l), np.stack(a_l), np.stack(lo_l), np.stack(lsb_l),
+        n_steps=n_steps, use_prefix=use_prefix, unroll=unroll,
+    )
+
+    # --- per-shape-class reconstruction (per-pixel predictor wavefront) ---
+    classes: dict[tuple, list[int]] = {}
+    for li, ln in enumerate(lanes):
+        key = tuple((w, h) for (_, _, _, w, h) in ln.picks)
+        classes.setdefault(key, []).append(li)
+
+    pending = []
+    for shapes, lis in classes.items():
+        rows = jnp.asarray(np.asarray(lis, np.int32))
+        off = 0
+        for slot, (w, h) in enumerate(shapes):
+            seg = vals[rows, off : off + w * h]
+            res = unpack_signed_dev(seg)
+            mult = np.stack([lanes[li].ctx[slot]["mult"] for li in lis])
+            offp = np.stack([lanes[li].ctx[slot]["offset"] for li in lis])
+            pred = np.stack([lanes[li].ctx[slot]["pred"] for li in lis])
+            res = res.reshape(len(lis), h, w)
+            if (mult != 1).any():
+                res = res * jnp.asarray(mult)
+            if offp.any():
+                res = res + jnp.asarray(offp)
+            if (pred != pred.flat[0]).any():
+                rec = mixed_reconstruct(res, jnp.asarray(pred), h, w)
+            else:
+                rec = reconstruct_channel(res, int(pred.flat[0]), h, w)
+            if gm.wide:
+                bad = jnp.zeros((), jnp.bool_)
+            else:
+                bad = jnp.any((rec < INT16_MIN) | (rec > INT16_MAX))
+                rec = rec.astype(jnp.int16)
+            pending.append((lis, slot, rec, bad))
+            off += w * h
+
+    fetched = jax.device_get(
+        [p[2] for p in pending] + [p[3] for p in pending] + [fstates, bitpos]
+    )
+    planes, bads = fetched[: len(pending)], fetched[len(pending) : 2 * len(pending)]
+    fstates_h, bitpos_h = fetched[-2], fetched[-1]
+    t_fetch = time.perf_counter()
+
+    for li, ln in enumerate(lanes):
+        base = (ln.bitoff // 8) & ~1
+        _check_lane_end(ln, base * 8 + int(bitpos_h[li]), use_prefix,
+                        int(fstates_h[li]))
+    for (lis, slot, _, _), plane, bad in zip(pending, planes, bads):
+        check(not bool(bad), "povf", "modular sample overflows int16 range")
+        for k, li in enumerate(lis):
+            gi, x0, y0, w, h = lanes[li].picks[slot]
+            gm.channels[gi].data[y0 : y0 + h, x0 : x0 + w] = plane[k]
+
+    stats = dec.stats.setdefault("device_modular", {})
+    stats["kernel"] = "scan-ctx"
+    stats["ctx_lanes"] = stats.get("ctx_lanes", 0) + L
+    stats["tokens"] = stats.get("tokens", 0) + int(nsym.sum())
+    stats["setup_s"] = stats.get("setup_s", 0.0) + (t_setup - t0)
+    stats["scan_fetch_s"] = stats.get("scan_fetch_s", 0.0) + (t_fetch - t_setup)
+    stats["write_s"] = stats.get("write_s", 0.0) + (time.perf_counter() - t_fetch)
+
+
 def try_device_pass_groups(dec, state, f, sections) -> list:
     """Decode eligible modular pass-group sections on device, write their
     planes into the gmodular image, and return the sections decoded.
@@ -229,8 +427,15 @@ def try_device_pass_groups(dec, state, f, sections) -> list:
     gm = state.gmodular
     out = []
     for use_prefix in (True, False):
-        batch = [ln for ln in lanes if ln.spec.use_prefix_code == use_prefix]
+        batch = [ln for ln in lanes
+                 if ln.spec.use_prefix_code == use_prefix and ln.ctx is None]
         if batch:
             _decode_lane_batch(dec, gm, batch, use_prefix)
             out.extend(ln.section for ln in batch)
+        cbatch = [ln for ln in lanes
+                  if ln.spec.use_prefix_code == use_prefix
+                  and ln.ctx is not None]
+        if cbatch:
+            _decode_lane_batch_ctx(dec, gm, cbatch, use_prefix)
+            out.extend(ln.section for ln in cbatch)
     return out
