@@ -92,6 +92,14 @@ def get_lib():
         ctypes.c_int64,                                   # exc_cap
         ctypes.POINTER(ctypes.c_int64),                   # n_gt7 out
     ]
+    lib.j40t_pack_i4_chunk.restype = ctypes.c_int64
+    lib.j40t_pack_i4_chunk.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,    # src, count
+        ctypes.POINTER(ctypes.c_uint8),                   # dst nibbles
+        ctypes.POINTER(ctypes.c_int32),                   # exc_idx out
+        ctypes.POINTER(ctypes.c_int32),                   # exc_val out
+        ctypes.c_int64,                                   # exc_cap
+    ]
     lib.j40t_gather_pack_dct8.restype = ctypes.c_int64
     lib.j40t_gather_pack_dct8.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int32),
@@ -262,6 +270,34 @@ def gather_pack_dct8(coeffs3, blocks: np.ndarray, offs: np.ndarray,
     # exact value of flat position 0 (the exception scatter's fill target)
     fill0 = int(exc_val[0]) if ne and exc_idx[0] == 0 else int(dst[0, 0, 0])
     return dst, exc_idx, exc_val, int(n_gt7[0]), fill0
+
+
+def pack_i4_chunk(i8_slab: np.ndarray, exc_hint: int = 4096):
+    """One native pass: int8 slab -> packed 4-bit nibbles + |v|>7 exception
+    list (indices flat into the slab; values are the slab's, so entries the
+    i8 clamp already truncated must be patched by the caller from the exact
+    per-image lists).  Replaces the numpy clip/view/pair/flatnonzero chain
+    in chunk assembly.  Returns (nibbles uint8 last-dim-halved, exc_idx,
+    exc_val) or None without the native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(i8_slab).reshape(-1)
+    assert flat.size % 2 == 0
+    dst = np.empty(i8_slab.shape[:-1] + (i8_slab.shape[-1] // 2,), np.uint8)
+    cap = max(64, 1 << int(exc_hint).bit_length())
+    while True:
+        exc_idx = np.empty(cap, np.int32)
+        exc_val = np.empty(cap, np.int32)
+        ne = lib.j40t_pack_i4_chunk(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), flat.size,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            exc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        )
+        if ne >= 0:
+            return dst, exc_idx[:ne], exc_val[:ne]
+        cap = min(cap * 8, flat.size + 1)
 
 
 def serialize_spec(spec: CodeSpec) -> np.ndarray | None:

@@ -1748,3 +1748,39 @@ J40T_API int64_t j40t_gather_pack_dct8(
   *n_gt7 = gt7;
   return nexc;
 }
+
+// Chunk-level int8 -> packed-int4 conversion for the device serving path:
+// one pass over the assembled int8 slab emitting nibble pairs
+// ((v+8) | (v2+8)<<4, values clamped to [-8, 7]) plus the |v| > 7
+// exception list (indices into the i8 slab; values are the *slab* values —
+// entries beyond the i8 clamp get patched from the workers' exact lists by
+// the caller).  Replaces the numpy clip/view/pair/flatnonzero chain that
+// dominated the main-thread chunk assembly (pack_s).  `count` must be
+// even.  Returns the exception count or -1 when it exceeds exc_cap.
+J40T_API int64_t j40t_pack_i4_chunk(
+    const int8_t* J40T_RESTRICT src, int64_t count,
+    uint8_t* J40T_RESTRICT dst,
+    int32_t* J40T_RESTRICT exc_idx, int32_t* J40T_RESTRICT exc_val,
+    int64_t exc_cap)
+{
+  int64_t nexc = 0;
+  for (int64_t i = 0; i < count; i += 2) {
+    int32_t a = src[i], b = src[i + 1];
+    int32_t ca = a < -8 ? -8 : (a > 7 ? 7 : a);
+    int32_t cb = b < -8 ? -8 : (b > 7 ? 7 : b);
+    dst[i >> 1] = (uint8_t)((ca + 8) | ((cb + 8) << 4));
+    if (__builtin_expect(a < -7 || a > 7, 0)) {
+      if (nexc >= exc_cap) return -1;
+      exc_idx[nexc] = (int32_t)i;
+      exc_val[nexc] = a;
+      ++nexc;
+    }
+    if (__builtin_expect(b < -7 || b > 7, 0)) {
+      if (nexc >= exc_cap) return -1;
+      exc_idx[nexc] = (int32_t)(i + 1);
+      exc_val[nexc] = b;
+      ++nexc;
+    }
+  }
+  return nexc;
+}

@@ -337,12 +337,20 @@ def _assemble_chunk(plans, chunk, n):
         nexc = sum(len(x) for x in idx_parts)
     else:
         # values in (7, 127] are exact in the int8 slab; values beyond 127
-        # come from the workers' exception lists
-        u = (np.clip(cup8, -8, 7).astype(np.int8) + 8).view(np.uint8)
-        cup = u[..., 0::2] | (u[..., 1::2] << 4)
-        flat8 = cup8.reshape(-1)
-        f = np.flatnonzero(np.abs(flat8) > 7).astype(np.int32)
-        vals = flat8[f].astype(np.int32)
+        # come from the workers' exception lists.  One native pass does the
+        # nibble pack + exception extraction (j40t_pack_i4_chunk); numpy
+        # chain kept as the no-library fallback.
+        from ..native.bindings import pack_i4_chunk
+
+        native = pack_i4_chunk(cup8, exc_hint=gt7 + 64)
+        if native is not None:
+            cup, f, vals = native
+        else:
+            u = (np.clip(cup8, -8, 7).astype(np.int8) + 8).view(np.uint8)
+            cup = u[..., 0::2] | (u[..., 1::2] << 4)
+            flat8 = cup8.reshape(-1)
+            f = np.flatnonzero(np.abs(flat8) > 7).astype(np.int32)
+            vals = flat8[f].astype(np.int32)
         if idx_parts:
             big_idx = np.concatenate(idx_parts)
             pos = np.searchsorted(f, big_idx)

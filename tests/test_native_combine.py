@@ -135,3 +135,27 @@ def test_native_combine_int32_dst(photo, monkeypatch):
     assert fr.gmodular.channels[0].data.dtype == np.int32
     out = d.render_rgba8()
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_native_pack_i4_chunk_vs_numpy():
+    # chunk assembly's nibble pack + exception extraction: one native pass
+    # must match the numpy clip/view/pair/flatnonzero oracle exactly
+    # (slab values are the i8 gather output, always within [-127, 127])
+    from j40_tpu.native.bindings import pack_i4_chunk
+
+    rng = np.random.default_rng(5)
+    slab = rng.integers(-127, 128, (3, 512, 64)).astype(np.int8)
+    mask = rng.random(slab.shape) < 0.95
+    slab = np.where(mask, rng.integers(-7, 8, slab.shape), slab).astype(np.int8)
+
+    out = pack_i4_chunk(slab)
+    if out is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    cup, f, vals = out
+    u = (np.clip(slab, -8, 7).astype(np.int8) + 8).view(np.uint8)
+    np.testing.assert_array_equal(cup, u[..., 0::2] | (u[..., 1::2] << 4))
+    flat8 = slab.reshape(-1)
+    ref_f = np.flatnonzero(np.abs(flat8) > 7).astype(np.int32)
+    np.testing.assert_array_equal(f, ref_f)
+    np.testing.assert_array_equal(vals, flat8[ref_f].astype(np.int32))
