@@ -120,6 +120,7 @@ def test_native_pack_and_chunk_assembly():
         flat[exc_idx] = exc_val
         return flat.reshape(shape)
 
+    h8, w8 = 2, 8  # 16 blocks; kx/kb (aux rows 4-5) are per-64px-tile
     for amp, want in ((6, "i4"), (110, "i8")):
         plans, origs = [], []
         for _ in range(3):
@@ -127,6 +128,10 @@ def test_native_pack_and_chunk_assembly():
             pos = rng.integers(0, c.size, 7)
             c.reshape(-1)[pos] = rng.integers(-500, 500, 7)
             aux = rng.normal(size=(6, n)).astype(np.float32)
+            # rows 4/5 must be tile-constant (CfL factors are, by
+            # construction); the assembler keeps only the tile grid
+            aux[4] = aux[4, 0]
+            aux[5] = aux[5, 0]
             pk = pack_coeffs_i8(c)
             # the native pack must agree with the numpy fallback
             iv = c.reshape(-1).astype(np.int32)
@@ -139,14 +144,17 @@ def test_native_pack_and_chunk_assembly():
             fill0 = int(iv[0])
             plans.append(((*pk, fill0), aux, None, None))
             origs.append((c, aux))
-        kind, cup, exc_idx, exc_val, aux_out = _assemble_chunk(
-            plans, chunk=4, n=n)  # 3 images in a 4-chunk: padded tail
+        kind, cup, exc_idx, exc_val, aux_out, kgrids = _assemble_chunk(
+            plans, chunk=4, n=n, h8=h8, w8=w8)  # 3 imgs in a 4-chunk: pad
         assert kind == want
         got = unpack(kind, cup, exc_idx, exc_val, (3, 4 * n, 64))
         for i, (c, aux) in enumerate(origs):
             np.testing.assert_array_equal(
                 got[:, i * n : (i + 1) * n], c.astype(np.int32))
-            np.testing.assert_array_equal(aux_out[:, i * n : (i + 1) * n], aux)
+            np.testing.assert_array_equal(
+                aux_out[:, i * n : (i + 1) * n], aux[:4])
+            assert kgrids[i, 0].ravel()[0] == aux[4, 0]
+            assert kgrids[i, 1].ravel()[0] == aux[5, 0]
 
 
 def test_gather_pack_matches_dense_gather():
