@@ -31,14 +31,15 @@ YXB2XYB = (1, 0, 2)
 
 
 class _HfLane:
-    __slots__ = ("section", "data", "bitoff", "gg", "gx8", "gy8",
+    __slots__ = ("section", "data", "bitoff", "gg", "ggidx", "gx8", "gy8",
                  "gw8", "gh8")
 
-    def __init__(self, section, data, bitoff, gg, gx8, gy8, gw8, gh8):
+    def __init__(self, section, data, bitoff, gg, ggidx, gx8, gy8, gw8, gh8):
         self.section = section
         self.data = data
         self.bitoff = bitoff
         self.gg = gg
+        self.ggidx = ggidx
         self.gx8 = gx8
         self.gy8 = gy8
         self.gw8 = gw8
@@ -59,7 +60,7 @@ def _prepare_hf_lane(dec, state, f, vd, s, preset_bits):
     if rect.shape != (gh8, gw8) or not (rect >> 20 == 2).all():
         return None  # non-DCT8 varblocks -> host path
     data = dec.src.read(s.codeoff, s.size)
-    return _HfLane(s, data, preset_bits, gg, gx8, gy8, gw8, gh8)
+    return _HfLane(s, data, preset_bits, gg, ggidx, gx8, gy8, gw8, gh8)
 
 
 def try_device_hf_sections(dec, state, f, sections) -> list:
@@ -92,19 +93,56 @@ def try_device_hf_sections(dec, state, f, sections) -> list:
         np.asarray(vd.orders[0][0][YXB2XYB[cyxb]], np.int32)
         for cyxb in range(3)
     ])
+
+    # batch lanes in LF-group-contiguous order so one gg never splits
+    # across kernel calls (a gg has <= 64 member groups, cap is 128)
+    by_gg: dict[int, list] = {}
+    for ln in lanes:
+        by_gg.setdefault(ln.ggidx, []).append(ln)
+    batches: list[list] = []
+    cur: list = []
+    for glanes in by_gg.values():
+        if cur and len(cur) + len(glanes) > 128:
+            batches.append(cur)
+            cur = []
+        cur.extend(glanes)
+    if cur:
+        batches.append(cur)
+
+    # device-resident route: when a gg's DCT8 grid is FULLY covered by this
+    # dispatch (single pass, so nothing else accumulates into it), the
+    # coefficients never come back to the host — the per-gg plane assembles
+    # on device and reconstructs with the same fused kernel the jax combine
+    # would use, and combine() consumes the predispatched u8 planes.  The
+    # alternative (fetch dense f32, rescatter, re-upload) costs ~3 tunnel
+    # passes of the coefficient planes.
+    resident_ok = not getattr(state, "apply_filters", False)
+    full_cover = {
+        ggidx: sum(ln.gw8 * ln.gh8 for ln in glanes)
+        == by_gg[ggidx][0].gg.width8 * by_gg[ggidx][0].gg.height8
+        for ggidx, glanes in by_gg.items()
+    }
+
     t0 = time.perf_counter()
     out = []
-    for base in range(0, len(lanes), 128):
-        batch = lanes[base:base + 128]
-        if _decode_hf_batch(dec, state, spec, batch, orders_yxb):
+    resident = 0
+    for batch in batches:
+        done = _decode_hf_batch(dec, state, vd, spec, batch, orders_yxb,
+                                resident_ok, full_cover)
+        if done:
             out.extend(ln.section for ln in batch)
+            resident += done - 1  # done = 1 + resident gg count
     stats = dec.stats.setdefault("device_vardct", {})
     stats["lanes"] = stats.get("lanes", 0) + len(lanes)
+    stats["resident_ggs"] = stats.get("resident_ggs", 0) + resident
     stats["hf_s"] = stats.get("hf_s", 0.0) + (time.perf_counter() - t0)
     return out
 
 
-def _decode_hf_batch(dec, state, spec, lanes, orders_yxb) -> None:
+def _decode_hf_batch(dec, state, vd, spec, lanes, orders_yxb,
+                     resident_ok, full_cover) -> int:
+    """Decode one <=128-lane batch; returns 0 on host fallback, else
+    1 + number of LF groups kept device-resident."""
     from . import pallas_hf as ph
 
     streams = [(ln.data, ln.bitoff) for ln in lanes]
@@ -116,22 +154,81 @@ def _decode_hf_batch(dec, state, spec, lanes, orders_yxb) -> None:
     if not st["done"].all():
         # step budget exhausted (pathological stream density): leave the
         # whole batch for the host path, which has no budget
-        return False
+        return 0
     for li, ln in enumerate(lanes):
         check(int(st["err"][li]) == 0, "coef")
         base = (ln.bitoff // 8) & ~1
         _check_lane_end(ln, base * 8 + int(st["bitpos"][li]),
                         spec.use_prefix_code, int(st["ans_state"][li]))
 
-    dense = np.asarray(coeffs_dev)  # (L, 3, ncells_max, 64)
-    pos64 = np.arange(64)
-    for li, ln in enumerate(lanes):
-        gg = ln.gg
-        sub = gg.blocks[ln.gy8:ln.gy8 + ln.gh8,
-                        ln.gx8:ln.gx8 + ln.gw8].ravel()
-        offs = gg.vb_coeffoff[sub & 0xFFFFF].astype(np.int64)
-        idx = offs[:, None] + pos64[None, :]
-        n = ln.gw8 * ln.gh8
-        for c in range(3):
-            gg.coeffs[c][idx.ravel()] += dense[li, c, :n].ravel()
-    return True
+    lane_off = {id(ln): li for li, ln in enumerate(lanes)}
+    by_gg: dict[int, list] = {}
+    for ln in lanes:
+        by_gg.setdefault(ln.ggidx, []).append(ln)
+
+    nres = 0
+    host_lanes = []
+    for ggidx, glanes in by_gg.items():
+        if resident_ok and full_cover.get(ggidx):
+            _reconstruct_resident(vd, ggidx, glanes, lane_off, coeffs_dev)
+            nres += 1
+        else:
+            host_lanes.extend(glanes)
+
+    if host_lanes:
+        dense = np.asarray(coeffs_dev)  # (L, 3, ncells_max, 64)
+        pos64 = np.arange(64)
+        for ln in host_lanes:
+            li = lane_off[id(ln)]
+            gg = ln.gg
+            sub = gg.blocks[ln.gy8:ln.gy8 + ln.gh8,
+                            ln.gx8:ln.gx8 + ln.gw8].ravel()
+            offs = gg.vb_coeffoff[sub & 0xFFFFF].astype(np.int64)
+            idx = offs[:, None] + pos64[None, :]
+            n = ln.gw8 * ln.gh8
+            for c in range(3):
+                gg.coeffs[c][idx.ravel()] += dense[li, c, :n].ravel()
+    return 1 + nres
+
+
+def _reconstruct_resident(vd, ggidx, glanes, lane_off, coeffs_dev) -> None:
+    """Assemble one fully-device-decoded LF group's (3, n, 64) plane from
+    the kernel's dense output and run the fused dequant+CfL+IDCT+XYB
+    reconstruction, all on device; the result enters vardct._predispatched
+    under the same contract combine_lf_group_jax_async fulfills (same
+    kernel, so backend="device" output is bit-identical to backend="jax")."""
+    import jax.numpy as jnp
+
+    from ..vardct.tables import DCT_SELECT
+    from .combine_jax import _pack_consts22, _plan_aux_dct8, _cached_device
+    from .pallas_kernels import reconstruct_dct8_srgb_pallas
+
+    gg = glanes[0].gg
+    f, im = vd.fs.f, vd.fs.im
+    h8, w8 = gg.height8, gg.width8
+    lane_b = np.empty(h8 * w8, np.int32)
+    cell_b = np.empty(h8 * w8, np.int32)
+    for ln in glanes:
+        ys = np.arange(ln.gy8, ln.gy8 + ln.gh8)
+        xs = np.arange(ln.gx8, ln.gx8 + ln.gw8)
+        bb = (ys[:, None] * w8 + xs[None, :]).ravel()
+        lane_b[bb] = lane_off[id(ln)]
+        cell_b[bb] = np.arange(ln.gh8 * ln.gw8)
+    blocks_arr = np.asarray(gg.blocks)
+    voffs = (blocks_arr & 0xFFFFF).reshape(-1)
+    offs = np.asarray(gg.vb_coeffoff)[voffs]
+    aux, weights, consts22 = _plan_aux_dct8(vd, gg, im, f, voffs, offs)
+
+    img = coeffs_dev[jnp.asarray(lane_b), :, jnp.asarray(cell_b), :]
+    coeffs = img.transpose(1, 0, 2)  # (3, n, 64) f32, device-resident
+    srgb = reconstruct_dct8_srgb_pallas(
+        coeffs, jnp.asarray(aux[0:3]), jnp.asarray(aux[3]),
+        jnp.asarray(aux[4]), jnp.asarray(aux[5]),
+        _cached_device(("w", DCT_SELECT[0][2]), weights),
+        _cached_device(("pc22",), consts22), h8, w8)
+    if im.bpp == 8:
+        out = jnp.clip(srgb, 0, 255).astype(jnp.uint8)
+    else:
+        out = srgb
+    with vd._dispatch_lock:
+        vd._predispatched[ggidx] = (out, gg.height, gg.width)
