@@ -177,3 +177,36 @@ def test_device_falls_back_on_neighbor_property_tree():
     cs = encode_modular_advanced(img, options=AdvancedOptions(
         tree=tree, group_size_shift=7))
     _assert_device_matches_host(cs, expect_device=False)
+
+
+def test_device_multinode_offset_multiplier():
+    # leaf offset/multiplier arithmetic on device lanes: residuals are
+    # val = unpack_signed(tok) * multiplier + offset + predict
+    # (decode.py:400-402); construct data whose residuals are exactly
+    # representable (predictor 0 => residual == sample value)
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+    from j40_tpu.encode.modular_enc import branch, leaf
+
+    tree = [
+        branch(3, 60, 1, 2),            # x > 60 ?
+        leaf(0, multiplier=4),          # right: values are multiples of 4
+        leaf(0, offset=2, multiplier=2),  # left: values are 2 mod 2... even+2
+    ]
+    rng = np.random.default_rng(23)
+    img = np.empty((96, 200, 3), np.uint8)
+    # property 3 is x within the SECTION's sub-image: build the residual-
+    # divisibility regions per 128-px group in local coordinates
+    for g0 in (0, 128):
+        w = min(200, g0 + 128) - g0
+        right = max(0, w - 61)
+        img[:, g0 + 61 : g0 + w] = rng.integers(0, 64, (96, right, 3)) * 4
+        img[:, g0 : g0 + min(61, w)] = (
+            rng.integers(0, 127, (96, min(61, w), 3)) * 2 + 2)
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=tree, group_size_shift=7))
+    dec, rgba = _device_decode(cs)
+    _, ref = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref)
+    dm = dec.stats.get("device_modular")
+    assert dm and dm.get("ctx_lanes", 0) > 0
+    np.testing.assert_array_equal(rgba[:, :, :3], img)

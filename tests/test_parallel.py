@@ -616,3 +616,36 @@ def test_sharded_batch_shape_buckets():
     for blob, out in zip(blobs, outs):
         _, ref = decode_file(blob)
         assert np.abs(out.astype(int) - ref[:, :, :3].astype(int)).max() <= 1
+
+
+def test_sharded_lossless_grayscale_and_16bit_modular_entry():
+    # grayscale modular frames replicate the single color channel across
+    # RGB inside the shard program; the unified decode_sharded entry also
+    # serves 16-bit output for modular frames (bit-exact integer scaling)
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.encoder import encode_modular
+    from j40_tpu.parallel.sharded_decode import decode_sharded
+    from j40_tpu.parallel.sharded_lossless import decode_sharded_lossless
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    rng = np.random.default_rng(88)
+
+    gray = (np.cumsum(rng.integers(-3, 4, (64, 96, 1)), 1) % 256).astype(
+        np.uint8)
+    blob = encode_modular(gray)
+    _, ref = decode_file(blob)
+    out = decode_sharded_lossless(blob, mesh=mesh)
+    np.testing.assert_array_equal(out, ref)
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+
+    img12 = (np.cumsum(rng.integers(-9, 10, (64, 96, 3)), 1) % 4096).astype(
+        np.uint16)
+    blob12 = encode_modular(img12, bpp=12)
+    d = Decoder(blob12)
+    d.decode_frame()
+    ref16 = d.render_rgba16()
+    out16 = decode_sharded(blob12, mesh=mesh, bit_depth=16)
+    np.testing.assert_array_equal(out16, ref16[:, :, :3])
