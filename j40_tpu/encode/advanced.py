@@ -42,6 +42,21 @@ from .modular_enc import (
 U32_BEGIN_C = ((0, 3), (8, 6), (72, 10), (1096, 13))
 
 
+def _write_wp_params(sw: BitWriter, wp: WPParams) -> None:
+    """WP params field of the modular sub-header (decode.py:145-152,
+    j40.h:3723-3734): default bit, else 5-bit p1/p2/p3[5] + 4-bit w[4]."""
+    if wp == WPParams():
+        sw.u(1, 1)
+        return
+    sw.u(1, 0)
+    sw.u(5, wp.p1)
+    sw.u(5, wp.p2)
+    for v in wp.p3:
+        sw.u(5, v)
+    for v in wp.w:
+        sw.u(4, v)
+
+
 def _cluster_map(opt, num_ctx: int) -> list[int] | None:
     if not getattr(opt, "complex_cluster_map", False):
         return None
@@ -194,7 +209,7 @@ def _write_header_and_streams(
 
     def write_gmodular_header(sw: BitWriter) -> None:
         sw.u(1, 0)  # use_global_tree = false (tree is local to gmodular)
-        sw.u(1, 1)  # default WP — hmm, custom WP params not emitted yet
+        _write_wp_params(sw, opt.wp_params)
         ntr = len(m.transforms) - (len([t for t in m.transforms if t.id == TR_SQUEEZE]) or 0)
         sq_present = any(t.id == TR_SQUEEZE for t in m.transforms)
         nb_transforms = ntr + (1 if sq_present else 0)
@@ -274,7 +289,7 @@ def _write_header_and_streams(
             sc.data = m.channels[i].data[y0 : y0 + chh, x0 : x0 + cw]
         sw = BitWriter()
         sw.u(1, 0)  # use_global_tree = false
-        sw.u(1, 1)  # default WP
+        _write_wp_params(sw, opt.wp_params)
         sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms in groups
         write_tree(sw, tree, opt.use_prefix)
         genc = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,

@@ -1274,7 +1274,7 @@ static int32_t modular_wp_nolz(
     int64_t val = uv * node->multiplier + node->offset;
     int64_t pd;
     const int32_t p = node->predictor;
-    if (__builtin_expect((p | 3) == 7, 1)) {
+    if (__builtin_expect(p == 5 || p == 6, 1)) {
       // predictors 5 (gradient) and 6 (WP) dominate real trees and the
       // leaf choice is data-dependent: compute both, select branchless
       int64_t g = gradient64(w_, n_, nw);

@@ -567,3 +567,189 @@ def reconstruct_channel(res, predictor: int, height: int, width: int):
         first = jnp.cumsum(res[:, 0, :], axis=1)
         return jnp.cumsum(res.at[:, 0, :].set(first), axis=1)
     raise ValueError(f"device path does not support predictor {predictor}")
+
+
+# --------------------------------------------- self-correcting (WP) wavefront
+
+
+def _ilog2(n):
+    """floor(log2(n)) for int32 n >= 1, branchless binary search (the device
+    analog of io.bits.floor_lg)."""
+    v = n
+    r = jnp.zeros_like(n)
+    for s in (16, 8, 4, 2, 1):
+        big = v >= (1 << s)
+        v = jnp.where(big, v >> s, v)
+        r = r + jnp.where(big, s, 0)
+    return r
+
+
+def _mul_shr24(a, b):
+    """Exact floor((a * b) >> 24) without 64-bit ints: |a| < 2^30 signed,
+    0 < b <= 2^24.  The product (< 2^51) is formed from 12-bit limbs; the
+    int64 the reference uses here (j40.h:4094-4096) does not exist on the
+    VPU, so this is the TPU-native spelling of the same arithmetic."""
+    m = jnp.abs(a)
+    mh, ml = m >> 12, m & 0xFFF
+    bh, bl = b >> 12, b & 0xFFF
+    low = ml * bl                              # < 2^24
+    mid = mh * bl + ml * bh + (low >> 12)      # < 2^31
+    q = mh * bh + (mid >> 12)                  # == (|a|*b) >> 24 exactly
+    rem = ((mid & 0xFFF) != 0) | ((low & 0xFFF) != 0)
+    return jnp.where(a >= 0, q, jnp.where(rem, -q - 1, -q))
+
+
+def _trunc_half_sum_dev(a, b):
+    """C-style (a+b)/2 truncating toward zero (decode.py::_trunc_half_sum)."""
+    s = a + b
+    return jnp.where(s >= 0, s >> 1, -((-s) >> 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "params", "has_pcode")
+)
+def _wp_reconstruct(res, pcode, height: int, width: int, params,
+                    has_pcode: bool):
+    from ..modular.wp import DIV24
+
+    L = res.shape[0]
+    H, W = height, width
+    D = 2 * H + W - 2  # diagonals d = 2y + x
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    skew_src = np.clip(np.arange(D)[None, :] - 2 * yy, 0, W - 1).astype(np.int32)
+    skew_idx = jnp.broadcast_to(jnp.asarray(skew_src)[None], (L, H, D))
+    resk = jnp.take_along_axis(res, skew_idx, axis=2)
+    if has_pcode:
+        pck = jnp.take_along_axis(pcode, skew_idx, axis=2).transpose(2, 0, 1)
+    else:
+        pck = jnp.zeros((D, 1, 1), jnp.int32)  # unused
+
+    yrow = jnp.arange(H, dtype=jnp.int32)[None, :]  # (1, H)
+    div24 = jnp.asarray(np.asarray(DIV24, np.int32))
+    wpar = jnp.asarray(np.asarray(params.w, np.int32))  # (4,)
+    p1, p2 = params.p1, params.p2
+    p3 = params.p3
+
+    def up1(c):  # row y reads row y-1 (zero row in from the top)
+        z = jnp.zeros(c.shape[:1] + (1,) + c.shape[2:], c.dtype)
+        return jnp.concatenate([z, c[:, :-1]], axis=1)
+
+    def step(carry, xs):
+        v1, v2, v3, v4, ea1, ea2, ea3, t1, t2, t3 = carry
+        resd, pcd, d = xs
+        x = d - 2 * yrow                      # (1, H)
+        valid = (x >= 0) & (x < W)
+        has_w = x > 0
+        has_n = yrow > 0
+        has_wn = has_w & has_n
+        has_ne = has_n & (x + 1 < W)
+
+        # pixel neighbors with the decode.py:340-347 substitution chain
+        v2u, v3u = up1(v2), up1(v3)
+        pw = jnp.where(has_w, v1, jnp.where(has_n, v2u, 0))
+        pn = jnp.where(has_n, v2u, pw)
+        pnw = jnp.where(has_wn, v3u, pw)
+        pne = jnp.where(has_ne, up1(v1), pn)
+        pnn = jnp.where(yrow > 1, up1(up1(v4)), pn)
+        pww = jnp.where(x > 1, v2, pw)
+
+        # per-sub-predictor error neighborhoods (wp.py:55-70)
+        m_w = has_w[..., None]
+        m_n = has_n[..., None]
+        errw = jnp.where(m_w, ea1, 0)
+        errn = jnp.where(m_n, up1(ea2), 0)
+        errnw = jnp.where(has_wn[..., None], up1(ea3), errn)
+        errne = jnp.where(has_ne[..., None], up1(ea1), errn)
+        errww = jnp.where((x > 1)[..., None], ea2, 0)
+        errw2 = jnp.where((x + 1 < W)[..., None], 0, errw)  # j40.h:4037 edge
+        t2u = up1(t2)
+        tew = jnp.where(has_w, t1, 0)
+        ten = jnp.where(has_n, t2u, 0)
+        tenw = jnp.where(has_wn, up1(t3), ten)
+        tene = jnp.where(has_ne, up1(t1), ten)
+
+        # sub-predictions (wp.py:72-89), all int32-exact for int16 samples
+        pred0 = (pw + pne - pn) * 8
+        pred1 = pn * 8 - (((tew + ten + tene) * p1) >> 5)
+        pred2 = pw * 8 - (((tew + ten + tenw) * p2) >> 5)
+        pred3 = pn * 8 - (
+            (tenw * p3[0] + ten * p3[1] + tene * p3[2]
+             + (pnn - pn) * 8 * p3[3] + (pnw - pw) * 8 * p3[4]) >> 5
+        )
+        preds = jnp.stack([pred0, pred1, pred2, pred3], axis=-1)  # (L, H, 4)
+
+        # error-weighted blend (wp.py:91-103)
+        errsum = errn + errw + errnw + errww + errne + errw2
+        shift = jnp.maximum(_ilog2(errsum + 1) - 5, 0)
+        wk = 4 + ((wpar * jnp.take(div24, errsum >> shift)) >> shift)
+        logw = _ilog2(wk.sum(-1)) - 4
+        wk = wk >> logw[..., None]
+        wsum = wk.sum(-1)
+        s = (preds * wk).sum(-1)
+        pred4 = _mul_shr24(s + (wsum >> 1) - 1, jnp.take(div24, wsum - 1))
+        agree = ((ten ^ tew) | (ten ^ tenw)) <= 0  # clamp rule (wp.py:104-107)
+        lo = jnp.minimum(jnp.minimum(pw, pn), pne) * 8
+        hi = jnp.maximum(jnp.maximum(pw, pn), pne) * 8
+        pred4 = jnp.where(agree, jnp.clip(pred4, lo, hi), pred4)
+
+        wppred = (pred4 + 3) >> 3  # decode.py:441
+        if has_pcode:
+            grad = jnp.clip(pw + pn - pnw, jnp.minimum(pw, pn),
+                            jnp.maximum(pw, pn))
+            sel = jnp.where(jnp.abs(pn - pnw) < jnp.abs(pw - pnw), pw, pn)
+            br = [
+                0, pw, pn, _trunc_half_sum_dev(pw, pn), sel, grad, wppred,
+                pne, pnw, pww, _trunc_half_sum_dev(pw, pnw),
+                _trunc_half_sum_dev(pn, pnw), _trunc_half_sum_dev(pn, pne),
+            ]
+            pred = jnp.select([pcd == k for k in range(13)], br, 0)
+        else:
+            pred = wppred
+        val = jnp.where(valid, resd + pred, 0)
+
+        # after_predict (wp.py:109-115); state kept zero at invalid slots
+        v8 = val * 8
+        ea_new = jnp.where(
+            valid[..., None], (jnp.abs(preds - v8[..., None]) + 3) >> 3, 0
+        )
+        te_new = jnp.where(valid, pred4 - v8, 0)
+        return (val, v1, v2, v3, ea_new, ea1, ea2, te_new, t1, t2), val
+
+    zc = jnp.zeros((L, H), res.dtype)
+    ze = jnp.zeros((L, H, 4), res.dtype)
+    _, cols = jax.lax.scan(
+        step,
+        (zc, zc, zc, zc, ze, ze, ze, zc, zc, zc),
+        (resk.transpose(2, 0, 1), pck, jnp.arange(D, dtype=jnp.int32)),
+    )
+    valk = cols.transpose(1, 2, 0)  # (L, H, D)
+    unskew = (2 * yy + xx).astype(np.int32)
+    return jnp.take_along_axis(
+        valk, jnp.broadcast_to(jnp.asarray(unskew)[None], (L, H, W)), axis=2
+    )
+
+
+def wp_reconstruct(res, pcode, height: int, width: int, params):
+    """Reconstruct (L, H, W) planes whose MA tree uses the self-correcting
+    (weighted) predictor, on device, bit-exactly.
+
+    The WP recurrence reads the NE neighbor's value AND error (wp.py:58,69),
+    which sits on the same y+x anti-diagonal — so the gradient wavefront's
+    skew does not order it.  Skewing by d = 2y + x does: every dependency
+    (W, N, NW, NE, NN, WW) lands on diagonals d-1..d-4, and diagonal d
+    becomes (L, H)-vector math over a 10-array carry (4 value columns, 3
+    columns of 4 sub-predictor error vectors, 3 of signed true error).  The
+    diagonal count is 2H + W - 2 with min(H, W/2) lanes each — half the
+    occupancy of the plain wavefront, the price of the deeper dependency.
+
+    `pcode` is an (L, H, W) int32 per-pixel predictor plane (None = all WP):
+    under this skew EVERY predictor except 13 (needs NEE, same-diagonal) is
+    orderable, so multi-leaf WP trees run with per-pixel selects
+    (decode.py:426-457 semantics).  `params` is the frozen WPParams from the
+    modular sub-header.  Matches the host oracle (modular/wp.py) bit for bit;
+    the int64 blend (j40.h:4094) is spelled as exact 12-bit-limb int32 math
+    (`_mul_shr24`) because the VPU has no 64-bit multiply.
+    """
+    return _wp_reconstruct(res, pcode, height, width, params,
+                           pcode is not None)

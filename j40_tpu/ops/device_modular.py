@@ -43,6 +43,7 @@ from .device_entropy import (
     spec_is_device_multi,
     spec_is_device_simple,
     unpack_signed_dev,
+    wp_reconstruct,
 )
 
 INT16_MIN, INT16_MAX = -0x8000, 0x7FFF
@@ -56,9 +57,10 @@ STATIC_PROPS = (0, 1, 2, 3)
 
 class _Lane:
     __slots__ = ("section", "data", "bitoff", "picks", "nsym", "leaf", "spec",
-                 "ctx")
+                 "ctx", "wp")
 
-    def __init__(self, section, data, bitoff, picks, leaf, spec, ctx=None):
+    def __init__(self, section, data, bitoff, picks, leaf, spec, ctx=None,
+                 wp=None):
         self.section = section
         self.data = data
         self.bitoff = bitoff
@@ -70,6 +72,9 @@ class _Lane:
         #: (cluster, predictor, offset, multiplier) planes from the
         #: vectorized tree walk (None for the single-leaf fast path)
         self.ctx = ctx
+        #: WPParams when any leaf uses the self-correcting predictor (the
+        #: WP wavefront needs them); None otherwise
+        self.wp = wp
 
 
 def _static_tree_walk(tree, cidx: int, sidx: int, h: int, w: int) -> np.ndarray:
@@ -121,6 +126,13 @@ def _prepare_lane(dec, state, s):
         return None
     leaf = sub.tree[0]
     if leaf.is_leaf:
+        if leaf.predictor == 6 and not gm.wide:
+            # self-correcting predictor: WP wavefront (int32-exact only for
+            # int16-range samples — wide streams stay on the host)
+            if not spec_is_device_simple(sub.codespec):
+                return None
+            return _Lane(s, data, r.bits_consumed, picks, leaf, sub.codespec,
+                         wp=sub.wp_params)
         if leaf.predictor not in (0, 1, 2, 5):
             return None
         if not spec_is_device_simple(sub.codespec):
@@ -128,11 +140,17 @@ def _prepare_lane(dec, state, s):
         return _Lane(s, data, r.bits_consumed, picks, leaf, sub.codespec)
 
     # multi-node tree: device-eligible when every branch tests a static
-    # property and every leaf uses a wavefront predictor
+    # property and every leaf uses a wavefront predictor; trees with any
+    # leaf outside the plain-wavefront set {0,1,2,5} route through the WP
+    # wavefront, which orders every predictor but 13 (needs NEE) and is
+    # int32-exact only for int16-range samples
+    needs_wp = False
     for n in sub.tree:
         if n.is_leaf:
             if n.predictor not in (0, 1, 2, 5):
-                return None
+                if n.predictor == 13 or gm.wide:
+                    return None
+                needs_wp = True
         elif n.prop not in STATIC_PROPS:
             return None
     if not spec_is_device_multi(sub.codespec):
@@ -155,7 +173,7 @@ def _prepare_lane(dec, state, s):
             "mult": mults[nodes],
         })
     return _Lane(s, data, r.bits_consumed, picks, leaf, sub.codespec,
-                 ctx=slots)
+                 ctx=slots, wp=sub.wp_params if needs_wp else None)
 
 
 def _check_lane_end(lane, absbits: int, use_prefix: bool, fstate: int) -> None:
@@ -236,12 +254,12 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
     for li, ln in enumerate(lanes):
         key = (
             ln.leaf.predictor, ln.leaf.multiplier, ln.leaf.offset,
-            tuple((w, h) for (_, _, _, w, h) in ln.picks),
+            tuple((w, h) for (_, _, _, w, h) in ln.picks), ln.wp,
         )
         classes.setdefault(key, []).append(li)
 
     pending = []  # (lane indices, pick slot, device plane batch, bad flag)
-    for (predictor, mult, offset, shapes), lis in classes.items():
+    for (predictor, mult, offset, shapes, wp_params), lis in classes.items():
         rows = jnp.asarray(np.asarray(lis, np.int32))
         off = 0
         for slot, (w, h) in enumerate(shapes):
@@ -251,9 +269,14 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
                 res = res * mult
             if offset != 0:
                 res = res + offset
-            rec = reconstruct_channel(
-                res.reshape(len(lis), h, w), predictor, h, w
-            )
+            if predictor == 6:
+                rec = wp_reconstruct(
+                    res.reshape(len(lis), h, w), None, h, w, wp_params
+                )
+            else:
+                rec = reconstruct_channel(
+                    res.reshape(len(lis), h, w), predictor, h, w
+                )
             if gm.wide:
                 bad = jnp.zeros((), jnp.bool_)
             else:
@@ -358,11 +381,11 @@ def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool) -> None:
     # --- per-shape-class reconstruction (per-pixel predictor wavefront) ---
     classes: dict[tuple, list[int]] = {}
     for li, ln in enumerate(lanes):
-        key = tuple((w, h) for (_, _, _, w, h) in ln.picks)
+        key = (tuple((w, h) for (_, _, _, w, h) in ln.picks), ln.wp)
         classes.setdefault(key, []).append(li)
 
     pending = []
-    for shapes, lis in classes.items():
+    for (shapes, wp_params), lis in classes.items():
         rows = jnp.asarray(np.asarray(lis, np.int32))
         off = 0
         for slot, (w, h) in enumerate(shapes):
@@ -376,7 +399,9 @@ def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool) -> None:
                 res = res * jnp.asarray(mult)
             if offp.any():
                 res = res + jnp.asarray(offp)
-            if (pred != pred.flat[0]).any():
+            if wp_params is not None:
+                rec = wp_reconstruct(res, jnp.asarray(pred), h, w, wp_params)
+            elif (pred != pred.flat[0]).any():
                 rec = mixed_reconstruct(res, jnp.asarray(pred), h, w)
             else:
                 rec = reconstruct_channel(res, int(pred.flat[0]), h, w)

