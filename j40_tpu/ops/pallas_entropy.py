@@ -98,6 +98,32 @@ def pack_alias_lut(cluster) -> np.ndarray:
     return packed.astype(np.int32)
 
 
+def pack_alias_buckets(cluster) -> tuple[np.ndarray, int]:
+    """Bucket-level alias records: (2*table_size,) int32 + log_bucket_size.
+
+    Record i (bucket i of the alias map, j40.h:2441-2461):
+      W0 = cutoff(13) | (freq_direct & 0xFFF) << 13
+      W1 = offset(12) | (freq_alias & 0xFFF) << 12 | alias_symbol << 24
+    freq fields use the 0 => 4096 convention.  Decode: slot = state & 0xFFF,
+    i = slot >> log_bucket_size, pos = slot & (bucket_size - 1); direct when
+    pos < cutoff (symbol = i, base = pos) else symbol = alias_symbol,
+    base = offset + pos.  This is 16-64x smaller per spec than the flat
+    4096-slot LUT (table_size = alphabet ceiling <= 256), which keeps the
+    kernel's stacked-spec select chain short in multi-image serving calls."""
+    D, aliases = cluster.D, cluster.aliases
+    table_size = len(D)
+    lbs = 12 - (table_size.bit_length() - 1)
+    out = np.zeros(2 * table_size, np.int64)
+    for i, b in enumerate(aliases):
+        assert b.symbol <= 0xFF and 0 <= b.offset < 4096
+        assert 0 <= b.cutoff <= 4096
+        out[2 * i] = (b.cutoff & 0x1FFF) | ((D[i] & 0xFFF) << 13)
+        out[2 * i + 1] = (b.offset | ((D[b.symbol] & 0xFFF) << 12)
+                          | (b.symbol << 24))
+    assert out.max() < (1 << 31)
+    return out.astype(np.int32), lbs
+
+
 def pack_prefix_lut(code, width: int) -> np.ndarray:
     """(2^width,) int32: len(5) << 16 | sym, indexed by the next `width`
     bits (LSB-first); canonical-prefix LUT per j40.h:2049-2242."""
@@ -183,18 +209,71 @@ def _bc_i32(x):
 def _shared_lookup(chunks_ref, n_chunks: int, idx):
     """tbl[idx] for a shared flat table in chunk layout; idx (1, 128) int32.
 
-    Lane-gather with sublane-uniform column index, then 8-deep sublane
-    gather, then select across chunks (entry e at row e>>7, col e&127)."""
+    Per chunk: ONE lane-gather (the expensive op), then select by the
+    per-lane chunk id; a single 8-deep sublane gather at the end resolves
+    the row (entry e at row e>>7, col e&127).  The chunk select must come
+    AFTER the lane-gather — the gather reads a different column than the
+    reading lane, so any per-lane selection applied pre-gather would mix
+    specs (column c's data selected by lane c's id but read by lane l)."""
     lo = jnp.broadcast_to(idx & 127, (8, LANE))
-    mid = jnp.broadcast_to((idx >> 7) & 7, (8, LANE))
+    mid = (idx >> 7) & 7
     hi = idx >> 10
     acc = None
     for c in range(n_chunks):
         chunk = chunks_ref[c * 8:(c + 1) * 8, :]
         g = jnp.take_along_axis(chunk, lo, axis=1)
-        h = jnp.take_along_axis(g, mid, axis=0)[0:1, :]
-        acc = h if acc is None else jnp.where(hi == c, h, acc)
+        acc = g if acc is None else jnp.where(hi == c, g, acc)
+    mid8 = jnp.broadcast_to(mid, (8, LANE))
+    return jnp.take_along_axis(acc, mid8, axis=0)[0:1, :]
+
+
+def _col_lookup(tbl_ref, n_blocks: int, ridx):
+    """tbl[ridx[l], l] for a PER-LANE column-layout table; ridx (1, 128).
+
+    Column l holds lane l's own table (row r = entry r), so every op stays
+    within its column: per-lane whole-block selects are valid here (unlike
+    the shared chunk layout, where the lane-gather crosses columns), and
+    the lookup is n_blocks cheap selects + ONE 8-deep sublane gather.
+    Cost is independent of how many distinct specs a call stacks — the
+    layout that makes 128-spec serving batches decode at single-spec
+    speed."""
+    blk_id = ridx >> 3
+    acc = None
+    for b in range(n_blocks):
+        blk = tbl_ref[b * 8:(b + 1) * 8, :]
+        acc = blk if acc is None else jnp.where(blk_id == b, blk, acc)
+    r8 = jnp.broadcast_to(ridx & 7, (8, LANE))
+    return jnp.take_along_axis(acc, r8, axis=0)[0:1, :]
+
+
+def _col_block(tbl_ref, n_blocks: int, blk_id):
+    """The selected (8, LANE) block of a column-layout table (for reading
+    several rows of the same block with one select chain)."""
+    acc = None
+    for b in range(n_blocks):
+        blk = tbl_ref[b * 8:(b + 1) * 8, :]
+        acc = blk if acc is None else jnp.where(blk_id == b, blk, acc)
     return acc
+
+
+def _col_row(blk, ridx):
+    r8 = jnp.broadcast_to(ridx & 7, (8, LANE))
+    return jnp.take_along_axis(blk, r8, axis=0)[0:1, :]
+
+
+def to_columns(tables, pad_rows: int | None = None) -> np.ndarray:
+    """Stack per-lane 1-D tables as COLUMNS: out[r, l] = tables[l][r].
+
+    Rows pad to a multiple of 8 (or to pad_rows); missing lanes/rows are
+    zero."""
+    rows = max(len(t) for t in tables)
+    if pad_rows is not None:
+        rows = max(rows, pad_rows)
+    rows = -(-rows // 8) * 8
+    out = np.zeros((rows, LANE), np.int32)
+    for l, t in enumerate(tables):
+        out[: len(t), l] = t
+    return out
 
 
 def _barrel_blocks(src, n_out: int, shift8):

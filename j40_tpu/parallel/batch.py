@@ -614,10 +614,16 @@ def decode_batch_device_hf(
         if cur:
             calls.append(cur)
         ncmax = max(max(pe["ncells"]) for pe in pend)
+        # two-stage: dispatch EVERY call group's kernel + scatter first
+        # (async, no host sync), then confirm completion — the snapshot
+        # fetches serialize only against already-pipelined device work
+        handles = []
         for group in calls:
             lane_groups = [(pe["streams"], pe["ncells"], pe["spec"],
                             pe["orders"]) for pe in group]
-            coeffs_dev, st_dev = ph.launch_hf_multi(lane_groups, ncmax)
+            handles.append(ph.launch_hf_multi_async(lane_groups, ncmax))
+        for group, h in zip(calls, handles):
+            coeffs_dev, st_dev = ph.finish_hf_multi(h)
             off = 0
             for pe in group:
                 pe["coeffs"] = coeffs_dev
