@@ -890,7 +890,58 @@ def main() -> None:
         "stages": stages,
         **out,
     }
-    print(json.dumps(out))
+    # full detail to a sidecar file; stdout gets ONE compact JSON line
+    # (driver tails are finite — r4's full line truncated unparseably)
+    try:
+        (REPO / "BENCH_DETAIL.json").write_text(json.dumps(out, indent=1))
+    except OSError:
+        pass
+    print(json.dumps(_compact(out)), flush=True)
+
+
+_KEEP = {
+    "configs": {"ours_mpixps", "dj40_mpixps", "ratio", "ratio_1thread",
+                "backend"},
+    "batch64": {"aggregate_mpixps", "efficiency_vs_1stream", "backend"},
+    "batch64_device": {"aggregate_mpixps", "upload_MB", "tunnel_floor_s",
+                       "serve_speedup_vs_host", "onchip_hf"},
+    "serving_photo": {"pack", "onchip_hf", "exact_match", "images",
+                      "image_px"},
+    "onchip_hf": {"aggregate_mpixps", "upload_MB", "tunnel_floor_s",
+                  "exact_match_vs_pack"},
+    "pack": {"aggregate_mpixps", "upload_MB", "tunnel_floor_s"},
+    "pallas_entropy": {"Msym_s_24k", "marginal_ns_per_step", "bit_exact"},
+    "device_compute": {"mpixps", "hbm_roofline_fraction",
+                       "fused_to_srgb_mpixps"},
+    "tunnel": {"up_MBps", "down_MBps", "dispatch_rtt_ms"},
+    "device_filters": {"pallas_speedup"},
+    "vardct_ans": {"ours_mpixps", "dj40_mpixps", "ratio"},
+}
+
+
+def _compact(out: dict) -> dict:
+    """Trim the bench dict to the headline numbers (full detail is in
+    BENCH_DETAIL.json); nested dicts keep only their _KEEP keys."""
+
+    def trim(d, keep):
+        r = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if k in ("stages",):
+                    continue
+                sub = trim(v, _KEEP.get(k, keep))
+                if sub:
+                    r[k] = sub
+            elif keep is None or k in keep:
+                r[k] = v
+        return r
+
+    top = {"metric", "value", "unit", "vs_baseline",
+           "vardct_device_e2e_mpixps", "vardct_device_hf_e2e_mpixps"}
+    c = {k: v for k, v in trim(out, None).items()
+         if isinstance(v, dict) or k in top}
+    c["detail"] = "BENCH_DETAIL.json"
+    return c
 
 
 if __name__ == "__main__":

@@ -636,7 +636,7 @@ def _wp_reconstruct(res, pcode, height: int, width: int, params,
         return jnp.concatenate([z, c[:, :-1]], axis=1)
 
     def step(carry, xs):
-        v1, v2, v3, v4, ea1, ea2, ea3, t1, t2, t3 = carry
+        v1, v2, v3, v4, ea1, ea2, ea3, t1, t2, t3, ovf = carry
         resd, pcd, d = xs
         x = d - 2 * yrow                      # (1, H)
         valid = (x >= 0) & (x < W)
@@ -714,20 +714,34 @@ def _wp_reconstruct(res, pcode, height: int, width: int, params,
             valid[..., None], (jnp.abs(preds - v8[..., None]) + 3) >> 3, 0
         )
         te_new = jnp.where(valid, pred4 - v8, 0)
-        return (val, v1, v2, v3, ea_new, ea1, ea2, te_new, t1, t2), val
+        # overflow sentinel: _mul_shr24 is exact only for |a| < 2^30, and
+        # `a` is bounded by the error-state magnitudes.  While every state
+        # stays < 2^24 the blend input provably fits (|preds| < 2^23,
+        # normalized weight sum < 2^5); a stream whose error feedback
+        # grows past that (possible without any sample leaving int16
+        # range) is flagged per lane so the caller re-decodes it on the
+        # host path instead of silently diverging.
+        risky = valid[..., None] & ((jnp.abs(ea_new) >= (1 << 24))
+                                    | (jnp.abs(te_new)[..., None]
+                                       >= (1 << 24)))
+        ovf2 = ovf | jnp.any(risky, axis=(1, 2))
+        return ((val, v1, v2, v3, ea_new, ea1, ea2, te_new, t1, t2, ovf2),
+                val)
 
     zc = jnp.zeros((L, H), res.dtype)
     ze = jnp.zeros((L, H, 4), res.dtype)
-    _, cols = jax.lax.scan(
+    zovf = jnp.zeros((L,), jnp.bool_)
+    fin, cols = jax.lax.scan(
         step,
-        (zc, zc, zc, zc, ze, ze, ze, zc, zc, zc),
+        (zc, zc, zc, zc, ze, ze, ze, zc, zc, zc, zovf),
         (resk.transpose(2, 0, 1), pck, jnp.arange(D, dtype=jnp.int32)),
     )
     valk = cols.transpose(1, 2, 0)  # (L, H, D)
     unskew = (2 * yy + xx).astype(np.int32)
-    return jnp.take_along_axis(
+    vals = jnp.take_along_axis(
         valk, jnp.broadcast_to(jnp.asarray(unskew)[None], (L, H, W)), axis=2
     )
+    return vals, fin[10]
 
 
 def wp_reconstruct(res, pcode, height: int, width: int, params):
@@ -751,5 +765,13 @@ def wp_reconstruct(res, pcode, height: int, width: int, params):
     the int64 blend (j40.h:4094) is spelled as exact 12-bit-limb int32 math
     (`_mul_shr24`) because the VPU has no 64-bit multiply.
     """
+    return _wp_reconstruct(res, pcode, height, width, params,
+                           pcode is not None)[0]
+
+
+def wp_reconstruct_ovf(res, pcode, height: int, width: int, params):
+    """Like wp_reconstruct but also returns the per-lane overflow-risk
+    flag (True = this lane's error state left _mul_shr24's exactness
+    envelope; re-decode it on the host)."""
     return _wp_reconstruct(res, pcode, height, width, params,
                            pcode is not None)

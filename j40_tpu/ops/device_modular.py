@@ -43,7 +43,7 @@ from .device_entropy import (
     spec_is_device_multi,
     spec_is_device_simple,
     unpack_signed_dev,
-    wp_reconstruct,
+    wp_reconstruct_ovf,
 )
 
 INT16_MIN, INT16_MAX = -0x8000, 0x7FFF
@@ -188,7 +188,7 @@ def _check_lane_end(lane, absbits: int, use_prefix: bool, fstate: int) -> None:
     check(nbytes == len(lane.data), "excs", "trailing data in section")
 
 
-def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
+def _decode_lane_batch(dec, gm, lanes, use_prefix: bool):
     """Lockstep-decode one same-coder batch of lanes and write the planes."""
     import jax
     import jax.numpy as jnp
@@ -270,37 +270,53 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
             if offset != 0:
                 res = res + offset
             if predictor == 6:
-                rec = wp_reconstruct(
+                rec, ovf = wp_reconstruct_ovf(
                     res.reshape(len(lis), h, w), None, h, w, wp_params
                 )
             else:
                 rec = reconstruct_channel(
                     res.reshape(len(lis), h, w), predictor, h, w
                 )
+                ovf = jnp.zeros((len(lis),), jnp.bool_)
             if gm.wide:
-                bad = jnp.zeros((), jnp.bool_)
+                bad = jnp.zeros((len(lis),), jnp.bool_)
             else:
-                bad = jnp.any((rec < INT16_MIN) | (rec > INT16_MAX))
+                bad = jnp.any((rec < INT16_MIN) | (rec > INT16_MAX),
+                              axis=(1, 2))
                 rec = rec.astype(jnp.int16)
-            pending.append((lis, slot, rec, bad))
+            pending.append((lis, slot, rec, bad, ovf))
             off += w * h
 
     # one batched fetch (device->host transfers are the expensive part)
     fetched = jax.device_get(
-        [p[2] for p in pending] + [p[3] for p in pending] + [fstates, bitpos]
+        [p[2] for p in pending] + [p[3] for p in pending]
+        + [p[4] for p in pending] + [fstates, bitpos]
     )
-    planes, bads = fetched[: len(pending)], fetched[len(pending) : 2 * len(pending)]
+    planes = fetched[: len(pending)]
+    bads = fetched[len(pending) : 2 * len(pending)]
+    ovfs = fetched[2 * len(pending) : 3 * len(pending)]
     fstates_h, bitpos_h = fetched[-2], fetched[-1]
     t_fetch = time.perf_counter()
 
+    # WP error-state overflow sentinel (ops/device_entropy.py): affected
+    # lanes are NOT written or validated here — the caller leaves their
+    # sections to the host path, which decodes them with full-width math
+    failed = {li for (lis, _, _, _, _), ovf in zip(pending, ovfs)
+              for k, li in enumerate(lis) if bool(ovf[k])}
+
     # --- validation + writeback -------------------------------------------
     for li, ln in enumerate(lanes):
+        if li in failed:
+            continue
         base = (ln.bitoff // 8) & ~1
         _check_lane_end(ln, base * 8 + int(bitpos_h[li]), use_prefix,
                         int(fstates_h[li]))
-    for (lis, slot, _, _), plane, bad in zip(pending, planes, bads):
-        check(not bool(bad), "povf", "modular sample overflows int16 range")
+    for (lis, slot, _, _, _), plane, bad in zip(pending, planes, bads):
         for k, li in enumerate(lis):
+            if li in failed:
+                continue
+            check(not bool(bad[k]), "povf",
+                  "modular sample overflows int16 range")
             gi, x0, y0, w, h = lanes[li].picks[slot]
             gm.channels[gi].data[y0 : y0 + h, x0 : x0 + w] = plane[k]
 
@@ -311,9 +327,10 @@ def _decode_lane_batch(dec, gm, lanes, use_prefix: bool) -> None:
     stats["setup_s"] = stats.get("setup_s", 0.0) + (t_setup - t0)
     stats["scan_fetch_s"] = stats.get("scan_fetch_s", 0.0) + (t_fetch - t_setup)
     stats["write_s"] = stats.get("write_s", 0.0) + (time.perf_counter() - t_fetch)
+    return [ln for li, ln in enumerate(lanes) if li not in failed]
 
 
-def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool) -> None:
+def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool):
     """Lockstep-decode multi-context (static-property MA tree) lanes.
 
     Same pipeline as `_decode_lane_batch` with two generalizations:
@@ -399,34 +416,56 @@ def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool) -> None:
                 res = res * jnp.asarray(mult)
             if offp.any():
                 res = res + jnp.asarray(offp)
-            if wp_params is not None:
-                rec = wp_reconstruct(res, jnp.asarray(pred), h, w, wp_params)
+            # per-SLOT kernel choice: a tree may gate WP behind (say) a
+            # channel-index branch, so only slots whose pred plane
+            # actually contains a non-{0,1,2,5} code pay the
+            # half-occupancy WP wavefront; the rest take the plain
+            # anti-diagonal (or closed-form) reconstructions
+            needs_wp = (wp_params is not None
+                        and not np.isin(pred, (0, 1, 2, 5)).all())
+            if needs_wp:
+                rec, ovf = wp_reconstruct_ovf(
+                    res, jnp.asarray(pred), h, w, wp_params)
             elif (pred != pred.flat[0]).any():
                 rec = mixed_reconstruct(res, jnp.asarray(pred), h, w)
+                ovf = jnp.zeros((len(lis),), jnp.bool_)
             else:
                 rec = reconstruct_channel(res, int(pred.flat[0]), h, w)
+                ovf = jnp.zeros((len(lis),), jnp.bool_)
             if gm.wide:
-                bad = jnp.zeros((), jnp.bool_)
+                bad = jnp.zeros((len(lis),), jnp.bool_)
             else:
-                bad = jnp.any((rec < INT16_MIN) | (rec > INT16_MAX))
+                bad = jnp.any((rec < INT16_MIN) | (rec > INT16_MAX),
+                              axis=(1, 2))
                 rec = rec.astype(jnp.int16)
-            pending.append((lis, slot, rec, bad))
+            pending.append((lis, slot, rec, bad, ovf))
             off += w * h
 
     fetched = jax.device_get(
-        [p[2] for p in pending] + [p[3] for p in pending] + [fstates, bitpos]
+        [p[2] for p in pending] + [p[3] for p in pending]
+        + [p[4] for p in pending] + [fstates, bitpos]
     )
-    planes, bads = fetched[: len(pending)], fetched[len(pending) : 2 * len(pending)]
+    planes = fetched[: len(pending)]
+    bads = fetched[len(pending) : 2 * len(pending)]
+    ovfs = fetched[2 * len(pending) : 3 * len(pending)]
     fstates_h, bitpos_h = fetched[-2], fetched[-1]
     t_fetch = time.perf_counter()
 
+    failed = {li for (lis, _, _, _, _), ovf in zip(pending, ovfs)
+              for k, li in enumerate(lis) if bool(ovf[k])}
+
     for li, ln in enumerate(lanes):
+        if li in failed:
+            continue
         base = (ln.bitoff // 8) & ~1
         _check_lane_end(ln, base * 8 + int(bitpos_h[li]), use_prefix,
                         int(fstates_h[li]))
-    for (lis, slot, _, _), plane, bad in zip(pending, planes, bads):
-        check(not bool(bad), "povf", "modular sample overflows int16 range")
+    for (lis, slot, _, _, _), plane, bad in zip(pending, planes, bads):
         for k, li in enumerate(lis):
+            if li in failed:
+                continue
+            check(not bool(bad[k]), "povf",
+                  "modular sample overflows int16 range")
             gi, x0, y0, w, h = lanes[li].picks[slot]
             gm.channels[gi].data[y0 : y0 + h, x0 : x0 + w] = plane[k]
 
@@ -437,6 +476,7 @@ def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool) -> None:
     stats["setup_s"] = stats.get("setup_s", 0.0) + (t_setup - t0)
     stats["scan_fetch_s"] = stats.get("scan_fetch_s", 0.0) + (t_fetch - t_setup)
     stats["write_s"] = stats.get("write_s", 0.0) + (time.perf_counter() - t_fetch)
+    return [ln for li, ln in enumerate(lanes) if li not in failed]
 
 
 def try_device_pass_groups(dec, state, f, sections) -> list:
@@ -455,12 +495,12 @@ def try_device_pass_groups(dec, state, f, sections) -> list:
         batch = [ln for ln in lanes
                  if ln.spec.use_prefix_code == use_prefix and ln.ctx is None]
         if batch:
-            _decode_lane_batch(dec, gm, batch, use_prefix)
-            out.extend(ln.section for ln in batch)
+            ok = _decode_lane_batch(dec, gm, batch, use_prefix)
+            out.extend(ln.section for ln in ok)
         cbatch = [ln for ln in lanes
                   if ln.spec.use_prefix_code == use_prefix
                   and ln.ctx is not None]
         if cbatch:
-            _decode_lane_batch_ctx(dec, gm, cbatch, use_prefix)
-            out.extend(ln.section for ln in cbatch)
+            ok = _decode_lane_batch_ctx(dec, gm, cbatch, use_prefix)
+            out.extend(ln.section for ln in ok)
     return out
