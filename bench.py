@@ -376,6 +376,92 @@ def _bench_pallas_entropy() -> dict:
 
 
 
+def _bench_hf_ctx(size: int = 2048) -> dict:
+    """Multi-cluster context-model kernel probe (r5): one photo-density
+    image encoded with a 5-cluster coefficient spec decodes its 64
+    sections through the ctx kernel (full HF context chain in-kernel,
+    ops/pallas_hf.py::_make_hf_ctx_kernel); the single-cluster twin of the
+    same image runs the simple kernel for the head-to-head.  Device
+    output is exact-match-checked against the host entropy decode."""
+    import jax
+
+    from j40_tpu.decode import Decoder
+    from j40_tpu.encode.vardct_enc import VarDCTOptions, encode_vardct
+    from j40_tpu.io.bits import ceil_lg
+    from j40_tpu.ops import pallas_hf as ph
+    from j40_tpu.ops.device_vardct import (YXB2XYB, _lane_bctx3,
+                                           _prepare_hf_lane)
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.stack([
+        (96 + 60 * np.sin(xx / 29) * np.cos(yy / 23)
+         + 40 * np.sin((xx + yy) / 71) + 10 * np.sin(xx / (9 + 2 * c))
+         + rng.normal(0, 0.7, (size, size)))
+        for c in range(3)], -1).clip(0, 255).astype(np.uint8)
+
+    out: dict = {}
+    for key, k in (("ctx", 5), ("simple", 1)):
+        p = CACHE / f"hfctx_{size}_{k}.jxl"
+        if not p.exists():
+            p.write_bytes(encode_vardct(
+                img, VarDCTOptions(use_prefix=False, coeff_clusters=k)))
+        d = Decoder(p.read_bytes(), backend="jax", max_passes=0)
+        d.decode_frame(_defer_finish=True)
+        f, toc, state = d._deferred
+        vd = state.vardct
+        spec = vd.coeff_codespec[0]
+        preset_bits = ceil_lg(vd.num_hf_presets)
+        lanes = [_prepare_hf_lane(d, state, f, vd, s, preset_bits)
+                 for s in toc.sections if s.pass_ == 0]
+        streams = [(ln.data, ln.bitoff) for ln in lanes]
+        ncells = [ln.gw8 * ln.gh8 for ln in lanes]
+        ncmax = int(max(ncells))
+        orders_yxb = np.stack([
+            np.asarray(vd.orders[0][0][YXB2XYB[c]], np.int32)
+            for c in range(3)])
+        if k > 1:
+            bctx3 = [_lane_bctx3(vd, ln) for ln in lanes]
+            gw8s = [ln.gw8 for ln in lanes]
+            run = lambda: ph.decode_hf_ctx(
+                streams, ncells, spec, orders_yxb, bctx3, gw8s,
+                [0] * len(lanes), vd.nb_block_ctx, ncmax)
+        else:
+            run = lambda: ph.decode_hf_dct8(
+                streams, ncells, spec, orders_yxb, ncmax)
+        coeffs, st = run()
+        assert st["done"].all() and not st["err"].any()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            coeffs, _ = run()
+            jax.block_until_ready(coeffs)
+            best = min(best, time.perf_counter() - t0)
+        # exact-match vs the host entropy decode (positions 1..63)
+        dh = Decoder(p.read_bytes(), backend="numpy")
+        dh.decode_frame(_defer_finish=True)
+        gg = dh._deferred[2].vardct.lf_groups[0]
+        cn = np.asarray(coeffs)
+        exact = True
+        for li in (0, len(lanes) // 2, len(lanes) - 1):
+            ln = lanes[li]
+            sub = np.asarray(ln.gg.blocks[ln.gy8:ln.gy8 + ln.gh8,
+                                          ln.gx8:ln.gx8 + ln.gw8])
+            offs = np.asarray(gg.vb_coeffoff)[sub.ravel() & 0xFFFFF]
+            for c in range(3):
+                host = np.asarray(gg.coeffs[c])[
+                    offs[:, None] + np.arange(64)[None, :]]
+                if not np.array_equal(cn[li, c, :len(offs), 1:],
+                                      host[:, 1:]):
+                    exact = False
+        out[key] = {"ms": round(best * 1e3, 1), "lanes": len(lanes),
+                    "bytes": p.stat().st_size, "exact_vs_host": exact}
+    out["ctx_vs_simple_time_ratio"] = round(
+        out["ctx"]["ms"] / out["simple"]["ms"], 2)
+    out["clusters"] = 5
+    return out
+
+
 def _bench_serving_photo(n: int = 64, size: int = 512,
                          tunnel: dict | None = None) -> dict:
     """Serving head-to-head on photographic-density content (~2 bpp at the
@@ -851,6 +937,11 @@ def main() -> None:
                   file=sys.stderr)
         except Exception as e:
             print(f"# pallas_entropy probe failed: {e}", file=sys.stderr)
+        try:
+            out["hf_ctx"] = _bench_hf_ctx()
+            print(f"# hf_ctx: {out['hf_ctx']}", file=sys.stderr)
+        except Exception as e:
+            print(f"# hf_ctx probe failed: {e}", file=sys.stderr)
     if not ONLY or "batch64" in ONLY:
         out["batch64"] = _bench_batch64(device_backend)
         print(f"# batch64: {out['batch64']}", file=sys.stderr)
@@ -911,6 +1002,9 @@ _KEEP = {
                   "exact_match_vs_pack"},
     "pack": {"aggregate_mpixps", "upload_MB", "tunnel_floor_s"},
     "pallas_entropy": {"Msym_s_24k", "marginal_ns_per_step", "bit_exact"},
+    "hf_ctx": {"ctx", "simple", "ctx_vs_simple_time_ratio", "clusters"},
+    "ctx": {"ms", "lanes", "exact_vs_host"},
+    "simple": {"ms", "lanes", "exact_vs_host"},
     "device_compute": {"mpixps", "hbm_roofline_fraction",
                        "fused_to_srgb_mpixps"},
     "tunnel": {"up_MBps", "down_MBps", "dispatch_rtt_ms"},

@@ -102,6 +102,11 @@ class VarDCTOptions:
     intensity_target: float | None = None
     # sample bit depth (8..14; >8 inputs are uint16 and render to RGBA16)
     bpp: int = 8
+    # number of clusters for the HF coefficient code spec (1 = the classic
+    # single-cluster emission; >= 2 partitions the 495*nb_block_ctx
+    # contexts so decoding requires the full context model — the shape
+    # real cjxl output has)
+    coeff_clusters: int = 1
 
 
 def encode_vardct(image: np.ndarray, options: VarDCTOptions | None = None) -> bytes:
@@ -520,7 +525,8 @@ def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8,
     495*nb_block_ctx*preset, j40.h:7020)."""
     nb_block_ctx = 15
     enc = EntropyEncoder(495 * nb_block_ctx * opt.num_hf_presets,
-                         use_prefix=opt.use_prefix)
+                         use_prefix=opt.use_prefix,
+                         cluster_map=_coeff_cluster_map(opt, nb_block_ctx))
     for grow in range(grows):
         for gcol in range(gcols):
             g = grow * gcols + gcol
@@ -528,6 +534,34 @@ def _collect_pass_group_tokens(opt: VarDCTOptions, hf_int, h8, w8,
             _collect_group(opt, enc, g, hf_int, h8, w8,
                            gcol * 32, grow * 32, ctxoff)
     return enc
+
+
+def _coeff_cluster_map(opt: VarDCTOptions, nb_block_ctx: int):
+    """Context->cluster map for the coefficient code spec.  With
+    ``coeff_clusters > 1`` the 495*nb_block_ctx contexts partition the way
+    cjxl's clustering tends to: nz contexts split by the prediction
+    bucket, coefficient contexts by the remaining-nz/frequency index —
+    so symbols genuinely code against different ANS distributions and the
+    decoder must evaluate the full context chain (j40.h:6929-6992) to
+    follow the stream."""
+    k = opt.coeff_clusters
+    if k <= 1:
+        return None
+    per = 495 * nb_block_ctx
+    cmap = []
+    for ctx in range(per * opt.num_hf_presets):
+        base = ctx % per
+        if base < 37 * nb_block_ctx:           # nz contexts
+            bucket = base // nb_block_ctx       # 0..36
+            cl = 0 if bucket < 6 else 1
+        else:                                   # coefficient contexts
+            j = (base - 37 * nb_block_ctx) % 458
+            cl = 2 + min(k - 3, j * (k - 2) // 474)
+        cmap.append(min(cl, k - 1))
+    # clusters must be contiguously numbered from 0
+    used = sorted(set(cmap))
+    remap = {c: i for i, c in enumerate(used)}
+    return [remap[c] for c in cmap]
 
 
 def _collect_group(opt, enc, stream, hf_int, h8, w8, gx8, gy8, ctxoff=0):

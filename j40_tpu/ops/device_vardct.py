@@ -76,7 +76,11 @@ def try_device_hf_sections(dec, state, f, sections) -> list:
     from . import pallas_hf as ph
     from .pallas_kernels import pallas_available
 
-    if not pallas_available() or not ph.hf_spec_is_device_simple(spec):
+    if not pallas_available():
+        return []
+    simple = ph.hf_spec_is_device_simple(spec)
+    ctx_mode = not simple and ph.spec_is_pallas_ctx(spec)
+    if not (simple or ctx_mode):
         return []
     if vd.orders is None or vd.orders[0][0][0] is None:
         return []
@@ -128,28 +132,67 @@ def try_device_hf_sections(dec, state, f, sections) -> list:
     resident = 0
     for batch in batches:
         done = _decode_hf_batch(dec, state, vd, spec, batch, orders_yxb,
-                                resident_ok, full_cover)
+                                resident_ok, full_cover, ctx_mode)
         if done:
             out.extend(ln.section for ln in batch)
             resident += done - 1  # done = 1 + resident gg count
     stats = dec.stats.setdefault("device_vardct", {})
     stats["lanes"] = stats.get("lanes", 0) + len(lanes)
+    stats["kernel"] = "ctx" if ctx_mode else "simple"
     stats["resident_ggs"] = stats.get("resident_ggs", 0) + resident
     stats["hf_s"] = stats.get("hf_s", 0.0) + (time.perf_counter() - t0)
     return out
 
 
+def _lane_bctx3(vd, ln) -> "np.ndarray":
+    """Per-cell YXB block contexts of one DCT8 section, packed 10 bits
+    apart (the host half of the device context model: j40.h:6923-6934 —
+    qfidx/lfidx/block_ctx_map are LF products, known before HF decode)."""
+    gg = ln.gg
+    sub = np.asarray(gg.blocks[ln.gy8:ln.gy8 + ln.gh8,
+                               ln.gx8:ln.gx8 + ln.gw8])
+    voffs = sub & 0xFFFFF
+    qf = np.asarray(gg.vb_qfidx)[voffs].astype(np.int64)
+    lf = np.asarray(gg.lfindices[ln.gy8:ln.gy8 + ln.gh8,
+                                 ln.gx8:ln.gx8 + ln.gw8]).astype(np.int64)
+    lfidx_size = 1
+    for t in vd.nb_lf_thr:
+        lfidx_size *= t + 1
+    bctx0 = qf * lfidx_size + lf  # order_idx == 0 for DCT8
+    bctxc = 13 * (vd.nb_qf_thr + 1) * lfidx_size
+    bmap = np.asarray(vd.block_ctx_map, np.int64)
+    b3 = (bmap[bctx0] | (bmap[bctx0 + bctxc] << 10)
+          | (bmap[bctx0 + 2 * bctxc] << 20))
+    return b3.ravel().astype(np.int32)
+
+
 def _decode_hf_batch(dec, state, vd, spec, lanes, orders_yxb,
-                     resident_ok, full_cover) -> int:
+                     resident_ok, full_cover, ctx_mode: bool = False) -> int:
     """Decode one <=128-lane batch; returns 0 on host fallback, else
     1 + number of LF groups kept device-resident."""
     from . import pallas_hf as ph
+    from ..io.bits import BitReader
 
     streams = [(ln.data, ln.bitoff) for ln in lanes]
     ncells = [ln.gw8 * ln.gh8 for ln in lanes]
     ncells_max = int(max(ncells))
-    coeffs_dev, st = ph.decode_hf_dct8(
-        streams, ncells, spec, orders_yxb, ncells_max)
+    if ctx_mode:
+        bctx3 = [_lane_bctx3(vd, ln) for ln in lanes]
+        ctxoffs = []
+        for ln in lanes:
+            r = BitReader(ln.data)
+            preset = r.u(ln.bitoff) if ln.bitoff else 0
+            ctxoffs.append(495 * vd.nb_block_ctx * preset)
+        gw8s = [ln.gw8 for ln in lanes]
+        try:
+            coeffs_dev, st = ph.decode_hf_ctx(
+                streams, ncells, spec, orders_yxb, bctx3, gw8s, ctxoffs,
+                vd.nb_block_ctx, ncells_max)
+        except ValueError:
+            return 0  # stream too long for the whole-stream ctx kernel
+    else:
+        coeffs_dev, st = ph.decode_hf_dct8(
+            streams, ncells, spec, orders_yxb, ncells_max)
 
     if not st["done"].all():
         # step budget exhausted (pathological stream density): leave the

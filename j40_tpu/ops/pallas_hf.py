@@ -1,29 +1,36 @@
-"""On-chip VarDCT HF coefficient decode (DCT8 groups, single-cluster spec).
+"""On-chip VarDCT HF coefficient decode (DCT8 groups).
 
 Extends the Pallas entropy kernel (ops/pallas_entropy.py — window hierarchy,
 funnel bit window, shared-LUT lookups) with an in-kernel state machine that
 walks the HF coefficient structure of a pass-group section (reference
 j40.h:6888-7005): per 8x8 block, per channel in Y,X,B order, one
-nonzero-count symbol then that many coefficient symbols, each scattered
-through the coefficient order permutation.
+nonzero-count symbol then that many coefficient symbols.
 
-Why this subset decodes without any context modelling on-chip: when the
-coefficient code spec has a SINGLE CLUSTER (our encoder's emission,
-encode/vardct_enc.py; common for cjxl's simpler streams), every context maps
-to the same distribution, so the symbol sequence is context-free — the
-block-context map, nonzero-neighbour predictions, and frequency buckets
-(j40.h:6929-6992) affect only *which cluster* codes a symbol and can be
-skipped entirely.  The structure walk is still needed to know how many
-symbols exist and where each lands; it is ~30 extra vector ops per step.
+TWO kernels cover the spec space:
 
-Outputs per step: the signed coefficient value and its scatter index
-(c_xyb * ncells + cell) * 64 + order[i], or -1 for non-coefficient steps;
-an XLA scatter-add then materializes dense (L, 3, ncells, 64) planes that
-feed the fused reconstruction kernel directly — no host round-trip.
+- **single-cluster** (`_make_hf_kernel`): every context maps to one
+  distribution, so the symbol sequence is context-free and the context
+  model is skipped entirely.  Per-lane column-layout bucket alias tables
+  let one call mix sections of MANY images (full 128-lane serving
+  occupancy) at a cost independent of the spec count.
+- **multi-cluster** (`_make_hf_ctx_kernel`, r5): the FULL HF context
+  model runs in-kernel — nonzero-neighbour prediction ring, block
+  contexts streamed per cell, TWICE_COEFF_NNZ/FREQ buckets, prev flag,
+  cluster-map lookup, per-cluster alias records and hybrid configs
+  (j40.h:6929-6992).  One spec per call (shared chunk tables); measured
+  ~2x the single-cluster kernel per section — this is the shape real
+  cjxl output has, so reference-grade streams no longer fall back to the
+  host.
+
+Outputs per step: the signed coefficient value and its ORDER-SPACE scatter
+index (c_xyb * ncells + cell) * 64 + i, or -1 for non-coefficient steps;
+an XLA unique-set scatter materializes dense (L, 3, ncells, 64) planes and
+one static gather applies the inverse coefficient-order permutation; the
+planes feed the fused reconstruction kernel directly — no host round-trip.
 
 Upload cost is the section BYTES (vs ~6 MB/Mpix of coefficient planes for
 the pack-and-upload plan), which is what makes the device end-to-end plan
-win through a slow host link.
+win through a slow host link (bench.py serving_photo: ~2x in r5).
 """
 
 from __future__ import annotations
@@ -39,12 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_entropy import (
     DEFAULT_CFG,
     LANE,
+    MAX_WROWS,
     TEST_CFG,
     KernelCfg,
     _barrel_blocks,
     _bc_i32,
     _bc_u32,
     _col_block,
+    _col_lookup,
     _col_row,
     _consume,
     _interpret,
@@ -686,5 +695,533 @@ def decode_hf_dct8(streams, ncells, spec, orders_yxb, ncells_max: int,
         "bitpos": stn[1, :L],
         "err": stn[6, :L],
         "done": stn[7, :L],
+    }
+    return coeffs[:L], state
+
+
+# ----------------------------------------- multi-cluster context-model kernel
+
+
+def _make_hf_ctx_kernel(wrows: int, n_ab_chunks: int, n_cmap_chunks: int,
+                        nb_bctx: int, log_alpha: int, n_bctx_blocks: int,
+                        cfg: KernelCfg, ncells_max: int):
+    """DCT8 pass-group decode WITH the full HF context model in-kernel
+    (reference j40.h:6888-7005, log_size = 6), for MULTI-CLUSTER ANS
+    specs — the shape real cjxl output has.  One spec per call (tables are
+    shared, so lookups stay on the cheap `_shared_lookup` path); per-lane
+    state adds the nz-neighbour ring, x8/y8 grid position, the prev flag,
+    and the per-cell block-context stream:
+
+    - ``ctx`` is computed per symbol: nz phase = ctxoff + bctx +
+      NonZerosContext(prediction from left/top nz) * nb_block_ctx; coeff
+      phase = ctxoff + 458*bctx + 37*nb_block_ctx +
+      TWICE_COEFF_NNZ_CTX[nzrem] + TWICE_COEFF_FREQ_CTX[i] + prev.
+    - ``cluster = cluster_map[ctx]`` via a 4-bytes-per-int32 packed map.
+    - the rANS alias decode reads the CLUSTER's bucket records from the
+      stacked per-cluster table; the hybrid-int config unpacks per
+      cluster from one packed word.
+    - nz counts live in a (3 x 32, LANE) per-lane ring (one block row per
+      channel); the per-cell block-context words stream through a 16-row
+      barrel window exactly like the bit stream does.
+    """
+    n_word_blocks = wrows // 8
+    small = wrows <= 512
+    T = 1 << log_alpha
+    LBS = 12 - log_alpha
+    ROUND_SYMS = cfg.round_syms
+    ROUNDS_PER_L2 = cfg.rounds_per_l2
+    L2_PER_SEG = cfg.l2_per_seg
+    SEG_SYMS = cfg.seg_syms
+    u32 = jnp.uint32
+
+    def kernel(words_ref, init_ref, ncells_ref, ab_ref, cmap_ref, cfg_ref,
+               nf_ref, bctx_ref, vals_ref, idxs_ref, st_out_ref,
+               l2_ref, g_ref, st_ref, ring_ref, bwin_ref):
+        # st rows: 0 state, 1 bitpos, 2 k, 3 cyxb, 4 nzrem, 5 ii, 6 err,
+        # 7 prev, 8 x8, 9 y8; rows 10 gw8 / 11 ctxoff are per-lane
+        # constants threaded through the snapshot
+        i_seg = pl.program_id(0)
+
+        def refresh_l2(l2base8):
+            src = [words_ref[b * 8:(b + 1) * 8, :]
+                   for b in range(n_word_blocks)]
+            out = _barrel_blocks(src, 32, l2base8)
+            for b in range(32):
+                l2_ref[b * 8:(b + 1) * 8, :] = out[b]
+
+        def refresh_g(goff8):
+            if small:
+                src = [words_ref[b * 8:(b + 1) * 8, :]
+                       for b in range(n_word_blocks)]
+            else:
+                src = [l2_ref[b * 8:(b + 1) * 8, :] for b in range(32)]
+            out = _barrel_blocks(src, 8, goff8)
+            for b in range(8):
+                g_ref[b * 8:(b + 1) * 8, :] = out[b]
+
+        def refresh_bwin(kbase8):
+            src = [bctx_ref[b * 8:(b + 1) * 8, :]
+                   for b in range(n_bctx_blocks)]
+            out = _barrel_blocks(src, 2, kbase8)
+            for b in range(2):
+                bwin_ref[b * 8:(b + 1) * 8, :] = out[b]
+
+        def assemble(bitpos, gbase):
+            off = (bitpos >> 4) - gbase
+            b0 = off >> 3
+            r0 = off & 7
+            pair = []
+            for p in range(2):
+                acc = None
+                for b in range(8):
+                    blk = g_ref[b * 8:(b + 1) * 8, :]
+                    acc = blk if acc is None else jnp.where(
+                        b0 + p == b, blk, acc)
+                pair.append(acc)
+            ws = []
+            for j in range(4):
+                r = r0 + j
+                r8 = jnp.broadcast_to(r & 7, (8, LANE))
+                g0 = jnp.take_along_axis(pair[0], r8, axis=0)[0:1, :]
+                g1 = jnp.take_along_axis(pair[1], r8, axis=0)[0:1, :]
+                ws.append(_bc_u32(jnp.where(r < 8, g0, g1)))
+            w0, w1, w2, w3 = ws
+            sh = bitpos & 15
+            shu = sh.astype(u32)
+            shc = ((32 - sh) & 31).astype(u32)
+            lo = ((w0 | (w1 << 16)) >> shu) | jnp.where(
+                sh > 0, w2 << shc, jnp.uint32(0))
+            hi = ((w2 | (w3 << 16)) >> shu) & 0xFFFF
+            return lo, hi
+
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+
+        def ring_read(row):
+            return _col_lookup(ring_ref, 12, row)
+
+        def ring_write(row, value, wmask):
+            blk_id = row >> 3
+            r8 = row & 7
+            for b in range(12):
+                blk = ring_ref[b * 8:(b + 1) * 8, :]
+                upd = jnp.where(iota8 == r8, value, blk)
+                ring_ref[b * 8:(b + 1) * 8, :] = jnp.where(
+                    (blk_id == b) & wmask, upd, blk)
+
+        def one_step(carry, gbase, kwbase):
+            (state_u, bitpos, k, cyxb, nzrem, ii, err, prev, x8, y8,
+             gw8, ctxoff) = carry
+            active = (k < ncells_ref[:]) & (err == 0)
+            is_nz = nzrem == 0
+            c_xyb = jnp.where(cyxb == 0, 1, jnp.where(cyxb == 1, 0, 2))
+
+            # block context of (cell k, channel c_yxb) from the window
+            b3 = _col_lookup(bwin_ref, 2, k - kwbase)
+            bctx = (b3 >> (10 * cyxb)) & 0x3FF
+
+            # nz-phase context: prediction from the neighbour ring
+            rbase = c_xyb * 32
+            nzl = ring_read(rbase + jnp.maximum(x8 - 1, 0))
+            nzt = ring_read(rbase + x8)
+            has_w = x8 > 0
+            has_n = y8 > 0
+            nzp = jnp.where(
+                has_w & has_n, (nzl + nzt + 1) >> 1,
+                jnp.where(has_w, nzl, jnp.where(has_n, nzt, 32)))
+            bucket = jnp.where(nzp < 8, nzp, 4 + (nzp >> 1))
+            ctx_nz = ctxoff + bctx + bucket * nb_bctx
+
+            # coeff-phase context
+            nf_r = _shared_lookup(nf_ref, 1, jnp.clip(nzrem, 0, 63))
+            nf_i = _shared_lookup(nf_ref, 1, ii & 63)
+            ctx_co = (ctxoff + 458 * bctx + 37 * nb_bctx
+                      + (nf_r & 0xFFFF) + (nf_i >> 16) + prev)
+            ctx = jnp.where(is_nz, ctx_nz, ctx_co)
+
+            # cluster + per-cluster hybrid config
+            cm = _shared_lookup(cmap_ref, n_cmap_chunks, ctx >> 2)
+            cluster = (cm >> ((ctx & 3) * 8)) & 0xFF
+            cfgw = _shared_lookup(cfg_ref, 1, cluster)
+            lsbr = cfgw & 15
+            msb = (cfgw >> 4) & 15
+            sexp = (cfgw >> 8) & 31
+            split = 1 << sexp
+            bits = msb + lsbr
+            base_mid = sexp - bits
+
+            # rANS alias decode against the cluster's bucket records
+            lo, hi = assemble(bitpos, gbase)
+            slot = _bc_i32(state_u & 0xFFF)
+            i_b = slot >> LBS
+            pos = slot & ((1 << LBS) - 1)
+            at = cluster * (2 * T) + 2 * i_b
+            e0 = _shared_lookup(ab_ref, n_ab_chunks, at)
+            e1 = _shared_lookup(ab_ref, n_ab_chunks, at + 1)
+            cutoff = e0 & 0x1FFF
+            freqd = (e0 >> 13) & 0xFFF
+            boff = e1 & 0xFFF
+            freqa = (e1 >> 12) & 0xFFF
+            bsym = (e1 >> 24) & 0xFF
+            direct = pos < cutoff
+            tok = jnp.where(direct, i_b, bsym)
+            base = _bc_u32(jnp.where(direct, pos, boff + pos))
+            freqf = jnp.where(direct, freqd, freqa)
+            freq = _bc_u32(jnp.where(freqf == 0, 4096, freqf))
+            nstate = freq * (state_u >> 12) + base
+            renorm = active & (nstate < (1 << 16))
+            nstate = jnp.where(renorm, (nstate << 16) | (lo & 0xFFFF),
+                               nstate)
+            k16 = jnp.where(renorm, 16, 0)
+            lo, hi = _consume(lo, hi, k16)
+            consumed = k16
+            state_u = jnp.where(active, nstate, state_u)
+
+            tok = jnp.where(active, tok, 0)
+            is_lit = tok < split
+            t = tok - split
+            midbits = base_mid + _bc_i32(_bc_u32(t) >> bits.astype(u32))
+            lo_v = tok & ((1 << lsbr) - 1)
+            hi_v = (_bc_i32(_bc_u32(tok) >> lsbr.astype(u32))
+                    & ((1 << msb) - 1))
+            A = jnp.where(is_lit, tok, ((1 << msb) | hi_v) << lsbr)
+            mb = jnp.where(active & ~is_lit, midbits, 0)
+            tlo = jnp.where(is_lit, 0, lo_v)
+            mid = _bc_i32(lo & ((jnp.uint32(1) << mb.astype(u32)) - 1))
+            consumed = consumed + mb
+            value = (A << mb) | (mid << lsbr) | tlo
+            value = jnp.where(active, value, 0)
+            bitpos = bitpos + jnp.where(active, consumed, 0)
+
+            # -- structure walk (j40.h:6959-6998, DCT8)
+            nz = value
+            nz_err = active & is_nz & (nz > 63)
+            start_coeffs = is_nz & (nz > 0)
+            ring_write(rbase + x8, nz, active & is_nz)
+
+            half = value >> 1
+            sval = jnp.where((value & 1) == 1, -half - 1, half)
+            sidx = (c_xyb * ncells_max + k) * 64 + ii
+            hit = value != 0
+            nzrem_c = nzrem - jnp.where(hit, 1, 0)
+            ii_c = ii + 1
+            coeff_err = active & ~is_nz & (ii_c >= 64) & (nzrem_c > 0)
+
+            emit = active & ~is_nz
+            out_val = jnp.where(emit, sval, 0)
+            out_idx = jnp.where(emit, sidx, -1)
+
+            nzrem2 = jnp.where(is_nz, jnp.where(start_coeffs, nz, 0),
+                               jnp.where(coeff_err, 0, nzrem_c))
+            ii2 = jnp.where(is_nz, jnp.where(start_coeffs, 1, ii), ii_c)
+            prev2 = jnp.where(
+                active,
+                jnp.where(is_nz, jnp.where(nz <= 4, 1, 0),
+                          jnp.where(hit, 1, 0)),
+                prev)
+            adv = active & ((is_nz & (nz == 0))
+                            | (~is_nz & ((nzrem_c == 0) | coeff_err)))
+            cyxb2 = jnp.where(adv, cyxb + 1, cyxb)
+            wrap = cyxb2 == 3
+            cyxb2 = jnp.where(wrap, 0, cyxb2)
+            k2 = jnp.where(wrap, k + 1, k)
+            x8n = x8 + 1
+            xwrap = x8n >= gw8
+            x8_2 = jnp.where(wrap, jnp.where(xwrap, 0, x8n), x8)
+            y8_2 = jnp.where(wrap & xwrap, y8 + 1, y8)
+            err2 = err | jnp.where(nz_err | coeff_err, 1, 0)
+            return ((state_u, bitpos, k2, cyxb2, nzrem2, ii2, err2, prev2,
+                     x8_2, y8_2, gw8, ctxoff), out_val, out_idx)
+
+        @pl.when(i_seg == 0)
+        def _init():
+            for row in range(12):
+                st_ref[row:row + 1, :] = init_ref[row:row + 1, :]
+            # the nz-neighbour ring is part of the resumable snapshot
+            # (rows 16..111): a budget-resume relaunch must continue with
+            # the prior launch's neighbour history, not zeros
+            for b in range(12):
+                ring_ref[b * 8:(b + 1) * 8, :] = init_ref[
+                    16 + b * 8:16 + (b + 1) * 8, :]
+
+        done_all = jnp.all((st_ref[2:3, :] >= ncells_ref[:])
+                           | (st_ref[6:7, :] != 0))
+
+        @pl.when(done_all)
+        def _fill():
+            zero = jnp.zeros((8, LANE), jnp.int32)
+            neg = jnp.full((8, LANE), -1, jnp.int32)
+            for b in range(SEG_SYMS // 8):
+                vals_ref[b * 8:(b + 1) * 8, :] = zero
+                idxs_ref[b * 8:(b + 1) * 8, :] = neg
+            for row in range(12):
+                st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
+            st_out_ref[12:13, :] = jnp.ones((1, LANE), jnp.int32)
+            st_out_ref[13:16, :] = jnp.zeros((3, LANE), jnp.int32)
+            for b in range(12):
+                st_out_ref[16 + b * 8:16 + (b + 1) * 8, :] = ring_ref[
+                    b * 8:(b + 1) * 8, :]
+
+        @pl.when(jnp.logical_not(done_all))
+        def _segment_body():
+            carry0 = tuple(
+                _bc_u32(st_ref[0:1, :]) if row == 0 else st_ref[row:row + 1, :]
+                for row in range(12))
+
+            def l2_period(p, carry):
+                bitpos = carry[1]
+                wordpos = bitpos >> 4
+                l2base8 = jnp.zeros((1, LANE), jnp.int32) if small \
+                    else (wordpos >> 3)
+                if not small:
+                    refresh_l2(l2base8)
+                l2base = l2base8 << 3
+                for r in range(ROUNDS_PER_L2):
+                    wordpos = carry[1] >> 4
+                    goff8 = (wordpos - l2base) >> 3
+                    refresh_g(goff8)
+                    gbase = l2base + (goff8 << 3)
+                    kbase8 = carry[2] >> 3
+                    refresh_bwin(kbase8)
+                    kwbase = kbase8 << 3
+                    for ss in range(ROUND_SYMS):
+                        local = ((p * ROUNDS_PER_L2 + r) * ROUND_SYMS + ss)
+                        carry, out_val, out_idx = one_step(carry, gbase,
+                                                           kwbase)
+                        vals_ref[pl.ds(local, 1), :] = out_val
+                        idxs_ref[pl.ds(local, 1), :] = out_idx
+                return carry
+
+            carry = jax.lax.fori_loop(0, L2_PER_SEG, l2_period, carry0)
+
+            st_ref[0:1, :] = _bc_i32(carry[0])
+            for row in range(1, 12):
+                st_ref[row:row + 1, :] = carry[row]
+            for row in range(12):
+                st_out_ref[row:row + 1, :] = st_ref[row:row + 1, :]
+            st_out_ref[12:13, :] = jnp.where(
+                (carry[2] >= ncells_ref[:]) | (carry[6] != 0), 1, 0)
+            st_out_ref[13:16, :] = jnp.zeros((3, LANE), jnp.int32)
+            for b in range(12):
+                st_out_ref[16 + b * 8:16 + (b + 1) * 8, :] = ring_ref[
+                    b * 8:(b + 1) * 8, :]
+
+    return kernel
+
+
+def spec_is_pallas_ctx(spec) -> bool:
+    """Eligibility for the multi-cluster context-model kernel: ANS,
+    LZ77-free, every per-cluster table in-kernel-addressable."""
+    from .device_entropy import ans_luts
+
+    if spec.lz77_enabled or spec.use_prefix_code:
+        return False
+    C = spec.num_clusters
+    T = 1 << spec.log_alpha_size
+    if C > 255 or C * 2 * T > 8192:
+        return False
+    if len(spec.cluster_map) > 8192:
+        return False
+    for cl in spec.clusters:
+        cfg = cl.config
+        if cfg.msb_in_token + cfg.lsb_in_token > 8:
+            return False
+        if cfg.msb_in_token > 15 or cfg.lsb_in_token > 15:
+            return False
+        if cfg.split_exp > 31:
+            return False
+        _, sym = ans_luts(cl)
+        if sym.max() > 0xFF:
+            return False
+        alpha = int(max((t for t, fq in enumerate(cl.D) if fq > 0),
+                        default=0)) + 1
+        split = 1 << cfg.split_exp
+        if alpha - 1 >= split:
+            nbits = cfg.msb_in_token + cfg.lsb_in_token
+            worst = cfg.split_exp - nbits + ((alpha - 1 - split) >> nbits)
+            if worst > 17:
+                return False
+    return True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "wrows", "nb_bctx", "log_alpha",
+                     "ncells_max", "cfg_key"))
+def _decode_hf_ctx_pallas(words, init, ncells, ab, cmap, cfgw, nf, bctx3,
+                          n_steps: int, wrows: int, nb_bctx: int,
+                          log_alpha: int, ncells_max: int, cfg_key=None):
+    if words.dtype == jnp.uint16:
+        L, w16 = words.shape
+        words = jnp.pad(words.astype(jnp.int32),
+                        ((0, LANE - L), (0, wrows - w16))).T
+    cfg = KernelCfg(*cfg_key) if cfg_key else DEFAULT_CFG
+    SEG_SYMS = cfg.seg_syms
+    nseg = -(-n_steps // SEG_SYMS)
+    kernel = _make_hf_ctx_kernel(
+        wrows=wrows, n_ab_chunks=ab.shape[0] // 8,
+        n_cmap_chunks=cmap.shape[0] // 8, nb_bctx=nb_bctx,
+        log_alpha=log_alpha, n_bctx_blocks=bctx3.shape[0] // 8,
+        cfg=cfg, ncells_max=ncells_max)
+    const = lambda i: (0, 0)
+    vals, idxs, st = pl.pallas_call(
+        kernel,
+        grid=(nseg,),
+        in_specs=[
+            pl.BlockSpec((wrows, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((112, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ab.shape[0], LANE), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cmap.shape[0], LANE), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bctx3.shape[0], LANE), const,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SEG_SYMS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEG_SYMS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((112, LANE), const, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nseg * SEG_SYMS, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((nseg * SEG_SYMS, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((112, LANE), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((256, LANE), jnp.int32),
+            pltpu.VMEM((64, LANE), jnp.int32),
+            pltpu.VMEM((16, LANE), jnp.int32),
+            pltpu.VMEM((96, LANE), jnp.int32),
+            pltpu.VMEM((16, LANE), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(words, init, ncells, ab, cmap, cfgw, nf, bctx3)
+    return vals, idxs, st
+
+
+def build_ctx_inputs(streams, ncells, spec, bctx3_per_lane, gw8s, ctxoffs):
+    """Pack one multi-cluster spec's tables + per-lane planes for the
+    context-model kernel.
+
+    streams: [(bytes, bit_offset)]; bctx3_per_lane: per lane an (ncells,)
+    int32 array with the three YXB block contexts packed 10 bits apart;
+    gw8s/ctxoffs: per-lane group width in cells / preset context offset."""
+    from ..vardct.tables import TWICE_COEFF_FREQ_CTX, TWICE_COEFF_NNZ_CTX
+    from .device_entropy import pack_streams
+
+    L = len(streams)
+    assert L <= LANE
+    T = 1 << spec.log_alpha_size
+
+    ab = np.zeros(spec.num_clusters * 2 * T, np.int32)
+    cfgw = np.zeros(256, np.int32)
+    for ci, cl in enumerate(spec.clusters):
+        buckets, lbs = pack_alias_buckets(cl)
+        assert lbs == 12 - spec.log_alpha_size
+        ab[ci * 2 * T: ci * 2 * T + len(buckets)] = buckets
+        c = cl.config
+        cfgw[ci] = (c.lsb_in_token | (c.msb_in_token << 4)
+                    | (c.split_exp << 8))
+
+    cm = np.asarray(spec.cluster_map, np.int64)
+    cm4 = np.zeros(-(-len(cm) // 4) * 4, np.int64)
+    cm4[: len(cm)] = cm
+    packed = (cm4[0::4] | (cm4[1::4] << 8) | (cm4[2::4] << 16)
+              | (cm4[3::4] << 24)).astype(np.int32)
+
+    nf = np.zeros(64, np.int32)
+    nnz = np.asarray(TWICE_COEFF_NNZ_CTX, np.int64)
+    frq = np.asarray(TWICE_COEFF_FREQ_CTX, np.int64)
+    nf[:] = nnz | (frq << 16)
+
+    words_lw, skips = pack_streams(streams)
+    w16 = words_lw.shape[1]
+    init = np.zeros((112, LANE), np.int32)
+    cat = (words_lw[:, 0].astype(np.uint64)
+           | (words_lw[:, 1].astype(np.uint64) << 16)
+           | (words_lw[:, 2].astype(np.uint64) << 32))
+    st0 = ((cat >> skips.astype(np.uint64)) & 0xFFFFFFFF).astype(np.uint32)
+    init[0, :L] = st0.view(np.int32)
+    init[1, :L] = skips + 32
+    init[10, :L] = np.asarray(gw8s, np.int32)
+    init[11, :L] = np.asarray(ctxoffs, np.int32)
+
+    nc = np.zeros((1, LANE), np.int32)
+    nc[0, :L] = np.asarray(ncells, np.int32)
+    # per-cell block-context words in column layout (+16 pad rows: the
+    # barrel window may address past the last cell)
+    bcols = to_columns(bctx3_per_lane, pad_rows=int(max(ncells)) + 16)
+
+    longest = max(len(d) for d, _ in streams)
+    return {
+        "words": words_lw.astype(np.uint16), "init": init, "nc": nc,
+        "ab": _to_chunks(ab), "cmap": _to_chunks(packed),
+        "cfgw": _to_chunks(cfgw),
+        "nf": _to_chunks(nf),
+        "bctx3": bcols, "max_bytes": longest,
+        "ncells_all": list(ncells), "L": L,
+        "wrows": -(-(w16 + 256) // 64) * 64,
+        "nb_bctx": None,  # filled by caller
+        "log_alpha": spec.log_alpha_size,
+    }
+
+
+def decode_hf_ctx(streams, ncells, spec, orders_yxb, bctx3_per_lane,
+                  gw8s, ctxoffs, nb_bctx: int, ncells_max: int,
+                  cfg: KernelCfg | None = None):
+    """Decode <=128 DCT8 pass-group sections of ONE multi-cluster ANS spec
+    entirely on device, context model included.  Returns
+    (coeffs (L, 3, ncells_max, 64) f32 device array, state dict)."""
+    if cfg is None:
+        cfg = TEST_CFG if _interpret() else DEFAULT_CFG
+    L = len(streams)
+    inp = build_ctx_inputs(streams, ncells, spec, bctx3_per_lane, gw8s,
+                           ctxoffs)
+    if inp["wrows"] > MAX_WROWS:
+        raise ValueError("stream too long for whole-stream ctx kernel")
+    cap_steps = _estimate_cap(inp, cfg)
+    if _interpret():
+        cap_steps = min(cap_steps, 4 * cfg.seg_syms)
+    args = (jnp.asarray(inp["words"]), None, jnp.asarray(inp["nc"]),
+            jnp.asarray(inp["ab"]), jnp.asarray(inp["cmap"]),
+            jnp.asarray(inp["cfgw"]), jnp.asarray(inp["nf"]),
+            jnp.asarray(inp["bctx3"]))
+    common = dict(wrows=inp["wrows"], nb_bctx=nb_bctx,
+                  log_alpha=inp["log_alpha"], ncells_max=ncells_max,
+                  cfg_key=cfg.key())
+
+    init = inp["init"]
+    coeffs = None
+    hard = 192 * int(max(ncells))
+    spent = 0
+    for _attempt in range(64):
+        n_steps = -(-cap_steps // cfg.seg_syms) * cfg.seg_syms
+        vals, idxs, st = _decode_hf_ctx_pallas(
+            args[0], jnp.asarray(init), *args[2:], n_steps=n_steps,
+            **common)
+        part = _scatter_coeffs(vals, idxs, ncells_max)
+        coeffs = part if coeffs is None else coeffs + part
+        spent += n_steps
+        stn = np.asarray(st)
+        if stn[12, :L].all() or spent >= hard:
+            break
+        init = stn.copy()  # full snapshot incl. the nz-neighbour ring
+        cap_steps = min(2 * cap_steps, hard - spent)
+
+    # inverse order permutation (shared spec: one (3, 64) inv for all)
+    inv = np.empty((3, 64), np.int32)
+    for cyxb in range(3):
+        inv[YXB2XYB[cyxb], orders_yxb[cyxb]] = np.arange(64)
+    inv_arr = np.broadcast_to(inv, (LANE, 3, 64))
+    coeffs = _unpermute_orders(coeffs, jnp.asarray(inv_arr))
+    state = {
+        "ans_state": stn[0, :L].astype(np.uint32),
+        "bitpos": stn[1, :L],
+        "err": stn[6, :L],
+        "done": stn[12, :L],
     }
     return coeffs[:L], state

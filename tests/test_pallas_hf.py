@@ -174,3 +174,88 @@ def test_hf_kernel_smoke():
     assert st["ans_state"][0] == 0x130000
     assert st["err"][1] != 0
     np.testing.assert_array_equal(np.asarray(coeffs)[0, :, :1], dense0)
+
+
+def _ctx_structure(rng, ncells, gw8, nb=15, max_nz=3):
+    """Random DCT8 structure + the full context chain (j40.h:6929-6992):
+    returns (ctx_token_pairs, dense (3, ncells, 64), bctx3 (ncells,))."""
+    from j40_tpu.vardct.tables import (TWICE_COEFF_FREQ_CTX,
+                                       TWICE_COEFF_NNZ_CTX)
+
+    bctx_yxb = [2, 0, 1]
+    b3 = np.full(ncells, bctx_yxb[0] | (bctx_yxb[1] << 10)
+                 | (bctx_yxb[2] << 20), np.int32)
+    dense = np.zeros((3, ncells, 64))
+    nonzeros = np.zeros((ncells, 3), np.int64)
+    pairs = []
+    for k in range(ncells):
+        y8, x8 = divmod(k, gw8)
+        for cyxb in range(3):
+            c = YXB2XYB[cyxb]
+            bctx = bctx_yxb[cyxb]
+            if x8 > 0 and y8 > 0:
+                nzp = (nonzeros[k - 1][c] + nonzeros[k - gw8][c] + 1) >> 1
+            elif x8 > 0:
+                nzp = nonzeros[k - 1][c]
+            elif y8 > 0:
+                nzp = nonzeros[k - gw8][c]
+            else:
+                nzp = 32
+            nz = int(rng.integers(0, max_nz + 1))
+            nzctx = bctx + (nzp if nzp < 8 else 4 + nzp // 2) * nb
+            pairs.append((nzctx, nz))
+            nonzeros[k][c] = nz
+            cctx = 458 * bctx + 37 * nb
+            prev = 1 if nz <= 4 else 0
+            rem, i = nz, 1
+            pos = sorted(rng.choice(np.arange(1, 12), size=nz,
+                                    replace=False)) if nz else []
+            while rem > 0 and i < 64:
+                v = int(rng.integers(1, 5)) if i in pos else 0
+                ctx = (cctx + TWICE_COEFF_NNZ_CTX[rem]
+                       + TWICE_COEFF_FREQ_CTX[i] + prev)
+                pairs.append((ctx, pack_signed(v)))
+                dense[c, k, i] = v
+                prev = 1 if v != 0 else 0
+                rem -= prev
+                i += 1
+    return pairs, dense, b3
+
+
+@slow
+def test_hf_ctx_kernel_smoke():
+    """Multi-cluster context-model kernel vs the host chain on a tiny
+    2-cell structure (one segment in interpret mode; ~7 min of interpret
+    compile, so slow-gated — the TPU-side parity check runs in bench.py's
+    hf_ctx probe on every round)."""
+    from j40_tpu.ops.pallas_hf import decode_hf_ctx, spec_is_pallas_ctx
+
+    rng = np.random.default_rng(4)
+    nb = 15
+    ncells, gw8 = 2, 2
+    pairs, dense, b3 = _ctx_structure(rng, ncells, gw8, nb=nb, max_nz=2)
+    # 4-cluster map: nz contexts split in two, coeff contexts in two
+    cmap = []
+    for ctx in range(495 * nb):
+        if ctx < 37 * nb:
+            cmap.append(0 if ctx < 10 * nb else 1)
+        else:
+            cmap.append(2 if (ctx - 37 * nb) % 458 < 200 else 3)
+    enc = EntropyEncoder(495 * nb, use_prefix=False, cluster_map=cmap)
+    for ctx, tok in pairs:
+        enc.add(ctx, tok, stream=0)
+    w = BitWriter()
+    enc.write_spec(w)
+    enc.write_tokens(w, stream=0)
+    data = w.finish()
+    r = BitReader(data)
+    spec = read_code_spec(r, 495 * nb)
+    assert spec.num_clusters == 4 and spec_is_pallas_ctx(spec)
+
+    order = np.arange(64, dtype=np.int32)
+    coeffs, st = decode_hf_ctx(
+        [(data, r.bits_consumed)], [ncells], spec, np.stack([order] * 3),
+        [b3], [gw8], [0], nb, ncells)
+    assert st["done"][0] == 1 and st["err"][0] == 0
+    assert st["ans_state"][0] == 0x130000
+    np.testing.assert_array_equal(np.asarray(coeffs)[0], dense)
