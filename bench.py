@@ -462,6 +462,52 @@ def _bench_hf_ctx(size: int = 2048) -> dict:
     return out
 
 
+def _bench_sharded_entropy(size: int = 1024) -> dict:
+    """Single-chip TPU run of the SAME shard_map program the multichip
+    dryrun validates on the virtual mesh (leg 5): per-shard raw-byte
+    entropy decode with the PALLAS symbol-loop body + in-shard
+    reconstruction (parallel/sharded_entropy.py).  Parity gate: exact
+    plane equality vs the host decode."""
+    import jax
+    from jax.sharding import Mesh
+
+    from j40_tpu.encode.encoder import EncodeOptions, encode_modular
+    from j40_tpu.parallel.sharded_entropy import (
+        decode_modular_sections_sharded)
+
+    rng = np.random.default_rng(11)
+    img = (np.cumsum(rng.integers(-1, 2, size=(size, size, 3)), axis=1)
+           % 180 + 30).astype(np.uint8)
+    p = CACHE / f"shent_{size}.jxl"
+    if not p.exists():
+        p.write_bytes(encode_modular(img, options=EncodeOptions(
+            global_tree=True, use_prefix=False, group_size_shift=7)))
+    blob = p.read_bytes()
+    mesh = Mesh(np.asarray(jax.devices()[:1], dtype=object), ("rows",))
+
+    planes, lanes, dec = decode_modular_sections_sharded(
+        blob, mesh=mesh, axis="rows", use_pallas=True)
+    gm = dec._deferred[2].gmodular
+    exact = True
+    for k, ln in enumerate(lanes):
+        for c, (gi, x0, y0, w, h) in enumerate(ln.picks):
+            ref = np.asarray(gm.channels[gi].data[y0:y0 + h, x0:x0 + w])
+            if not np.array_equal(planes[k, c], ref):
+                exact = False
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        decode_modular_sections_sharded(blob, mesh=mesh, axis="rows",
+                                        use_pallas=True)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "sections": len(lanes), "bytes": len(blob), "exact": exact,
+        "mpixps": round(size * size / best / 1e6, 3),
+        "note": "incl. host reference decode + upload; kernel body = "
+                "Pallas symbol loop inside shard_map",
+    }
+
+
 def _bench_serving_photo(n: int = 64, size: int = 512,
                          tunnel: dict | None = None) -> dict:
     """Serving head-to-head on photographic-density content (~2 bpp at the
@@ -942,6 +988,12 @@ def main() -> None:
             print(f"# hf_ctx: {out['hf_ctx']}", file=sys.stderr)
         except Exception as e:
             print(f"# hf_ctx probe failed: {e}", file=sys.stderr)
+        try:
+            out["sharded_entropy"] = _bench_sharded_entropy()
+            print(f"# sharded_entropy: {out['sharded_entropy']}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# sharded_entropy probe failed: {e}", file=sys.stderr)
     if not ONLY or "batch64" in ONLY:
         out["batch64"] = _bench_batch64(device_backend)
         print(f"# batch64: {out['batch64']}", file=sys.stderr)
@@ -1003,6 +1055,7 @@ _KEEP = {
     "pack": {"aggregate_mpixps", "upload_MB", "tunnel_floor_s"},
     "pallas_entropy": {"Msym_s_24k", "marginal_ns_per_step", "bit_exact"},
     "hf_ctx": {"ctx", "simple", "ctx_vs_simple_time_ratio", "clusters"},
+    "sharded_entropy": {"sections", "exact", "mpixps"},
     "ctx": {"ms", "lanes", "exact_vs_host"},
     "simple": {"ms", "lanes", "exact_vs_host"},
     "device_compute": {"mpixps", "hbm_roofline_fraction",

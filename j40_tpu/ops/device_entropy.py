@@ -484,9 +484,13 @@ def gradient_reconstruct(res, height: int, width: int):
         newcol = jnp.where(valid, pred + resd, 0)
         return (newcol, col1), newcol
 
+    # carry zeros derive from the input so their sharding vma matches the
+    # scanned operands under shard_map (a literal jnp.zeros is "unvarying"
+    # and trips the varying-manual-axes check)
+    zc = res[:, :, 0] * 0
     _, cols = jax.lax.scan(
         step,
-        (jnp.zeros((L, H), res.dtype), jnp.zeros((L, H), res.dtype)),
+        (zc, zc),
         (resk.transpose(2, 0, 1), jnp.arange(D, dtype=jnp.int32)),
     )
     # unskew: val[:, y, x] = cols[y + x][:, y]
