@@ -80,6 +80,11 @@ class AdvancedOptions:
     ans_shift: int = 13
     group_size_shift: int = 8
     tree: list[TreeNode] | None = None  # default: single leaf gradient
+    #: emit the tree + ONE code spec globally in LfGlobal (cjxl -e3's
+    #: shape, j40.h:6320-6336): every section then decodes against the
+    #: shared spec — the premise that lets the decoder's device lanes
+    #: batch sections with one LUT set
+    global_tree: bool = False
     rct_type: int | None = None  # e.g. 6 for YCgCo
     squeeze: bool = False  # implicit (default-parameter) squeeze
     palette: bool = False  # extract a palette (lossless; needs few colors)
@@ -242,11 +247,22 @@ def _write_header_and_streams(
                 genc.add(ctx, tok)
         genc.write(sw)
 
+    # global-tree emission: one spec over every section's tokens
+    genc_g = None
+    if (opt.global_tree and not single
+            and not any(t.id == TR_PALETTE for t in m.transforms)):
+        genc_g = EntropyEncoder(num_ctx, use_prefix=opt.use_prefix,
+                                cluster_map=_cluster_map(opt, num_ctx),
+                                complex_cluster_map=opt.complex_cluster_map,
+                                flat_ans_dists=opt.flat_ans_dists,
+                                ans_shift=opt.ans_shift)
+
     # LfGlobal section
     lf_global = BitWriter()
     lf_global.u(1, 1)  # LfChannelDequantization all_default
-    lf_global.u(1, 0)  # no global tree
-    write_gmodular_header(lf_global)
+    if genc_g is None:
+        lf_global.u(1, 0)  # no global tree
+        write_gmodular_header(lf_global)
 
     if single:
         section = lf_global.finish()
@@ -259,7 +275,8 @@ def _write_header_and_streams(
 
     # multi-group: route channels by shift
     n_global = m.nb_meta_channels
-    sections: list[bytes] = [lf_global.finish()]
+    sections: list[bytes] = [b""]  # LfGlobal finishes below (the global-
+    # tree path appends the tree/spec/gmodular tokens first)
     NUM_DCT_PARAMS = 17
 
     def group_stream(region, minshift, maxshift, sidx) -> bytes:
@@ -288,6 +305,14 @@ def _write_header_and_streams(
         for (i, x0, y0, cw, chh), sc in zip(picks, sub.channels):
             sc.data = m.channels[i].data[y0 : y0 + chh, x0 : x0 + cw]
         sw = BitWriter()
+        if genc_g is not None:
+            # phase 1 collected this stream's tokens; write the header
+            # referencing the global tree + this section's token stream
+            sw.u(1, 1)  # use_global_tree
+            _write_wp_params(sw, opt.wp_params)
+            sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms
+            genc_g.write_tokens(sw, stream=sidx)
+            return sw.finish()
         sw.u(1, 0)  # use_global_tree = false
         _write_wp_params(sw, opt.wp_params)
         sw.u32(((0, 0), (1, 0), (2, 4), (18, 8)), 0)  # no transforms in groups
@@ -302,6 +327,76 @@ def _write_header_and_streams(
                 genc.add(ctx, tok)
         genc.write(sw)
         return sw.finish()
+
+    def collect_stream(region, minshift, maxshift, sidx) -> None:
+        gx, gy, gw_, gh_ = region
+        picks = []
+        for i in range(n_global, m.num_channels):
+            gc = m.channels[i]
+            mm = min(gc.hshift, gc.vshift)
+            if not (minshift <= mm < maxshift):
+                continue
+            x0 = gx >> gc.hshift
+            y0 = gy >> gc.vshift
+            cw = min(ceil_div(gw_, 1 << gc.hshift), gc.width - x0)
+            chh = min(ceil_div(gh_, 1 << gc.vshift), gc.height - y0)
+            if cw <= 0 or chh <= 0:
+                continue
+            picks.append((i, x0, y0, cw, chh))
+        if not picks:
+            return
+        sub = ModularImage(
+            channels=[
+                Channel(cw, chh, m.channels[i].hshift, m.channels[i].vshift)
+                for (i, _, _, cw, chh) in picks
+            ]
+        )
+        for (i, x0, y0, cw, chh), sc in zip(picks, sub.channels):
+            sc.data = m.channels[i].data[y0 : y0 + chh, x0 : x0 + cw]
+        for ci in range(sub.num_channels):
+            for ctx, tok in encode_channel_tokens(sub, ci, tree,
+                                                  opt.wp_params, sidx):
+                genc_g.add(ctx, tok, stream=sidx)
+
+    if genc_g is not None:
+        # phase 1: collect every section's tokens so ONE spec covers all
+        for ggidx in range(num_lf_groups):
+            row, col = divmod(ggidx, ggcolumns)
+            x0, y0 = col * gg_size, row * gg_size
+            region = (x0, y0, min(wd - x0, gg_size), min(h - y0, gg_size))
+            collect_stream(region, 3, 10000, 1 + num_lf_groups + ggidx)
+        for gidx in range(num_groups):
+            row, col = divmod(gidx, gcolumns)
+            x0, y0 = col * group_size, row * group_size
+            region = (x0, y0, min(wd - x0, group_size),
+                      min(h - y0, group_size))
+            collect_stream(region, 0, 3,
+                           1 + 3 * num_lf_groups + NUM_DCT_PARAMS + gidx)
+        gkey = "lfglobal"
+        genc_g.streams.setdefault(gkey, [])
+        for ci in range(n_global):
+            for ctx, tok in encode_channel_tokens(m, ci, tree,
+                                                  opt.wp_params, 0):
+                genc_g.add(ctx, tok, stream=gkey)
+        # LfGlobal: global tree + the shared spec + gmodular header
+        lf_global.u(1, 1)  # global tree present
+        write_tree(lf_global, tree, opt.use_prefix)
+        genc_g.write_spec(lf_global)
+        lf_global.u(1, 1)  # gmodular: use_global_tree
+        _write_wp_params(lf_global, opt.wp_params)
+        lf_global.u32(((0, 0), (1, 0), (2, 4), (18, 8)),
+                      len(m.transforms))
+        for t in m.transforms:
+            if t.id == TR_RCT:
+                lf_global.u(2, TR_RCT)
+                lf_global.u32(U32_BEGIN_C, t.begin_c)
+                lf_global.u32(((6, 0), (0, 2), (2, 4), (10, 6)), t.rct_type)
+            elif t.id == TR_SQUEEZE:
+                lf_global.u(2, TR_SQUEEZE)
+                lf_global.u32(((0, 0), (1, 4), (9, 6), (41, 8)), 0)
+        genc_g.write_tokens(lf_global, stream=gkey)
+
+    sections[0] = lf_global.finish()
 
     for ggidx in range(num_lf_groups):
         row, col = divmod(ggidx, ggcolumns)

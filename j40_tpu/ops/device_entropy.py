@@ -779,3 +779,197 @@ def wp_reconstruct_ovf(res, pcode, height: int, width: int, params):
     envelope; re-decode it on the host)."""
     return _wp_reconstruct(res, pcode, height, width, params,
                            pcode is not None)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "params", "tree_key",
+                              "cidx"))
+def _tree_wp_reconstruct(res, height: int, width: int, params,
+                         tree_key, cidx: int, sidx):
+    """WP wavefront with the MA-TREE WALK evaluated per pixel in-step.
+
+    The device answer for NEIGHBOR-PROPERTY trees (j40.h:4177-4218,
+    properties 4-15) whose code spec is single-cluster: the token
+    sequence is then context-free (decoded separately at full speed) and
+    only the per-pixel (predictor, offset, multiplier) selection needs
+    the neighbour state — which the d = 2y + x wavefront already carries
+    for the WP recurrence.  Per diagonal, every pixel walks the flattened
+    tree simultaneously: property values are vector math over the
+    neighbour columns (incl. property 15 = the magnitude-max true error),
+    node transitions are small-table gathers.
+
+    ``tree_key`` is a hashable tuple of tuples (prop, value, left, right,
+    predictor, offset, multiplier) per node (branch prop >= 0, leaves
+    carry prop = -1); ``cidx`` the slot's channel index; ``sidx`` the
+    per-lane stream index (L,).  ``res`` is the RAW unpack_signed token
+    plane — multiplier/offset apply per leaf in here.  Returns
+    (values (L, H, W), overflow flag (L,)) like wp_reconstruct_ovf."""
+    from ..modular.wp import DIV24
+
+    prop_t, value_t, left_t, right_t, pred_t, off_t, mult_t = (
+        jnp.asarray(np.asarray(col, np.int32))
+        for col in zip(*tree_key))
+    depth = 1
+    # static walk-depth bound: longest root->leaf chain
+    tk = list(tree_key)
+
+    def _depth(i):
+        if tk[i][0] < 0:
+            return 0
+        return 1 + max(_depth(tk[i][2]), _depth(tk[i][3]))
+
+    depth = max(1, _depth(0))
+
+    L = res.shape[0]
+    H, W = height, width
+    D = 2 * H + W - 2
+    yy = np.arange(H)[:, None]
+    xx = np.arange(W)[None, :]
+    skew_src = np.clip(np.arange(D)[None, :] - 2 * yy, 0, W - 1).astype(np.int32)
+    skew_idx = jnp.broadcast_to(jnp.asarray(skew_src)[None], (L, H, D))
+    resk = jnp.take_along_axis(res, skew_idx, axis=2)
+
+    yrow = jnp.arange(H, dtype=jnp.int32)[None, :]  # (1, H)
+    div24 = jnp.asarray(np.asarray(DIV24, np.int32))
+    wpar = jnp.asarray(np.asarray(params.w, np.int32))  # (4,)
+    p1, p2 = params.p1, params.p2
+    p3 = params.p3
+    sidx_col = sidx[:, None]  # (L, 1)
+
+    def up1(c):
+        z = jnp.zeros(c.shape[:1] + (1,) + c.shape[2:], c.dtype)
+        return jnp.concatenate([z, c[:, :-1]], axis=1)
+
+    def step(carry, xs):
+        v1, v2, v3, v4, ea1, ea2, ea3, t1, t2, t3, ovf = carry
+        resd, d = xs
+        x = d - 2 * yrow                      # (1, H)
+        valid = (x >= 0) & (x < W)
+        has_w = x > 0
+        has_n = yrow > 0
+        has_wn = has_w & has_n
+        has_ne = has_n & (x + 1 < W)
+
+        v2u, v3u = up1(v2), up1(v3)
+        pw = jnp.where(has_w, v1, jnp.where(has_n, v2u, 0))
+        pn = jnp.where(has_n, v2u, pw)
+        pnw = jnp.where(has_wn, v3u, pw)
+        pne = jnp.where(has_ne, up1(v1), pn)
+        pnn = jnp.where(yrow > 1, up1(up1(v4)), pn)
+        pww = jnp.where(x > 1, v2, pw)
+        # NWW = (y-1, x-2): diagonal d-4, one row up
+        pnww = jnp.where((x > 1) & has_n, up1(v4), pww)
+
+        m_w = has_w[..., None]
+        m_n = has_n[..., None]
+        errw = jnp.where(m_w, ea1, 0)
+        errn = jnp.where(m_n, up1(ea2), 0)
+        errnw = jnp.where(has_wn[..., None], up1(ea3), errn)
+        errne = jnp.where(has_ne[..., None], up1(ea1), errn)
+        errww = jnp.where((x > 1)[..., None], ea2, 0)
+        errw2 = jnp.where((x + 1 < W)[..., None], 0, errw)
+        t2u = up1(t2)
+        tew = jnp.where(has_w, t1, 0)
+        ten = jnp.where(has_n, t2u, 0)
+        tenw = jnp.where(has_wn, up1(t3), ten)
+        tene = jnp.where(has_ne, up1(t1), ten)
+
+        pred0 = (pw + pne - pn) * 8
+        pred1 = pn * 8 - (((tew + ten + tene) * p1) >> 5)
+        pred2 = pw * 8 - (((tew + ten + tenw) * p2) >> 5)
+        pred3 = pn * 8 - (
+            (tenw * p3[0] + ten * p3[1] + tene * p3[2]
+             + (pnn - pn) * 8 * p3[3] + (pnw - pw) * 8 * p3[4]) >> 5
+        )
+        preds = jnp.stack([pred0, pred1, pred2, pred3], axis=-1)
+
+        errsum = errn + errw + errnw + errww + errne + errw2
+        shift = jnp.maximum(_ilog2(errsum + 1) - 5, 0)
+        wk = 4 + ((wpar * jnp.take(div24, errsum >> shift)) >> shift)
+        logw = _ilog2(wk.sum(-1)) - 4
+        wk = wk >> logw[..., None]
+        wsum = wk.sum(-1)
+        s = (preds * wk).sum(-1)
+        pred4 = _mul_shr24(s + (wsum >> 1) - 1, jnp.take(div24, wsum - 1))
+        agree = ((ten ^ tew) | (ten ^ tenw)) <= 0
+        lo = jnp.minimum(jnp.minimum(pw, pn), pne) * 8
+        hi = jnp.maximum(jnp.maximum(pw, pn), pne) * 8
+        pred4 = jnp.where(agree, jnp.clip(pred4, lo, hi), pred4)
+        wppred = (pred4 + 3) >> 3
+
+        # property 15: magnitude-max true error, W-first tie rule
+        # (modular/wp.py max_error_property)
+        v15 = tew
+        for cand in (ten, tenw, tene):
+            v15 = jnp.where(jnp.abs(v15) < jnp.abs(cand), cand, v15)
+
+        # -- in-step MA tree walk (j40.h:4177-4218; host oracle
+        # modular/decode.py:355-401).  Branch rule: val > node.value ->
+        # left.
+        grad = jnp.clip(pw + pn - pnw, jnp.minimum(pw, pn),
+                        jnp.maximum(pw, pn))
+        shape = jnp.broadcast_shapes(pw.shape, x.shape)
+        bb = lambda a: jnp.broadcast_to(a, shape)
+        props = [
+            bb(jnp.full((1, 1), cidx)), bb(sidx_col),
+            bb(yrow), bb(x),
+            bb(jnp.abs(pn)), bb(jnp.abs(pw)), bb(pn), bb(pw),
+            bb(jnp.where(has_w, pw - (pww + pnw - pnww), pw)),
+            bb(pw + pn - pnw), bb(pw - pnw), bb(pnw - pn),
+            bb(pn - pne), bb(pn - pnn), bb(pw - pww), bb(v15),
+        ]
+        node = jnp.zeros(shape, jnp.int32)
+        for _ in range(depth):
+            p = jnp.take(prop_t, node)
+            v = jnp.select([p == k for k in range(16)], props, 0)
+            nxt = jnp.where(v > jnp.take(value_t, node),
+                            jnp.take(left_t, node), jnp.take(right_t, node))
+            node = jnp.where(p < 0, node, nxt)
+        pcd = jnp.take(pred_t, node)
+        leaf_off = jnp.take(off_t, node)
+        leaf_mult = jnp.take(mult_t, node)
+
+        sel = jnp.where(jnp.abs(pn - pnw) < jnp.abs(pw - pnw), pw, pn)
+        br = [
+            0, pw, pn, _trunc_half_sum_dev(pw, pn), sel, grad, wppred,
+            pne, pnw, pww, _trunc_half_sum_dev(pw, pnw),
+            _trunc_half_sum_dev(pn, pnw), _trunc_half_sum_dev(pn, pne),
+        ]
+        pred = jnp.select([pcd == k for k in range(13)], br, 0)
+        val = jnp.where(valid, resd * leaf_mult + leaf_off + pred, 0)
+
+        v8 = val * 8
+        ea_new = jnp.where(
+            valid[..., None], (jnp.abs(preds - v8[..., None]) + 3) >> 3, 0
+        )
+        te_new = jnp.where(valid, pred4 - v8, 0)
+        risky = valid[..., None] & ((jnp.abs(ea_new) >= (1 << 24))
+                                    | (jnp.abs(te_new)[..., None]
+                                       >= (1 << 24)))
+        ovf2 = ovf | jnp.any(risky, axis=(1, 2))
+        return ((val, v1, v2, v3, ea_new, ea1, ea2, te_new, t1, t2, ovf2),
+                val)
+
+    zc = jnp.zeros((L, H), res.dtype)
+    ze = jnp.zeros((L, H, 4), res.dtype)
+    zovf = jnp.zeros((L,), jnp.bool_)
+    fin, cols = jax.lax.scan(
+        step,
+        (zc, zc, zc, zc, ze, ze, ze, zc, zc, zc, zovf),
+        (resk.transpose(2, 0, 1), jnp.arange(D, dtype=jnp.int32)),
+    )
+    valk = cols.transpose(1, 2, 0)
+    unskew = (2 * yy + xx).astype(np.int32)
+    vals = jnp.take_along_axis(
+        valk, jnp.broadcast_to(jnp.asarray(unskew)[None], (L, H, W)), axis=2
+    )
+    return vals, fin[10]
+
+
+def tree_wp_reconstruct(res, tree_key, cidx: int, sidx, height: int,
+                        width: int, params):
+    """Public wrapper of _tree_wp_reconstruct (see its docstring)."""
+    import jax.numpy as _jnp
+
+    return _tree_wp_reconstruct(res, height, width, params, tree_key,
+                                cidx, _jnp.asarray(sidx))

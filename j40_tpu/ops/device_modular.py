@@ -57,10 +57,10 @@ STATIC_PROPS = (0, 1, 2, 3)
 
 class _Lane:
     __slots__ = ("section", "data", "bitoff", "picks", "nsym", "leaf", "spec",
-                 "ctx", "wp")
+                 "ctx", "wp", "ntree")
 
     def __init__(self, section, data, bitoff, picks, leaf, spec, ctx=None,
-                 wp=None):
+                 wp=None, ntree=None):
         self.section = section
         self.data = data
         self.bitoff = bitoff
@@ -75,6 +75,10 @@ class _Lane:
         #: WPParams when any leaf uses the self-correcting predictor (the
         #: WP wavefront needs them); None otherwise
         self.wp = wp
+        #: NEIGHBOR-property tree payload (r5): hashable flattened tree
+        #: for the in-wavefront walk (_tree_wp_reconstruct) + the lane's
+        #: stream index; set only when the tree tests properties 4-15
+        self.ntree = ntree
 
 
 def _static_tree_walk(tree, cidx: int, sidx: int, h: int, w: int) -> np.ndarray:
@@ -145,6 +149,7 @@ def _prepare_lane(dec, state, s):
     # wavefront, which orders every predictor but 13 (needs NEE) and is
     # int32-exact only for int16-range samples
     needs_wp = False
+    neighbor_props = False
     for n in sub.tree:
         if n.is_leaf:
             if n.predictor not in (0, 1, 2, 5):
@@ -152,7 +157,29 @@ def _prepare_lane(dec, state, s):
                     return None
                 needs_wp = True
         elif n.prop not in STATIC_PROPS:
+            if 4 <= n.prop <= 15 and not gm.wide:
+                neighbor_props = True
+            else:
+                return None  # cross-channel refs (>= 16) stay host-only
+    if neighbor_props:
+        # NEIGHBOR-property tree (cjxl -e3 shape, j40.h:4177-4218): with a
+        # single-cluster spec the token sequence is context-free, so
+        # tokens decode at full device speed and the tree walk runs
+        # inside the WP wavefront (ops/device_entropy.py
+        # _tree_wp_reconstruct).  Multi-cluster neighbor trees would
+        # serialize entropy decode per pixel -> host path.
+        if not spec_is_device_simple(sub.codespec):
             return None
+        tree_key = tuple(
+            (-1, 0, 0, 0, n.predictor, n.offset, n.multiplier)
+            if n.is_leaf else
+            (n.prop, n.value, n.left, n.right, 0, 0, 0)
+            for n in sub.tree)
+        sidx = (1 + 3 * state.f.num_lf_groups + 17
+                + s.pass_ * state.f.num_groups + s.idx)
+        return _Lane(s, data, r.bits_consumed, picks, sub.tree[0],
+                     sub.codespec, wp=sub.wp_params,
+                     ntree=(tree_key, sidx))
     if not spec_is_device_multi(sub.codespec):
         return None
     cmap = np.asarray(sub.codespec.cluster_map, np.int32)
@@ -479,6 +506,133 @@ def _decode_lane_batch_ctx(dec, gm, lanes, use_prefix: bool):
     return [ln for li, ln in enumerate(lanes) if li not in failed]
 
 
+def _decode_lane_batch_ntree(dec, gm, lanes, use_prefix: bool):
+    """NEIGHBOR-property-tree lanes: tokens decode context-free (single
+    cluster), then every pick slot reconstructs through the in-wavefront
+    tree walk (ops/device_entropy.py _tree_wp_reconstruct) — per-pixel
+    predictor/offset/multiplier from properties 0-15 evaluated on the
+    d = 2y+x diagonals, bit-exact vs the host walk."""
+    import jax
+    import jax.numpy as jnp
+
+    from .device_entropy import tree_wp_reconstruct
+
+    t0 = time.perf_counter()
+    streams = [(ln.data, ln.bitoff) for ln in lanes]
+    nsym = np.asarray([ln.nsym for ln in lanes], np.int32)
+    n_steps = int(nsym.max())
+    L = len(lanes)
+
+    from . import pallas_entropy as pe
+    from .pallas_kernels import pallas_available
+
+    spec0 = lanes[0].spec
+    shared = (
+        pallas_available()
+        and all(ln.spec is spec0 for ln in lanes)
+        and pe.spec_is_pallas_simple(spec0)
+    )
+    if shared:
+        t_setup = time.perf_counter()
+        vals, fstates, bitpos = pe.decode_tokens_pallas(
+            streams, nsym, spec0, n_steps)
+        kernel = "pallas"
+    else:
+        words, skips = pack_streams(streams)
+        sym_l, fb_l, mb_l, a_l, lo_l, lsb_l = [], [], [], [], [], []
+        for ln in lanes:
+            cl = ln.spec.clusters[0]
+            if use_prefix:
+                sym_l.append(prefix_lut(cl.prefix))
+                fb_l.append(np.zeros(1, np.int32))
+                alpha = 1 << 15
+            else:
+                fb, sym = ans_luts(cl)
+                sym_l.append(sym)
+                fb_l.append(fb)
+                alpha = 1 << ln.spec.log_alpha_size
+            mb, a_, lo = hybrid_luts(cl.config, alpha)
+            mb_l.append(mb)
+            a_l.append(a_)
+            lo_l.append(lo)
+            lsb_l.append(cl.config.lsb_in_token)
+        amax = max(a.shape[0] for a in mb_l)
+        pad = lambda arrs: np.stack(
+            [np.pad(a, (0, amax - a.shape[0])) for a in arrs]
+        )
+        t_setup = time.perf_counter()
+        vals, fstates, bitpos = decode_tokens(
+            words, skips, nsym, np.stack(sym_l), np.stack(fb_l),
+            pad(mb_l), pad(a_l), pad(lo_l), np.asarray(lsb_l, np.int32),
+            n_steps=n_steps, use_prefix=use_prefix,
+        )
+        kernel = "scan"
+    vals = jnp.asarray(vals)
+
+    # classes: one (tree, wp, shapes) program per slot; sidx per lane
+    classes: dict[tuple, list[int]] = {}
+    for li, ln in enumerate(lanes):
+        key = (ln.ntree[0], ln.wp,
+               tuple((w, h) for (_, _, _, w, h) in ln.picks))
+        classes.setdefault(key, []).append(li)
+
+    pending = []
+    for (tree_key, wp_params, shapes), lis in classes.items():
+        rows = jnp.asarray(np.asarray(lis, np.int32))
+        sidx = np.asarray([lanes[li].ntree[1] for li in lis], np.int32)
+        off = 0
+        for slot, (w, h) in enumerate(shapes):
+            seg = vals[rows, off : off + w * h]
+            res = unpack_signed_dev(seg).reshape(len(lis), h, w)
+            cidx = slot  # channel index = pick slot (RGB channels 0..2)
+            rec, ovf = tree_wp_reconstruct(
+                res, tree_key, cidx, sidx, h, w, wp_params)
+            if gm.wide:
+                bad = jnp.zeros((len(lis),), jnp.bool_)
+            else:
+                bad = jnp.any((rec < INT16_MIN) | (rec > INT16_MAX),
+                              axis=(1, 2))
+                rec = rec.astype(jnp.int16)
+            pending.append((lis, slot, rec, bad, ovf))
+            off += w * h
+
+    fetched = jax.device_get(
+        [p[2] for p in pending] + [p[3] for p in pending]
+        + [p[4] for p in pending] + [fstates, bitpos]
+    )
+    planes = fetched[: len(pending)]
+    bads = fetched[len(pending) : 2 * len(pending)]
+    ovfs = fetched[2 * len(pending) : 3 * len(pending)]
+    fstates_h, bitpos_h = fetched[-2], fetched[-1]
+    t_fetch = time.perf_counter()
+
+    failed = {li for (lis, _, _, _, _), ovf in zip(pending, ovfs)
+              for k, li in enumerate(lis) if bool(ovf[k])}
+    for li, ln in enumerate(lanes):
+        if li in failed:
+            continue
+        base = (ln.bitoff // 8) & ~1
+        _check_lane_end(ln, base * 8 + int(bitpos_h[li]), use_prefix,
+                        int(fstates_h[li]))
+    for (lis, slot, _, _, _), plane, bad in zip(pending, planes, bads):
+        for k, li in enumerate(lis):
+            if li in failed:
+                continue
+            check(not bool(bad[k]), "povf",
+                  "modular sample overflows int16 range")
+            gi, x0, y0, w, h = lanes[li].picks[slot]
+            gm.channels[gi].data[y0 : y0 + h, x0 : x0 + w] = plane[k]
+
+    stats = dec.stats.setdefault("device_modular", {})
+    stats["kernel"] = f"{kernel}+tree-wavefront"
+    stats["ntree_lanes"] = stats.get("ntree_lanes", 0) + L
+    stats["tokens"] = stats.get("tokens", 0) + int(nsym.sum())
+    stats["setup_s"] = stats.get("setup_s", 0.0) + (t_setup - t0)
+    stats["scan_fetch_s"] = stats.get("scan_fetch_s", 0.0) + (t_fetch - t_setup)
+    stats["write_s"] = stats.get("write_s", 0.0) + (time.perf_counter() - t_fetch)
+    return [ln for li, ln in enumerate(lanes) if li not in failed]
+
+
 def try_device_pass_groups(dec, state, f, sections) -> list:
     """Decode eligible modular pass-group sections on device, write their
     planes into the gmodular image, and return the sections decoded.
@@ -493,7 +647,8 @@ def try_device_pass_groups(dec, state, f, sections) -> list:
     out = []
     for use_prefix in (True, False):
         batch = [ln for ln in lanes
-                 if ln.spec.use_prefix_code == use_prefix and ln.ctx is None]
+                 if ln.spec.use_prefix_code == use_prefix
+                 and ln.ctx is None and ln.ntree is None]
         if batch:
             ok = _decode_lane_batch(dec, gm, batch, use_prefix)
             out.extend(ln.section for ln in ok)
@@ -502,5 +657,11 @@ def try_device_pass_groups(dec, state, f, sections) -> list:
                   and ln.ctx is not None]
         if cbatch:
             ok = _decode_lane_batch_ctx(dec, gm, cbatch, use_prefix)
+            out.extend(ln.section for ln in ok)
+        nbatch = [ln for ln in lanes
+                  if ln.spec.use_prefix_code == use_prefix
+                  and ln.ntree is not None]
+        if nbatch:
+            ok = _decode_lane_batch_ntree(dec, gm, nbatch, use_prefix)
             out.extend(ln.section for ln in ok)
     return out

@@ -166,13 +166,54 @@ def test_device_multinode_static_tree(dj40, tmp_path, use_prefix, complex_map):
     np.testing.assert_array_equal(rgba[:, :, :3], img)
 
 
-def test_device_falls_back_on_neighbor_property_tree():
-    # trees that branch on decoded-neighbor properties (e.g. prop 7 = W)
-    # stay on the host path
+@pytest.mark.parametrize("tree_spec", [
+    # prop 7 = W: plain neighbor branch over wavefront predictors
+    ("w_branch", [(7, 0, 1, 2), (-5,), (-1,)]),
+    # prop 15 = WP max error gating WP vs gradient — the cjxl -e3 shape
+    # (the modular_e3 bench stream's exact tree)
+    ("e3_wp", [(15, 0, 1, 2), (-6,), (-5,)]),
+    # prop 8 needs NWW; deeper tree mixing static + neighbor props
+    ("mixed", [(0, 0, 1, 2), (8, 3, 3, 4), (-5,), (-2,), (-1,)]),
+])
+def test_device_neighbor_property_tree(tree_spec, dj40, tmp_path):
+    # r5 (VERDICT weak #4): NEIGHBOR-property trees (j40.h:4177-4218)
+    # decode on device lanes — tokens context-free (single cluster), the
+    # tree walk evaluated inside the WP wavefront
     from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
     from j40_tpu.encode.modular_enc import branch, leaf
 
-    tree = [branch(7, 0, 1, 2), leaf(5), leaf(1)]
+    name, spec = tree_spec
+    tree = [leaf(-n[0]) if n[0] < 0 else branch(*n) for n in spec]
+    img = _img(150, 200, seed=19)
+    cs = encode_modular_advanced(img, options=AdvancedOptions(
+        tree=tree, group_size_shift=7))
+    dec, rgba = _device_decode(cs)
+    from j40_tpu.decode import decode_file
+
+    _, ref = decode_file(cs)
+    np.testing.assert_array_equal(rgba, ref, err_msg="device != host")
+    dm = dec.stats.get("device_modular")
+    assert dm and dm.get("ntree_lanes", 0) > 0, \
+        "neighbor-property tree never hit the device tree-wavefront"
+
+    jxl = tmp_path / "t.jxl"
+    png = tmp_path / "t.png"
+    jxl.write_bytes(cs)
+    r = subprocess.run(
+        [str(dj40), str(jxl), str(png)], capture_output=True, text=True)
+    assert r.returncode == 0, f"dj40 failed: {r.stderr}"
+    refpng = np.asarray(Image.open(png).convert("RGBA"))
+    np.testing.assert_array_equal(rgba, refpng, err_msg="device != dj40")
+
+
+def test_device_falls_back_on_ref_channel_tree():
+    # cross-channel reference properties (>= 16) stay on the host path
+    from j40_tpu.encode.advanced import AdvancedOptions, encode_modular_advanced
+    from j40_tpu.encode.modular_enc import branch, leaf
+
+    # prop 16 only reachable for channels > 0 (channel 0 has no refs)
+    tree = [branch(0, 0, 1, 4), branch(16, 0, 2, 3), leaf(5), leaf(1),
+            leaf(5)]
     img = _img(150, 200, seed=19)
     cs = encode_modular_advanced(img, options=AdvancedOptions(
         tree=tree, group_size_shift=7))
