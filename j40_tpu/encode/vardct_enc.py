@@ -448,7 +448,8 @@ def _write_hf_pass(w: BitWriter, opt: VarDCTOptions, coeff_enc,
     else:
         # HfPass for pass 0: used_orders = 0 (all natural)
         w.u(2, 2)  # u32 selector 2 -> value 0, 0 bits
-    # coefficient code spec: 495*15*1 contexts, single cluster
+    # coefficient code spec: 495*15*presets contexts (cluster
+    # partition per opt.coeff_clusters)
     coeff_enc.write_spec(w)
 
 
