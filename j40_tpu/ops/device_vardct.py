@@ -176,6 +176,13 @@ def _decode_hf_batch(dec, state, vd, spec, lanes, orders_yxb,
     streams = [(ln.data, ln.bitoff) for ln in lanes]
     ncells = [ln.gw8 * ln.gh8 for ln in lanes]
     ncells_max = int(max(ncells))
+    lane_off = {id(ln): li for li, ln in enumerate(lanes)}
+    by_gg: dict[int, list] = {}
+    for ln in lanes:
+        by_gg.setdefault(ln.ggidx, []).append(ln)
+    res_ggs = [g for g in by_gg
+               if resident_ok and full_cover.get(g)]
+
     if ctx_mode:
         bctx3 = [_lane_bctx3(vd, ln) for ln in lanes]
         ctxoffs = []
@@ -191,12 +198,38 @@ def _decode_hf_batch(dec, state, vd, spec, lanes, orders_yxb,
         except ValueError:
             return 0  # stream too long for the whole-stream ctx kernel
     else:
-        coeffs_dev, st = ph.decode_hf_dct8(
-            streams, ncells, spec, orders_yxb, ncells_max)
+        h = ph.launch_hf_multi_async(
+            [(streams, list(ncells), spec, orders_yxb)], ncells_max)
+        # OPTIMISTIC: dispatch the resident reconstructions from the
+        # first attempt's planes BEFORE any host sync — the snapshot
+        # fetch then overlaps the reconstruction kernels instead of
+        # serializing a tunnel round-trip ahead of them
+        coeffs_dev = ph.peek_hf_multi(h)
+        for ggidx in res_ggs:
+            _reconstruct_resident(vd, ggidx, by_gg[ggidx], lane_off,
+                                  coeffs_dev)
+        coeffs_fin, st_arr = ph.finish_hf_multi(h)
+        stn = np.asarray(st_arr)
+        L = len(lanes)
+        st = {"ans_state": stn[0, :L].astype(np.uint32),
+              "bitpos": stn[1, :L], "err": stn[6, :L],
+              "done": stn[7, :L]}
+        if h["resumed"]:
+            # the peeked planes were incomplete: redo from the final ones
+            coeffs_dev = coeffs_fin
+            for ggidx in res_ggs:
+                _reconstruct_resident(vd, ggidx, by_gg[ggidx], lane_off,
+                                      coeffs_dev)
 
     if not st["done"].all():
         # step budget exhausted (pathological stream density): leave the
-        # whole batch for the host path, which has no budget
+        # whole batch for the host path, which has no budget — and drop
+        # any optimistic predispatched planes so the host reconstruction
+        # is the one consumed
+        if not ctx_mode:
+            with vd._dispatch_lock:
+                for ggidx in res_ggs:
+                    vd._predispatched.pop(ggidx, None)
         return 0
     for li, ln in enumerate(lanes):
         check(int(st["err"][li]) == 0, "coef")
@@ -204,16 +237,13 @@ def _decode_hf_batch(dec, state, vd, spec, lanes, orders_yxb,
         _check_lane_end(ln, base * 8 + int(st["bitpos"][li]),
                         spec.use_prefix_code, int(st["ans_state"][li]))
 
-    lane_off = {id(ln): li for li, ln in enumerate(lanes)}
-    by_gg: dict[int, list] = {}
-    for ln in lanes:
-        by_gg.setdefault(ln.ggidx, []).append(ln)
-
     nres = 0
     host_lanes = []
     for ggidx, glanes in by_gg.items():
-        if resident_ok and full_cover.get(ggidx):
-            _reconstruct_resident(vd, ggidx, glanes, lane_off, coeffs_dev)
+        if ggidx in res_ggs:
+            if ctx_mode:
+                _reconstruct_resident(vd, ggidx, glanes, lane_off,
+                                      coeffs_dev)
             nres += 1
         else:
             host_lanes.extend(glanes)

@@ -616,6 +616,10 @@ def launch_hf_multi_async(lane_groups, ncells_max: int,
     k_syms = 10 * cfg.seg_syms
     inp = build_multi_inputs(lane_groups, k_syms)
     cap = _estimate_cap(inp, cfg)
+    if _interpret():
+        # interpret-mode compile cost scales with the unrolled segment
+        # count: small first budget, the resume loop covers the rest
+        cap = min(cap, 4 * cfg.seg_syms)
     vals, idxs, st = _hf_call(inp, inp["init"], cap, ncells_max, cfg,
                               k_syms)
     return dict(inp=inp, cfg=cfg, k_syms=k_syms, cap=cap, spent=cap,
@@ -623,19 +627,35 @@ def launch_hf_multi_async(lane_groups, ncells_max: int,
                 ncells_max=ncells_max)
 
 
+def peek_hf_multi(h: dict):
+    """OPTIMISTIC dense planes of an async launch: the first attempt's
+    output, order-unpermuted, with NO host sync.  Lets the caller
+    dispatch downstream device work (reconstruction) before the snapshot
+    fetch; `finish_hf_multi` then confirms — when it reports
+    h["resumed"], the peeked planes were incomplete and the downstream
+    dispatches must be redone from the final planes (rare: only when the
+    bytes-based budget estimate undershot)."""
+    inp = h["inp"]
+    return _unpermute_orders(h["coeffs"],
+                             jnp.asarray(inp["inv"]))[:inp["L"]]
+
+
 def finish_hf_multi(h: dict):
     """Confirm completion of an async launch (one tiny 8x128 snapshot
     fetch); lanes that exhausted the estimated budget resume from the
     machine snapshot with doubled budgets up to the format's hard bound
-    (192 syms/cell).  Returns (coeffs_dev (L,3,ncells_max,64), st_dev)."""
+    (192 syms/cell).  Sets h["resumed"]; returns (coeffs_dev
+    (L,3,ncells_max,64), st_dev)."""
     inp, cfg = h["inp"], h["cfg"]
     hard = 192 * int(max(inp["ncells_all"]))
     coeffs, st = h["coeffs"], h["st"]
     spent, cap = h["spent"], h["cap"]
+    h["resumed"] = False
     while spent < hard:
         stn = np.asarray(st)          # tiny sync: one 8x128 fetch
         if stn[7, :inp["L"]].all():
             break
+        h["resumed"] = True
         init = np.vstack([stn[:7], np.zeros((1, LANE), np.int32)])
         cap = min(2 * cap, hard - spent)
         vals, idxs, st = _hf_call(inp, init, cap, h["ncells_max"], cfg,
